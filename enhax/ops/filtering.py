@@ -1,0 +1,136 @@
+"""Differentiable classical filters: box, guided, Gaussian, Sobel.
+
+Rebuild of reference ``src/mon/vision/filtering/`` — ``BoxFilter``
+(box_filter.py, diff-of-cumsum), ``GuidedFilter``/``FastGuidedFilter``
+(guided_filter.py:35-488, used inside GCENet at gcenet.py:486) and
+``SobelFilter`` (sobel_filter.py).
+
+The cumsum (integral-image) box filter is the TPU-idiomatic form: two
+cumulative sums + shifts vectorize on the VPU with no windowed gathers, so a
+guided filter at 4K costs a handful of memory-bound elementwise passes.
+All ops take (..., H, W, C).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from enhax.ops.resize import resize
+
+
+def box_filter_sum(x, radius: int):
+    """Sum over a (2r+1)^2 window, truncated at borders (box_filter.py diff-of-cumsum)."""
+    r = int(radius)
+
+    def _1d(v, axis):
+        n = v.shape[axis]
+        c = jnp.cumsum(v, axis=axis)
+        # out[i] = c[min(i+r, n-1)] - (c[i-r-1] if i-r-1 >= 0 else 0)
+        idx_hi = jnp.clip(jnp.arange(n) + r, 0, n - 1)
+        hi = jnp.take(c, idx_hi, axis=axis)
+        idx_lo = jnp.arange(n) - r - 1
+        lo = jnp.take(c, jnp.clip(idx_lo, 0, n - 1), axis=axis)
+        mask_shape = [1] * v.ndim
+        mask_shape[axis] = n
+        mask = (idx_lo >= 0).reshape(mask_shape)
+        return hi - jnp.where(mask, lo, 0.0)
+
+    return _1d(_1d(x, axis=-3), axis=-2)
+
+
+def box_window_count(shape_hw: tuple[int, int], radius: int, dtype=jnp.float32):
+    """Per-pixel truncated-window pixel count (the guided filter's N)."""
+    h, w = shape_hw
+    ones = jnp.ones((h, w, 1), dtype)
+    return box_filter_sum(ones, radius)
+
+
+def box_filter(x, radius: int):
+    """Window *mean* with border-truncated windows."""
+    n = box_window_count((x.shape[-3], x.shape[-2]), radius, x.dtype)
+    return box_filter_sum(x, radius) / n
+
+
+def guided_filter(image, guide, radius: int = 1, eps: float = 1e-8):
+    """Edge-preserving guided filter (guided_filter.py:35 ``guided_filter`` fn).
+
+    ``image`` is filtered using ``guide``'s structure; per-channel independent
+    (the reference uses the same diff-of-cumsum box filter).
+    """
+    x, y = guide, image
+    n = box_window_count((x.shape[-3], x.shape[-2]), radius, x.dtype)
+    mean_x = box_filter_sum(x, radius) / n
+    mean_y = box_filter_sum(y, radius) / n
+    cov_xy = box_filter_sum(x * y, radius) / n - mean_x * mean_y
+    var_x = box_filter_sum(x * x, radius) / n - mean_x * mean_x
+    a = cov_xy / (var_x + eps)
+    b = mean_y - a * mean_x
+    mean_a = box_filter_sum(a, radius) / n
+    mean_b = box_filter_sum(b, radius) / n
+    return mean_a * x + mean_b
+
+
+def fast_guided_filter(image_lr, guide_lr, guide_hr, radius: int = 1, eps: float = 1e-8):
+    """FastGuidedFilter (guided_filter.py:150): fit (a, b) at low res, apply at high res."""
+    x, y = guide_lr, image_lr
+    n = box_window_count((x.shape[-3], x.shape[-2]), radius, x.dtype)
+    mean_x = box_filter_sum(x, radius) / n
+    mean_y = box_filter_sum(y, radius) / n
+    cov_xy = box_filter_sum(x * y, radius) / n - mean_x * mean_y
+    var_x = box_filter_sum(x * x, radius) / n - mean_x * mean_x
+    a = cov_xy / (var_x + eps)
+    b = mean_y - a * mean_x
+    hr_size = (guide_hr.shape[-3], guide_hr.shape[-2])
+    mean_a = resize(a, hr_size, method="bilinear")
+    mean_b = resize(b, hr_size, method="bilinear")
+    return mean_a * guide_hr + mean_b
+
+
+def gaussian_kernel(kernel_size: int, sigma: float) -> np.ndarray:
+    """Separable 1D Gaussian kernel (host-side constant)."""
+    ax = np.arange(kernel_size) - (kernel_size - 1) / 2.0
+    k = np.exp(-0.5 * (ax / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_filter(x, kernel_size: int = 5, sigma: float = 1.0):
+    """Separable Gaussian blur with reflect padding."""
+    k = jnp.asarray(gaussian_kernel(kernel_size, sigma))
+    p = kernel_size // 2
+
+    def _conv_axis(v, axis):
+        vp = jnp.pad(
+            v,
+            [(0, 0)] * (v.ndim + axis) + [(p, p)] + [(0, 0)] * (-axis - 1),
+            mode="reflect",
+        )
+        out = 0.0
+        for i in range(kernel_size):
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(i, i + v.shape[axis])
+            out = out + k[i] * vp[tuple(sl)]
+        return out
+
+    return _conv_axis(_conv_axis(x, -3), -2)
+
+
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+_SOBEL_Y = _SOBEL_X.T
+
+
+def sobel_filter(x, normalized: bool = True, eps: float = 1e-6):
+    """Sobel gradient magnitude (sobel_filter.py). Returns same-shaped array."""
+    kx = jnp.asarray(_SOBEL_X / (8.0 if normalized else 1.0))
+    ky = jnp.asarray(_SOBEL_Y / (8.0 if normalized else 1.0))
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)], mode="reflect")
+
+    gx = jnp.zeros_like(x)
+    gy = jnp.zeros_like(x)
+    h, w = x.shape[-3], x.shape[-2]
+    for i in range(3):
+        for j in range(3):
+            patch = xp[..., i : i + h, j : j + w, :]
+            gx = gx + kx[i, j] * patch
+            gy = gy + ky[i, j] * patch
+    return jnp.sqrt(gx * gx + gy * gy + eps)

@@ -1,0 +1,82 @@
+"""Resize with divisible-by and side modes.
+
+Rebuild of reference ``core/image/geometry/transform.py:104`` ``resize``:
+target size may be an int (short/long side) or (h, w); optionally snapped to
+a multiple of ``divisible_by``. Uses ``jax.image.resize`` whose "linear"
+method is half-pixel aligned — the same convention as cv2.INTER_LINEAR /
+torch align_corners=False, which keeps converted-checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import image as jimage
+
+from enhax.ops.layout import make_divisible
+
+_METHODS = {
+    "nearest": "nearest",
+    "bilinear": "linear",
+    "linear": "linear",
+    "bicubic": "cubic",
+    "cubic": "cubic",
+    "lanczos": "lanczos3",
+    "area": "linear",  # approximation; use explicit pooling for exact area
+}
+
+
+def _target_hw(h: int, w: int, size, side: str, divisible_by) -> tuple[int, int]:
+    if isinstance(size, int):
+        if side == "short":
+            if h < w:
+                nh, nw = size, int(round(w * size / h))
+            else:
+                nh, nw = int(round(h * size / w)), size
+        elif side == "long":
+            if h > w:
+                nh, nw = size, int(round(w * size / h))
+            else:
+                nh, nw = int(round(h * size / w)), size
+        else:  # both
+            nh = nw = size
+    else:
+        nh, nw = int(size[0]), int(size[1])
+    if divisible_by:
+        nh = make_divisible(nh, divisible_by)
+        nw = make_divisible(nw, divisible_by)
+    return nh, nw
+
+
+def resize(
+    image,
+    size=None,
+    scale_factor: float | None = None,
+    method: str = "bilinear",
+    side: str = "both",
+    divisible_by: int | None = None,
+    antialias: bool = False,
+):
+    """Resize an (..., H, W, C) image.
+
+    Args mirror the reference's ``resize`` (transform.py:104): one of ``size``
+    (int or (h, w)) or ``scale_factor``; ``side`` in {both, short, long};
+    ``divisible_by`` snaps the target up to a stride multiple.
+    """
+    x = jnp.asarray(image)
+    h, w = x.shape[-3], x.shape[-2]
+    if size is None and scale_factor is None:
+        if divisible_by is None:
+            return x
+        size = (h, w)
+    if size is None:
+        size = (int(round(h * scale_factor)), int(round(w * scale_factor)))
+    nh, nw = _target_hw(h, w, size, side, divisible_by)
+    if (nh, nw) == (h, w):
+        return x
+    shape = x.shape[:-3] + (nh, nw) + x.shape[-1:]
+    return jimage.resize(x, shape, method=_METHODS.get(method, method), antialias=antialias)
+
+
+def resize_divisible(image, divisor: int = 32, method: str = "bilinear"):
+    """Resize so H and W are multiples of ``divisor`` (vision/model.py:101)."""
+    return resize(image, size=None, divisible_by=divisor, method=method)

@@ -1,0 +1,91 @@
+"""Host-side video I/O over OpenCV.
+
+Rebuild of reference ``core/video/io.py`` (VideoLoaderCV :138 frame streaming,
+VideoWriterCV :196). The ffmpeg-python path (io.py:33,317) is replaced by
+cv2's VideoWriter; frames are RGB HWC numpy on the host.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+class VideoReaderCV:
+    """Stream RGB frames from a video file (reference VideoLoaderCV)."""
+
+    def __init__(self, path, to_float: bool = True):
+        import cv2
+        self.path = str(path)
+        self.cap = cv2.VideoCapture(self.path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        self.to_float = to_float
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.index = 0
+
+    def __len__(self) -> int:
+        return max(self.frame_count, 0)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        import cv2
+        ok, frame = self.cap.read()
+        if not ok:
+            self.cap.release()
+            raise StopIteration
+        self.index += 1
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if self.to_float:
+            frame = frame.astype(np.float32) / 255.0
+        return frame
+
+    def close(self):
+        self.cap.release()
+
+
+class VideoWriterCV:
+    """Write RGB frames to a video file (reference VideoWriterCV io.py:196)."""
+
+    def __init__(self, path, fps: float = 30.0, size: tuple[int, int] | None = None,
+                 fourcc: str = "mp4v"):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.fps = fps
+        self.size = size  # (h, w)
+        self.fourcc = fourcc
+        self.writer = None
+
+    def _ensure(self, frame):
+        import cv2
+        if self.writer is None:
+            h, w = (self.size if self.size else frame.shape[:2])
+            self.size = (h, w)
+            self.writer = cv2.VideoWriter(
+                str(self.path), cv2.VideoWriter_fourcc(*self.fourcc), self.fps, (w, h)
+            )
+
+    def write(self, frame) -> None:
+        import cv2
+        frame = np.asarray(frame)
+        if frame.dtype in (np.float32, np.float64, np.float16):
+            frame = np.clip(frame * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        self._ensure(frame)
+        if frame.shape[:2] != self.size:
+            frame = cv2.resize(frame, (self.size[1], self.size[0]))
+        self.writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def write_batch(self, frames) -> None:
+        for f in frames:
+            self.write(f)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.release()
+            self.writer = None
