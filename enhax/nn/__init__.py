@@ -1,0 +1,14 @@
+"""Neural-network layer: losses, metrics, layers, optimizers, schedules.
+
+TPU-native rebuild of the reference's ``src/mon/nn/`` — functional JAX
+losses/metrics, flax.linen layer library, optax-based optimizers with the
+reference's custom schedules, and the INR stack.
+"""
+
+from enhax.nn import losses
+from enhax.nn import metrics
+from enhax.nn import optim
+from enhax.nn import layers
+from enhax.nn import inr
+from enhax.nn.losses import *  # noqa: F401,F403
+from enhax.nn.metrics import psnr, ssim, ms_ssim, mae, mse, rmse

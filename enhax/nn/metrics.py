@@ -1,0 +1,155 @@
+"""Image quality metrics in pure JAX (NHWC, [0, data_range]).
+
+Rebuild of reference ``src/mon/nn/metric/`` (base.py:38, image.py:63-410
+PSNR/SSIM/MS-SSIM + CustomSSIM, efficiency.py:29 efficiency score). SSIM
+follows the pytorch-msssim convention the reference's ``CustomSSIM`` wraps:
+Gaussian window (11, 1.5), *valid* convolution (no padding), k1=0.01,
+k2=0.03; MS-SSIM uses the standard 5-scale weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enhax.constants import METRICS
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _fspecial_gauss_1d(size: int, sigma: float):
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    return jnp.asarray((g / g.sum()).astype(np.float32))
+
+
+def _gaussian_filter_valid(x, win):
+    """Separable Gaussian filter, VALID padding, on (N, H, W, C)."""
+    size = win.shape[0]
+
+    def conv_axis(v, axis):
+        n = v.shape[axis]
+        out = 0.0
+        for i in range(size):
+            sl = [slice(None)] * v.ndim
+            sl[axis] = slice(i, i + n - size + 1)
+            out = out + win[i] * v[tuple(sl)]
+        return out
+
+    return conv_axis(conv_axis(x, -3), -2)
+
+
+@METRICS.register(name="psnr")
+def psnr(input, target, data_range: float = 1.0, eps: float = 1e-12):
+    """Peak signal-to-noise ratio over the whole batch (torchmetrics default)."""
+    mse = jnp.mean((input.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / (mse + eps))
+
+
+def psnr_per_image(input, target, data_range: float = 1.0, eps: float = 1e-12):
+    """Per-image PSNR, reduced over H/W/C only. Input (N, H, W, C) -> (N,)."""
+    mse = jnp.mean((input - target) ** 2, axis=(-3, -2, -1))
+    return 10.0 * jnp.log10(data_range**2 / (mse + eps))
+
+
+def _ssim_components(x, y, data_range, window_size, sigma, k):
+    k1, k2 = k
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    win = _fspecial_gauss_1d(window_size, sigma)
+    mu_x = _gaussian_filter_valid(x, win)
+    mu_y = _gaussian_filter_valid(y, win)
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sigma_xx = _gaussian_filter_valid(x * x, win) - mu_xx
+    sigma_yy = _gaussian_filter_valid(y * y, win) - mu_yy
+    sigma_xy = _gaussian_filter_valid(x * y, win) - mu_xy
+    cs = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs
+    return ssim_map, cs
+
+
+@METRICS.register(name="ssim")
+def ssim(input, target, data_range: float = 1.0, window_size: int = 11,
+         sigma: float = 1.5, k: tuple = (0.01, 0.03), non_negative: bool = False):
+    """Structural similarity (pytorch-msssim parity; reference image.py:316-410)."""
+    x = input.astype(jnp.float32)
+    y = target.astype(jnp.float32)
+    ssim_map, _ = _ssim_components(x, y, data_range, window_size, sigma, k)
+    if non_negative:
+        ssim_map = jax.nn.relu(ssim_map)
+    return jnp.mean(ssim_map)
+
+
+def _avg_pool2(x):
+    h, w = x.shape[-3] // 2, x.shape[-2] // 2
+    x = x[..., : h * 2, : w * 2, :]
+    return x.reshape(*x.shape[:-3], h, 2, w, 2, x.shape[-1]).mean(axis=(-4, -2))
+
+
+@METRICS.register(name="ms_ssim")
+def ms_ssim(input, target, data_range: float = 1.0, window_size: int = 11,
+            sigma: float = 1.5, weights=None, k: tuple = (0.01, 0.03)):
+    """Multi-scale SSIM with the standard 5-scale weights."""
+    w = jnp.asarray(weights if weights is not None else _MSSSIM_WEIGHTS)
+    x = input.astype(jnp.float32)
+    y = target.astype(jnp.float32)
+    levels = w.shape[0]
+    mcs = []
+    val = None
+    for i in range(levels):
+        ssim_map, cs = _ssim_components(x, y, data_range, window_size, sigma, k)
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(jnp.mean(cs)))
+            x = _avg_pool2(x)
+            y = _avg_pool2(y)
+        else:
+            val = jax.nn.relu(jnp.mean(ssim_map))
+    stack = jnp.stack(mcs + [val])
+    return jnp.prod(stack ** w)
+
+
+@METRICS.register(name="mae")
+def mae(input, target, **_):
+    return jnp.mean(jnp.abs(input - target))
+
+
+@METRICS.register(name="mse")
+def mse(input, target, **_):
+    return jnp.mean((input - target) ** 2)
+
+
+@METRICS.register(name="rmse")
+def rmse(input, target, **_):
+    return jnp.sqrt(jnp.mean((input - target) ** 2))
+
+
+# ---------------------------------------------------------------------------
+# Efficiency score (reference nn/metric/efficiency.py:29-74)
+# ---------------------------------------------------------------------------
+
+def compute_efficiency_score(apply_fn, params, datapoint, runs: int = 20):
+    """(flops_G, params_M, avg_seconds) of a jitted forward.
+
+    FLOPs come from XLA's cost analysis of the compiled HLO — the TPU-native
+    replacement for thop/fvcore (reference core/thop.py:20).
+    """
+    import jax
+
+    jitted = jax.jit(apply_fn)
+    lowered = jitted.lower(params, datapoint)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = float("nan")
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    from enhax.utils.timer import time_device_fn
+    avg_s = time_device_fn(jitted, params, datapoint, warmup=2, repeats=runs)
+    return flops / 1e9, n_params / 1e6, avg_s
