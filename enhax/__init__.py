@@ -28,3 +28,8 @@ from enhax.registry import Registry, ModelRegistry
 # datasets register themselves at import time, like the reference's
 # mon/__init__ chain).
 from enhax import utils  # noqa: E402  (registers file handlers)
+from enhax import ops  # noqa: E402
+from enhax import nn  # noqa: E402  (registers losses/metrics/optimizers)
+from enhax import models  # noqa: E402  (registers models)
+from enhax import parallel  # noqa: E402
+from enhax.models.base import Model, build_model  # noqa: E402

@@ -1,0 +1,176 @@
+"""Prediction engine.
+
+Rebuild of the reference's predict path (vision/model.py:76-127 ``infer`` —
+resize-to-multiple-of-32, timed forward, resize back; predict loop
+runml/predict.py:76-124) redesigned for TPU:
+
+  * **pad, don't resize**: content-preserving reflect pad to the stride
+    multiple inside the jitted graph, cropped after (static shapes per
+    bucket; no resampling losses).
+  * **shape buckets**: arbitrary folders produce few distinct padded shapes,
+    so recompiles are bounded; each bucket compiles once.
+  * **batched**: the reference enhances one image per step; enhax batches.
+  * **instance models** (GCENet-instance/CoLIE/ZSN2N/ZID, SURVEY.md §3.3):
+    the 300-3000-step per-image fit runs as one jitted ``lax.scan`` — one
+    compile, all steps on device, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from enhax.models.base import Model
+from enhax.ops.layout import make_divisible
+from enhax.ops.resize import resize as resize_op
+
+
+def _pad_batch(images: dict, divisor: int) -> tuple[dict, tuple[int, int]]:
+    """Reflect-pad every image-like entry to H/W multiples of divisor."""
+    any_img = images["image"]
+    h, w = any_img.shape[-3], any_img.shape[-2]
+    th, tw = make_divisible(h, divisor), make_divisible(w, divisor)
+    if (th, tw) == (h, w):
+        return images, (h, w)
+    out = {}
+    for k, v in images.items():
+        if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[-3] == h and v.shape[-2] == w:
+            pad = [(0, 0)] * (v.ndim - 3) + [(0, th - h), (0, tw - w), (0, 0)]
+            out[k] = jnp.pad(v, pad, mode="reflect")
+        else:
+            out[k] = v
+    return out, (h, w)
+
+
+def _crop_outputs(outputs: dict, size: tuple[int, int]) -> dict:
+    h, w = size
+    out = {}
+    for k, v in outputs.items():
+        if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[-3] >= h and v.shape[-2] >= w:
+            out[k] = v[..., :h, :w, :]
+        else:
+            out[k] = v
+    return out
+
+
+class Predictor:
+    """Batched predictor with shape-bucketed jit.
+
+    Args:
+        model: enhax Model.
+        variables: parameter pytree (None -> random init on first call).
+        image_size: optional fixed (h, w) — resize inputs like the
+            reference's ``--imgsz --resize`` path (vision/model.py:97-109).
+        tile: optional (tile_h, tile_w, overlap) for overlap-tiled full-res
+            inference (Restormer my_predict.py:157-167).
+    """
+
+    def __init__(self, model: Model, variables=None, image_size=None,
+                 resize: bool = False, tile: tuple | None = None, seed: int = 0):
+        self.model = model
+        self.variables = variables
+        self.image_size = image_size
+        self.resize = resize
+        self.tile = tile
+        self.seed = seed
+        self._jitted = jax.jit(self._forward)
+        self._instance_fn = None
+
+    def _forward(self, variables, datapoint):
+        return self.model.apply(variables, datapoint)
+
+    def _ensure_variables(self, datapoint):
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(self.seed), datapoint)
+
+    def infer(self, datapoint: dict) -> dict:
+        """Single-batch inference with timing (reference infer contract)."""
+        self.model.assert_datapoint(datapoint)
+        dp = {k: jnp.asarray(v) for k, v in datapoint.items()
+              if hasattr(v, "shape") or hasattr(v, "__len__")}
+        # to 4D NHWC
+        for k, v in dp.items():
+            if v.ndim == 3:
+                dp[k] = v[None]
+        orig_hw = (dp["image"].shape[-3], dp["image"].shape[-2])
+        if self.resize and self.image_size is not None:
+            dp = {k: resize_op(v, self.image_size) if v.ndim == 4 else v
+                  for k, v in dp.items()}
+        dp, unpad_hw = _pad_batch(dp, self.model.size_divisor)
+
+        self._ensure_variables(dp)
+
+        if self.model.instance_steps > 0:
+            if self._instance_fn is None:
+                self._instance_fn = make_instance_infer(
+                    self.model, steps=self.model.instance_steps,
+                    lr=self.model.instance_lr,
+                    weight_decay=self.model.instance_weight_decay)
+            t0 = time.perf_counter()
+            outputs = jax.block_until_ready(
+                self._instance_fn(self.variables, dp, jax.random.PRNGKey(self.seed)))
+            dt = time.perf_counter() - t0
+        elif self.tile is not None:
+            from enhax.infer.tiling import tiled_apply
+            t0 = time.perf_counter()
+            enhanced = tiled_apply(
+                lambda x: self._jitted(self.variables, {**dp, "image": x})[self.model.out_key],
+                dp["image"], tile=self.tile[0:2], overlap=self.tile[2])
+            outputs = {self.model.out_key: jax.block_until_ready(enhanced)}
+            dt = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            outputs = jax.block_until_ready(self._jitted(self.variables, dp))
+            dt = time.perf_counter() - t0
+
+        outputs = _crop_outputs(outputs, unpad_hw)
+        if self.resize and self.image_size is not None:
+            key = self.model.out_key
+            outputs[key] = resize_op(outputs[key], orig_hw)
+        self.model.assert_outputs(outputs)
+        outputs["time"] = dt
+        return outputs
+
+    def __call__(self, datapoint: dict) -> dict:
+        return self.infer(datapoint)
+
+
+def make_instance_infer(model: Model, steps: int, lr: float = 1e-4,
+                        weight_decay: float = 0.0):
+    """Per-image test-time optimization as one jitted scan.
+
+    Reference pattern (gcenet.py:539-596, zsn2n.py infer): N optimizer steps
+    on the zero-shot loss, then a clean forward. Here the whole fit is a
+    ``lax.scan`` inside jit: one compilation, steps stay on device.
+    """
+    if weight_decay:
+        tx = optax.adamw(lr, weight_decay=weight_decay)
+    else:
+        tx = optax.adam(lr)
+
+    def run(variables, datapoint, rng):
+        opt_state = tx.init(variables)
+
+        def body(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                loss, _ = model.forward_loss(p, datapoint)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            body, (variables, opt_state), None, length=steps)
+        outputs = model.apply(params, datapoint)
+        outputs["fit_loss"] = losses[-1]
+        return outputs
+
+    return jax.jit(run)

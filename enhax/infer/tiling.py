@@ -1,0 +1,65 @@
+"""Overlap-tiled full-resolution inference.
+
+Rebuild of Restormer's tiled test path (my_predict.py:157-167: slide a tile
+window, accumulate weighted patches, divide by weights) as a static-shape,
+jit-friendly loop: tiles are gathered with lax.dynamic_slice on a precomputed
+(host-side) tile grid, processed by the model, and blended with a raised-
+cosine (Hann) window so seams cancel.
+
+The grid is static per input shape, so one jit compilation serves any image
+of that shape; different shapes re-trace (bucketed by the engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _tile_starts(full: int, tile: int, stride: int) -> list[int]:
+    """Start offsets covering [0, full) with the last tile flush to the end."""
+    if full <= tile:
+        return [0]
+    starts = list(range(0, full - tile + 1, stride))
+    if starts[-1] != full - tile:
+        starts.append(full - tile)
+    return starts
+
+
+def _hann_window(tile_h: int, tile_w: int):
+    """2D raised-cosine blend weights (avoids seams; min weight epsilon)."""
+    wy = np.hanning(tile_h + 2)[1:-1]
+    wx = np.hanning(tile_w + 2)[1:-1]
+    w = np.outer(wy, wx).astype(np.float32) + 1e-3
+    return jnp.asarray(w)[None, :, :, None]
+
+
+def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32):
+    """Apply ``fn`` (NHWC -> NHWC) over overlapping tiles and blend.
+
+    ``fn`` must be shape-preserving. Same contract as Restormer's --tile.
+    """
+    n, h, w, c = image.shape
+    th = min(tile[0], h)
+    tw = min(tile[1], w)
+    stride_h = max(th - overlap, 1)
+    stride_w = max(tw - overlap, 1)
+    ys = _tile_starts(h, th, stride_h)
+    xs = _tile_starts(w, tw, stride_w)
+    win = _hann_window(th, tw)
+
+    out = jnp.zeros_like(image)
+    acc = jnp.zeros((1, h, w, 1), image.dtype)
+    for y in ys:
+        for x in xs:
+            patch = jax.lax.dynamic_slice(image, (0, y, x, 0), (n, th, tw, c))
+            pred = fn(patch)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (0, y, x, 0), (n, th, tw, c))
+                + pred * win, (0, y, x, 0))
+            acc = jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(acc, (0, y, x, 0), (1, th, tw, 1))
+                + win, (0, y, x, 0))
+    return out / acc

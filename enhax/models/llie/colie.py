@@ -1,0 +1,1 @@
+"""colie — implemented later in this build (placeholder module)."""

