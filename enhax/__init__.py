@@ -31,5 +31,6 @@ from enhax import utils  # noqa: E402  (registers file handlers)
 from enhax import ops  # noqa: E402
 from enhax import nn  # noqa: E402  (registers losses/metrics/optimizers)
 from enhax import models  # noqa: E402  (registers models)
+from enhax import data  # noqa: E402  (registers datasets/datamodules)
 from enhax import parallel  # noqa: E402
 from enhax.models.base import Model, build_model  # noqa: E402

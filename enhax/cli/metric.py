@@ -1,0 +1,118 @@
+"""Evaluation CLI: image-quality metrics over result directories.
+
+Rebuild of reference ``project/runml/metric.py:25-157`` (pyiqa harness):
+walks a result dir, matches GT by stem, computes FR metrics (PSNR / SSIM /
+MS-SSIM / MAE) and NR proxies, with the optional GT-mean brightness
+alignment pass (--use-gt-mean; photometry.py:297). Pure-JAX metrics replace
+pyiqa; batched on device.
+
+Usage:
+    python -m enhax.cli.metric --input run/predict/... --target data/lol_v1/test/ref \
+        --metric psnr --metric ssim [--use-gt-mean]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from enhax.utils.console import console, print_table
+from enhax.utils.pathlib import Path
+
+FR_METRICS = ("psnr", "ssim", "ms_ssim", "mae", "mse", "rmse")
+NR_METRICS = ("brightness", "contrast", "entropy")
+
+
+def parse_metric_args(argv=None) -> dict:
+    p = argparse.ArgumentParser("enhax-metric")
+    p.add_argument("--input", type=str, required=True, help="result image dir")
+    p.add_argument("--target", type=str, default=None, help="GT image dir (FR metrics)")
+    p.add_argument("--metric", action="append", default=None,
+                   help="metric name; repeatable; default: psnr ssim")
+    p.add_argument("--use-gt-mean", action="store_true",
+                   help="scale results to GT mean brightness before FR metrics")
+    p.add_argument("--backend", type=str, default="jax")
+    p.add_argument("--verbose", action="store_true")
+    return vars(p.parse_args(argv))
+
+
+def _nr_metrics(img) -> dict:
+    import jax.numpy as jnp
+    from enhax.ops.color import rgb_to_grayscale
+    g = rgb_to_grayscale(img)
+    hist = jnp.histogram(g, bins=256, range=(0, 1))[0]
+    p = hist / jnp.maximum(hist.sum(), 1)
+    entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-12)), 0.0))
+    return {"brightness": float(jnp.mean(g)), "contrast": float(jnp.std(g)),
+            "entropy": float(entropy)}
+
+
+def measure_metric(args: dict) -> dict:
+    import jax.numpy as jnp
+
+    from enhax.constants import METRICS
+    from enhax.ops.io import read_image
+    from enhax.ops.photometry import scale_gt_mean
+
+    input_dir = Path(args["input"])
+    target_dir = Path(args["target"]) if args.get("target") else None
+    names = args.get("metric") or ["psnr", "ssim"]
+    use_gt_mean = bool(args.get("use_gt_mean"))
+
+    files = input_dir.image_files()
+    if not files:
+        raise SystemExit(f"no images under {input_dir}")
+
+    target_index = {}
+    if target_dir:
+        for f in target_dir.image_files():
+            target_index[f.stem] = f
+
+    sums = {m: 0.0 for m in names}
+    counts = {m: 0 for m in names}
+    skipped = 0
+    for f in files:
+        img = jnp.asarray(read_image(f))
+        if not np.all(np.isfinite(np.asarray(img))):
+            skipped += 1
+            continue
+        tgt = None
+        if target_index.get(f.stem) is not None:
+            tgt = jnp.asarray(read_image(target_index[f.stem]))
+            if tgt.shape != img.shape:
+                skipped += 1
+                continue
+            if use_gt_mean:
+                img = scale_gt_mean(img, tgt)
+        nr = None
+        for m in names:
+            if m in FR_METRICS:
+                if tgt is None:
+                    continue
+                val = float(METRICS.build(m) if False else METRICS.get(m)(img[None], tgt[None]))
+            elif m in NR_METRICS:
+                if nr is None:
+                    nr = _nr_metrics(img)
+                val = nr[m]
+            else:
+                raise SystemExit(f"unknown metric {m!r}; "
+                                 f"FR: {FR_METRICS} NR: {NR_METRICS}")
+            sums[m] += val
+            counts[m] += 1
+
+    results = {m: (sums[m] / counts[m] if counts[m] else float("nan")) for m in names}
+    rows = [{"metric": m, "value": f"{v:.4f}", "items": counts[m]}
+            for m, v in results.items()]
+    print_table(rows, title=f"{input_dir}" + (" (GT-mean)" if use_gt_mean else ""))
+    if skipped:
+        console.print(f"[metric] skipped {skipped} items (NaN/shape mismatch/missing GT)")
+    return results
+
+
+def main(argv=None):
+    measure_metric(parse_metric_args(argv))
+
+
+if __name__ == "__main__":
+    main()

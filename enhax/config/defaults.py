@@ -1,0 +1,43 @@
+"""Canonical default config dicts.
+
+Rebuild of reference ``config/default.py:29-228``: trainer, datamodule and
+predictor defaults, translated to the enhax runtime (no Lightning knobs; the
+sharding mesh replaces accelerator/strategy/devices).
+"""
+
+from __future__ import annotations
+
+from enhax.constants import RUN_DIR
+
+DEFAULT_TRAINER = {
+    "max_epochs": 100,
+    "max_steps": None,
+    "monitor": ("psnr", "max"),
+    "log_every_n_steps": 50,
+    "log_image_every_n_epochs": 0,
+    "seed": 0,
+}
+
+DEFAULT_DATAMODULE = {
+    "batch_size": 8,
+    "shuffle": True,
+    "drop_last": False,
+}
+
+DEFAULT_PREDICTOR = {
+    "image_size": None,
+    "resize": False,
+    "tile": None,
+    "save_image": True,
+    "save_debug": False,
+}
+
+DEFAULT_OPTIMIZER = {
+    "optimizer": {"name": "adam", "lr": 1e-4, "betas": (0.9, 0.999)},
+    "grad_clip_norm": None,
+}
+
+
+def default_save_dir(mode: str, arch: str, model: str, data: str):
+    """run/{train,predict}/{arch}/{model}/{data} (reference core/utils.py:651)."""
+    return RUN_DIR / mode / arch / model / data

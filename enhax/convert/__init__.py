@@ -1,0 +1,5 @@
+"""Checkpoint conversion: torch state_dicts -> enhax (flax) param pytrees."""
+
+from enhax.convert.torch_weights import (
+    convert_state_dict, load_torch_checkpoint, torch_to_flax_array,
+)

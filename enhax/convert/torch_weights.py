@@ -1,0 +1,164 @@
+"""Torch checkpoint -> flax params conversion.
+
+Rebuild of the reference's weight-adaptation machinery (nn/model.py:381-426
+zoo/path/dict loading + core/dtype.py:121 shape-intersection partial load)
+for the cross-framework case:
+
+  * layout: torch Conv2d (O, I, kh, kw) -> flax Conv (kh, kw, I, O);
+    depthwise (C, 1, kh, kw) groups=C -> (kh, kw, 1, C); Linear (O, I) ->
+    Dense (I, O); norms map 1:1 (weight->scale, bias->bias).
+  * matching: normalized name tokens (dots/slashes stripped, kind mapped)
+    with shape verification; unmatched leaves keep their initialized values
+    and are reported (the reference's "intersection" semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple) -> np.ndarray | None:
+    """Transpose a torch tensor into the flax layout matching target_shape."""
+    a = np.asarray(arr)
+    if tuple(a.shape) == tuple(target_shape):
+        return a
+    if a.ndim == 4:
+        # conv OIHW -> HWIO
+        t = a.transpose(2, 3, 1, 0)
+        if t.shape == tuple(target_shape):
+            return t
+        # depthwise torch (C,1,kh,kw) -> flax (kh,kw,1,C)
+        t = a.transpose(2, 3, 1, 0)
+        if t.shape == tuple(target_shape):
+            return t
+    if a.ndim == 2:
+        t = a.T
+        if t.shape == tuple(target_shape):
+            return t
+    if a.ndim == 1 and tuple(a.shape) == tuple(target_shape):
+        return a
+    return None
+
+
+_KIND_MAP = {
+    "weight": ("kernel", "scale", "weight"),
+    "bias": ("bias",),
+    "running_mean": ("mean",),
+    "running_var": ("var",),
+}
+
+
+def _tokens(name: str) -> list[str]:
+    parts = re.split(r"[./]", name)
+    return [p.lower() for p in parts if p not in ("", "params", "batch_stats", "module", "model")]
+
+
+def _flat_torch(state_dict: dict) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
+                       verbose: bool = False) -> tuple[Any, list[str]]:
+    """Fill a flax params ``template`` pytree from a torch ``state_dict``.
+
+    ``name_map``: optional {torch_prefix: flax_prefix} rewrites applied first.
+    Returns (params, unmatched_report).
+    """
+    import jax
+
+    torch_flat = _flat_torch(state_dict)
+    if name_map:
+        renamed = {}
+        for k, v in torch_flat.items():
+            nk = k
+            for old, new in name_map.items():
+                if nk.startswith(old):
+                    nk = new + nk[len(old):]
+                    break
+            renamed[nk] = v
+        torch_flat = renamed
+
+    # index torch entries by (tail token signature)
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+
+    used = set()
+    new_leaves = []
+    report = []
+
+    for kp, leaf in leaves_with_paths:
+        flax_name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        ftoks = _tokens(flax_name)
+        fkind = ftoks[-1] if ftoks else ""
+        fbase = ftoks[:-1]
+
+        best = None
+        for tname, arr in torch_flat.items():
+            if tname in used:
+                continue
+            ttoks = _tokens(tname)
+            tkind = ttoks[-1] if ttoks else ""
+            tbase = ttoks[:-1]
+            if fkind not in _KIND_MAP.get(tkind, (tkind,)):
+                continue
+            # base-name match: exact token-tail overlap
+            if tbase and fbase and (tbase[-min(len(tbase), len(fbase)):] ==
+                                    fbase[-min(len(tbase), len(fbase)):]):
+                conv = torch_to_flax_array(tname, arr, leaf.shape)
+                if conv is not None:
+                    best = (tname, conv)
+                    break
+        if best is None:
+            # fallback: any unused entry with convertible shape + matching kind
+            for tname, arr in torch_flat.items():
+                if tname in used:
+                    continue
+                ttoks = _tokens(tname)
+                tkind = ttoks[-1] if ttoks else ""
+                if fkind not in _KIND_MAP.get(tkind, (tkind,)):
+                    continue
+                conv = torch_to_flax_array(tname, arr, leaf.shape)
+                if conv is not None:
+                    best = (tname, conv)
+                    break
+        if best is not None:
+            used.add(best[0])
+            new_leaves.append(best[1].astype(np.asarray(leaf).dtype))
+        else:
+            new_leaves.append(leaf)
+            report.append(f"unmatched flax leaf: {flax_name} {tuple(leaf.shape)}")
+
+    for tname in torch_flat:
+        if tname not in used:
+            report.append(f"unused torch entry: {tname} {tuple(torch_flat[tname].shape)}")
+
+    if verbose and report:
+        from enhax.utils.console import console
+        for r in report:
+            console.print(f"[convert] {r}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), report
+
+
+def load_torch_checkpoint(model, path, name_map: dict | None = None,
+                          image_size: int = 64, verbose: bool = False):
+    """Load a torch .pt/.pth/.ckpt into params for an enhax Model."""
+    import jax
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+
+    dp = {k: np.zeros((1, image_size, image_size, 3 if k == "image" else 1), np.float32)
+          for k in model.required_inputs}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(state_dict, template, name_map=name_map,
+                                        verbose=verbose)
+    return params

@@ -1,0 +1,137 @@
+"""DataModule + batch iteration + device prefetch.
+
+Rebuild of reference ``core/data/datamodule.py:28-253`` (Lightning datamodule
+building train/val/test/predict DataLoaders with pin_memory + persistent
+workers) as a JAX-native pipeline: numpy batch iterators with shuffling and a
+background-thread double buffer that overlaps host decode with device
+compute (``prefetch_to_device`` replaces pin_memory/non_blocking).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+from enhax.constants import Split
+from enhax.data.annotation import collate_datapoints
+from enhax.utils.console import console
+
+
+def batch_iterator(dataset, batch_size: int = 8, shuffle: bool = False,
+                   drop_last: bool = False, seed: int = 0,
+                   collate_fn: Callable | None = None) -> Iterator[dict]:
+    """Yield collated numpy batch dicts from a map-style dataset."""
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    collate = collate_fn or getattr(dataset, "collate", None) or collate_datapoints
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        if drop_last and len(sel) < batch_size:
+            break
+        yield collate([dataset[int(i)] for i in sel])
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Background-thread prefetch: decode/collate on host while the device
+    computes (replaces DataLoader workers + pin_memory)."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                placed = {}
+                for k, v in batch.items():
+                    if isinstance(v, np.ndarray) and v.ndim >= 1 and sharding is not None:
+                        placed[k] = jax.device_put(v, sharding)
+                    elif isinstance(v, np.ndarray):
+                        placed[k] = jax.device_put(v)
+                    else:
+                        placed[k] = v
+                q.put(placed)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+class DataModule:
+    """Builds per-split iterators from a registered dataset class.
+
+    Mirrors the reference DataModule surface: ``setup(stage)``, ``.train``
+    ``.val`` ``.test`` ``.predict`` datasets, ``train_loader()`` etc.
+    """
+
+    tasks: tuple = ()
+    dataset_cls = None
+    dataset_splits: tuple = (Split.TRAIN, Split.TEST)
+
+    def __init__(self, root=None, batch_size: int = 8, shuffle: bool = True,
+                 transform=None, val_transform=None, drop_last: bool = False,
+                 seed: int = 0, verbose: bool = False, **dataset_kwargs):
+        self.root = root
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.transform = transform
+        self.val_transform = val_transform
+        self.drop_last = drop_last
+        self.seed = seed
+        self.verbose = verbose
+        self.dataset_kwargs = dataset_kwargs
+        self.train = self.val = self.test = self.predict = None
+
+    # -- setup (reference datamodule.py:47-120) -------------------------------
+
+    def setup(self, stage: str | None = None):
+        cls = self.dataset_cls
+        if cls is None:
+            raise ValueError(f"{type(self).__name__} has no dataset_cls")
+        has_val = Split.VAL in self.dataset_splits
+        has_test = Split.TEST in self.dataset_splits
+        if stage in (None, "train"):
+            self.train = cls(self.root, split=Split.TRAIN, transform=self.transform,
+                             verbose=self.verbose, **self.dataset_kwargs)
+            val_split = Split.VAL if has_val else (Split.TEST if has_test else Split.TRAIN)
+            self.val = cls(self.root, split=val_split, transform=self.val_transform,
+                           verbose=self.verbose, **self.dataset_kwargs)
+        if stage in (None, "test"):
+            t_split = Split.TEST if has_test else Split.TRAIN
+            self.test = cls(self.root, split=t_split, transform=self.val_transform,
+                            verbose=self.verbose, **self.dataset_kwargs)
+        return self
+
+    # -- loaders ----------------------------------------------------------------
+
+    def train_loader(self):
+        return batch_iterator(self.train, self.batch_size, shuffle=self.shuffle,
+                              drop_last=self.drop_last, seed=self.seed)
+
+    def val_loader(self):
+        return batch_iterator(self.val, self.batch_size, shuffle=False)
+
+    def test_loader(self):
+        return batch_iterator(self.test, self.batch_size, shuffle=False)
+
+    def summarize(self):
+        rows = []
+        for name in ("train", "val", "test", "predict"):
+            ds = getattr(self, name)
+            if ds is not None:
+                rows.append({"split": name, "items": len(ds),
+                             "class": type(ds).__name__})
+        if rows:
+            from enhax.utils.console import print_table
+            print_table(rows, title=type(self).__name__)

@@ -151,7 +151,10 @@ class Trainer:
 
     def _place(self, batch: dict) -> dict:
         from enhax.parallel.mesh import shard_datapoint
-        return shard_datapoint(batch, self.mesh)
+        # strip host-only entries (meta, string lists) before the jitted step
+        arrays = {k: v for k, v in batch.items()
+                  if hasattr(v, "shape") and hasattr(v, "dtype")}
+        return shard_datapoint(arrays, self.mesh)
 
     # -- loop -------------------------------------------------------------------
 
