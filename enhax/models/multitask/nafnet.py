@@ -1,0 +1,146 @@
+"""NAFNet: nonlinear-activation-free restoration network, with TLC.
+
+Rebuild of the reference's vendored NAFNet
+(mon_extra/.../nafnet/basicsr/models/archs/NAFNet_arch.py): LayerNorm ->
+1x1 -> depthwise 3x3 -> SimpleGate -> simplified channel attention -> 1x1,
+plus a gated FFN; UNet macro-structure with stride-2 conv downs and
+pixel-shuffle ups, additive skips.
+
+TLC (test-time local converter, local_arch.py:99 / NAFNet_arch.py:166
+``NAFNetLocal``): at full-res inference the *global* average pool inside SCA
+is replaced by a *local* window mean matching the training patch size so
+feature statistics match training. enhax implements TLC as a module flag
+``tlc_window``; the cumsum box filter makes the local mean one fused pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhax.constants import LOSSES, MODELS, Scheme, Task
+from enhax.models.base import Model
+from enhax.nn.layers import LayerNorm2d, pixel_shuffle
+from enhax.ops.filtering import box_filter
+
+
+def simple_gate(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * b
+
+
+class NAFBlock(nn.Module):
+    features: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    tlc_window: int | None = None   # None = global pool (train); int = TLC
+    dtype: Any = None
+
+    def _pool(self, x):
+        if self.tlc_window is None:
+            return jnp.mean(x, axis=(-3, -2), keepdims=True)
+        r = self.tlc_window // 2
+        return box_filter(x, radius=r)
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        dw = c * self.dw_expand
+        y = LayerNorm2d(name="norm1")(x)
+        y = nn.Conv(dw, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = nn.Conv(dw, (3, 3), feature_group_count=dw, dtype=self.dtype,
+                    name="conv2")(y)
+        y = simple_gate(y)
+        # simplified channel attention (global or TLC-local mean)
+        att = nn.Conv(dw // 2, (1, 1), dtype=self.dtype, name="sca")(self._pool(y))
+        y = y * att
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(y)
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+        x = x + y * beta
+
+        y = LayerNorm2d(name="norm2")(x)
+        y = nn.Conv(c * self.ffn_expand, (1, 1), dtype=self.dtype, name="conv4")(y)
+        y = simple_gate(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv5")(y)
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+        return x + y * gamma
+
+
+class NAFNetModule(nn.Module):
+    width: int = 32
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = (1, 1, 1, 1)
+    dec_blk_nums: Sequence[int] = (1, 1, 1, 1)
+    tlc_window: int | None = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        c = self.width
+        y = nn.Conv(c, (3, 3), dtype=self.dtype, name="intro")(x)
+        skips = []
+        for i, n in enumerate(self.enc_blk_nums):
+            for j in range(n):
+                y = NAFBlock(c, tlc_window=self.tlc_window,
+                             name=f"enc{i}_{j}")(y)
+            skips.append(y)
+            y = nn.Conv(c * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
+                        name=f"down{i}")(y)
+            c *= 2
+        for j in range(self.middle_blk_num):
+            y = NAFBlock(c, tlc_window=self.tlc_window, name=f"mid_{j}")(y)
+        for i, n in enumerate(self.dec_blk_nums):
+            y = nn.Conv(c * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"up{i}")(y)
+            y = pixel_shuffle(y, 2)
+            c //= 2
+            y = y + skips[-(i + 1)]
+            for j in range(n):
+                y = NAFBlock(c, tlc_window=self.tlc_window,
+                             name=f"dec{i}_{j}")(y)
+        out = nn.Conv(3, (3, 3), dtype=self.dtype, name="ending")(y)
+        return {"enhanced": out + inp}
+
+
+def _nafnet_loss():
+    psnr_l = LOSSES.build("psnr_loss")
+
+    def fn(outputs, datapoint):
+        return psnr_l(outputs["enhanced"], datapoint["ref_image"])
+    return fn
+
+
+def _make(name, width, enc, mid, dec, tlc_window=None):
+    return Model(
+        name=name, arch="nafnet",
+        module=NAFNetModule(width=width, middle_blk_num=mid,
+                            enc_blk_nums=enc, dec_blk_nums=dec,
+                            tlc_window=tlc_window),
+        tasks=(Task.DEBLUR, Task.DENOISE),
+        schemes=(Scheme.SUPERVISED,),
+        loss_fn=_nafnet_loss(),
+        required_inputs=("image",),
+        size_divisor=2 ** len(enc),
+    )
+
+
+@MODELS.register(name="nafnet", arch="nafnet",
+                 tasks=(Task.DEBLUR, Task.DENOISE), schemes=(Scheme.SUPERVISED,))
+def nafnet(width: int = 32, middle_blk_num: int = 12,
+           enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2), **kwargs) -> Model:
+    """NAFNet-width32 (SIDD config of the reference's vendored repo)."""
+    return _make("nafnet", width, tuple(enc_blk_nums), middle_blk_num,
+                 tuple(dec_blk_nums))
+
+
+@MODELS.register(name="nafnet_local", arch="nafnet",
+                 tasks=(Task.DEBLUR, Task.DENOISE), schemes=(Scheme.SUPERVISED,))
+def nafnet_local(width: int = 32, middle_blk_num: int = 12,
+                 enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2),
+                 tlc_window: int = 256, **kwargs) -> Model:
+    """NAFNetLocal: TLC variant for full-res inference (local_arch.py:99)."""
+    return _make("nafnet_local", width, tuple(enc_blk_nums), middle_blk_num,
+                 tuple(dec_blk_nums), tlc_window=tlc_window)

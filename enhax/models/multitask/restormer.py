@@ -1,0 +1,171 @@
+"""Restormer: efficient transformer for high-resolution restoration.
+
+Rebuild of the reference's vendored Restormer
+(mon_extra/.../restormer/basicsr/models/archs/restormer_arch.py): MDTA
+(multi-dconv-head transposed attention — attention over the *channel* dim,
+linear in pixels) + GDFN (gated dconv FFN) blocks in a 4-level UNet with
+pixel-(un)shuffle resampling. Supports the reference's progressive
+patch-size training (restormer-deraining.yml:27-30) via the standard
+Trainer by swapping crop sizes per epoch, and overlap-tiled inference via
+the engine's tile mode (my_predict.py:157-167).
+
+TPU notes: channel attention = (C x C) matmuls — MXU-friendly at any
+resolution; all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhax.constants import LOSSES, MODELS, Scheme, Task
+from enhax.models.base import Model
+from enhax.nn.layers import LayerNorm2d, pixel_shuffle, pixel_unshuffle
+
+
+class MDTA(nn.Module):
+    """Multi-dconv-head transposed attention: softmax over CxC gram."""
+    dim: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        temperature = self.param("temperature", nn.initializers.ones,
+                                 (self.num_heads, 1, 1))
+        qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Conv(c * 3, (3, 3), feature_group_count=c * 3, use_bias=False,
+                      dtype=self.dtype, name="qkv_dw")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c // self.num_heads
+
+        def heads(t):  # (N,H,W,C) -> (N, heads, hd, HW)
+            t = t.reshape(n, h * w, self.num_heads, hd)
+            return t.transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        attn = jnp.einsum("nhcp,nhdp->nhcd", q, k,
+                          preferred_element_type=jnp.float32) * temperature
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("nhcd,nhdp->nhcp", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(n, h, w, c)
+        return nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="project_out")(out)
+
+
+class GDFN(nn.Module):
+    """Gated dconv feed-forward network."""
+    dim: int
+    expansion: float = 2.66
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.expansion)
+        y = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_in")(x)
+        y = nn.Conv(hidden * 2, (3, 3), feature_group_count=hidden * 2,
+                    use_bias=False, dtype=self.dtype, name="dwconv")(y)
+        a, b = jnp.split(y, 2, axis=-1)
+        y = jax.nn.gelu(a) * b
+        return nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="project_out")(y)
+
+
+class RestormerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    expansion: float = 2.66
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + MDTA(self.dim, self.num_heads, dtype=self.dtype,
+                     name="attn")(LayerNorm2d(use_bias=False, name="norm1")(x))
+        x = x + GDFN(self.dim, self.expansion, dtype=self.dtype,
+                     name="ffn")(LayerNorm2d(use_bias=False, name="norm2")(x))
+        return x
+
+
+class RestormerModule(nn.Module):
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    expansion: float = 2.66
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        d = self.dim
+        y = nn.Conv(d, (3, 3), use_bias=False, dtype=self.dtype, name="embed")(x)
+
+        # encoder
+        skips = []
+        for lvl in range(3):
+            for j in range(self.num_blocks[lvl]):
+                y = RestormerBlock(d * 2**lvl, self.heads[lvl], self.expansion,
+                                   name=f"enc{lvl}_{j}")(y)
+            skips.append(y)
+            y = nn.Conv(d * 2**lvl // 2, (3, 3), use_bias=False, dtype=self.dtype,
+                        name=f"down{lvl}")(y)
+            y = pixel_unshuffle(y, 2)  # halves HW, x4 channels -> net x2
+
+        # latent
+        for j in range(self.num_blocks[3]):
+            y = RestormerBlock(d * 8, self.heads[3], self.expansion,
+                               name=f"latent_{j}")(y)
+
+        # decoder
+        for lvl in reversed(range(3)):
+            y = nn.Conv(d * 2**(lvl + 1) * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"up{lvl}")(y)
+            y = pixel_shuffle(y, 2)
+            y = jnp.concatenate([y, skips[lvl]], axis=-1)
+            ch = d * 2**lvl if lvl == 0 else d * 2**lvl
+            # level-0 keeps concat width (2d) per the original arch
+            ch = d * 2 if lvl == 0 else d * 2**lvl
+            y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"reduce{lvl}")(y)
+            for j in range(self.num_blocks[lvl]):
+                y = RestormerBlock(ch, self.heads[lvl], self.expansion,
+                                   name=f"dec{lvl}_{j}")(y)
+
+        for j in range(self.num_refinement):
+            y = RestormerBlock(d * 2, self.heads[0], self.expansion,
+                               name=f"refine_{j}")(y)
+        out = nn.Conv(3, (3, 3), use_bias=False, dtype=self.dtype, name="output")(y)
+        return {"enhanced": out + inp}
+
+
+def _l1_loss():
+    l1 = LOSSES.build("l1_loss")
+
+    def fn(outputs, datapoint):
+        return l1(outputs["enhanced"], datapoint["ref_image"])
+    return fn
+
+
+@MODELS.register(name="restormer", arch="restormer",
+                 tasks=(Task.DERAIN, Task.DENOISE, Task.DEBLUR, Task.DEHAZE),
+                 schemes=(Scheme.SUPERVISED,))
+def restormer(dim: int = 48, num_blocks=(4, 6, 6, 8), num_refinement: int = 4,
+              heads=(1, 2, 4, 8), expansion: float = 2.66, **kwargs) -> Model:
+    return Model(
+        name="restormer", arch="restormer",
+        module=RestormerModule(dim=dim, num_blocks=tuple(num_blocks),
+                               num_refinement=num_refinement, heads=tuple(heads),
+                               expansion=expansion),
+        tasks=(Task.DERAIN, Task.DENOISE, Task.DEBLUR, Task.DEHAZE),
+        schemes=(Scheme.SUPERVISED,),
+        loss_fn=_l1_loss(),
+        required_inputs=("image",),
+        size_divisor=8,
+    )

@@ -1,0 +1,99 @@
+"""Multitask restoration model tests (HINet/NAFNet/Restormer/Uformer/MPRNet/ZeroRestore)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import enhax
+from enhax.models.base import build_model
+
+
+@pytest.fixture
+def pair(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    return {"image": x, "ref_image": y}
+
+
+def _fwd(name, dp, **kw):
+    m = build_model(name, **kw)
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["enhanced"].shape == dp["image"].shape
+    assert np.all(np.isfinite(np.asarray(out["enhanced"])))
+    return m, params, out
+
+
+def test_hinet_forward_and_loss(pair):
+    m, params, out = _fwd("hinet_re", pair, num_channels=8, depth=3,
+                          in_pos_right=2)
+    assert "stage1" in out
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))
+
+
+def test_nafnet_forward_and_loss(pair):
+    m, params, out = _fwd("nafnet", pair, width=8, middle_blk_num=1,
+                          enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))
+
+
+def test_nafnet_tlc_differs_from_global(pair):
+    """TLC local stats must differ from global-pool stats on non-uniform input."""
+    kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+    m_g = build_model("nafnet", **kw)
+    m_l = build_model("nafnet_local", tlc_window=8, **kw)
+    params = m_g.init(jax.random.PRNGKey(0), pair)
+    # beta/gamma init to zero makes NAFBlocks identity; enable them so the
+    # attention path (where TLC lives) actually contributes
+    params = jax.tree_util.tree_map_with_path(
+        lambda kp, v: jnp.ones_like(v)
+        if any(str(getattr(k, "key", "")) in ("beta", "gamma") for k in kp) else v,
+        params)
+    out_g = m_g.apply(params, pair)
+    out_l = m_l.apply(params, pair)  # same params, different pooling
+    diff = float(jnp.mean(jnp.abs(out_g["enhanced"] - out_l["enhanced"])))
+    assert diff > 1e-6
+
+
+def test_restormer_forward_and_loss(pair):
+    m, params, out = _fwd("restormer", pair, dim=8, num_blocks=(1, 1, 1, 1),
+                          num_refinement=1, heads=(1, 1, 2, 2))
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))
+
+
+def test_uformer_forward(rng):
+    dp = {"image": jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))}
+    m = build_model("uformer_t")
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["enhanced"].shape == dp["image"].shape
+
+
+def test_mprnet_forward_and_loss(pair):
+    m, params, out = _fwd("mprnet", pair, features=8)
+    assert "stage1" in out and "stage2" in out
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))
+
+
+def test_zero_restore_forward_and_loss(pair):
+    dp = {"image": pair["image"]}
+    m = build_model("zero_restore_llie")
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["enhanced"].shape == dp["image"].shape
+    assert out["trans"].shape[-1] == 1
+    loss, _ = m.forward_loss(params, dp)
+    assert np.isfinite(float(loss))
+
+
+def test_all_multitask_registered():
+    for name in ("hinet_re", "nafnet", "nafnet_local", "restormer",
+                 "uformer_re", "uformer_t", "uformer_s", "uformer_b",
+                 "uformer_noshift", "mprnet", "zero_restore_llie",
+                 "zero_restore_dehaze", "zero_restore_uie"):
+        assert name in enhax.MODELS, name
