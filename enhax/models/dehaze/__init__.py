@@ -1,1 +1,3 @@
-"""dehaze models."""
+"""Dehazing models."""
+
+from enhax.models.dehaze import zid

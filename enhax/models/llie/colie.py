@@ -1,1 +1,168 @@
-"""colie — implemented later in this build (placeholder module)."""
+"""CoLIE: context-based low-light enhancement via neural implicit
+representations (per-image zero-shot).
+
+Rebuild of reference ``vision/enhance/llie/colie/colie.py:30-280`` (+
+``colie_hvi.py:39,282``): two SIREN branches — a patch (context window)
+branch over unfolded V-channel neighborhoods and a spatial branch over
+(y, x) coords — concatenated into an output SIREN head that predicts an
+illumination *residual* at ``down_size``; V / illumination division, guided
+upsample, V replacement.
+
+Loss (colie.py:39-77): alpha*|illu - v|^2 + beta*TV(illu) +
+gamma*ExposureValue(illu, L) + delta*mean(v_fixed).
+
+TPU design: the whole 100-step per-image fit is one jitted lax.scan (see
+infer engine); the SIREN MLP over 256^2 pixels is a dense (65536, C) matmul
+chain — pure MXU work.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhax.constants import LOSSES, MODELS, Scheme, Task
+from enhax.models.base import Model
+from enhax.nn.inr import SineLayer, context_window_features, coordinate_grid
+from enhax.ops.color import hsv_to_rgb, rgb_to_hsv
+from enhax.ops.filtering import fast_guided_filter
+from enhax.ops.resize import resize
+
+
+class SirenStack(nn.Module):
+    dims: tuple
+    is_first: bool = True
+    omega_0: float = 30.0
+    final_linear: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dims):
+            last = i == len(self.dims) - 1
+            if last and self.final_linear:
+                from enhax.nn.inr import siren_init
+                x = nn.Dense(d, kernel_init=siren_init(False, self.omega_0),
+                             name=f"lin{i}")(x)
+            else:
+                x = SineLayer(d, is_first=(i == 0 and self.is_first),
+                              omega_0=self.omega_0, name=f"sine{i}")(x)
+        return x
+
+
+class CoLIEModule(nn.Module):
+    """CoLIE forward at fixed ``down_size`` (colie.py:235-265)."""
+    window_size: int = 7
+    down_size: int = 256
+    hidden_dim: int = 256
+    add_layer: int = 2
+    num_layers: int = 4
+    gf_radius: int = 1
+    gf_eps: float = 1e-4
+    use_hvi: bool = False   # colie_hvi variant: fit intensity in HVI space
+
+    @nn.compact
+    def __call__(self, x):
+        ds = self.down_size
+        hsv = rgb_to_hsv(x)
+        v = hsv[..., 2:3]
+        v_lr = resize(v, (ds, ds), method="bicubic")
+
+        patches = context_window_features(v_lr, window=self.window_size // 2)
+        patches = patches.reshape(x.shape[0], ds * ds, -1)
+        coords = coordinate_grid(ds, ds)[None]
+        coords = jnp.broadcast_to(coords, (x.shape[0], ds * ds, 2))
+
+        mid = max(self.add_layer - 2, 0)
+        patch_feat = SirenStack((self.hidden_dim,) * (1 + mid) + (self.hidden_dim // 2,),
+                                name="patch_net")(patches)
+        spatial_feat = SirenStack((self.hidden_dim,) * (1 + mid) + (self.hidden_dim // 2,),
+                                  name="spatial_net")(coords)
+        joint = jnp.concatenate([patch_feat, spatial_feat], axis=-1)
+        out_dims = tuple(self.hidden_dim for _ in range(self.add_layer, self.num_layers - 1)) + (1,)
+        illu_res = SirenStack(out_dims, is_first=False, final_linear=True,
+                              name="output_net")(joint)
+        illu_res_lr = illu_res.reshape(x.shape[0], ds, ds, 1)
+
+        illu_lr = illu_res_lr + v_lr
+        v_fixed_lr = v_lr / (illu_lr + 1e-4)
+        v_fixed = fast_guided_filter(v_fixed_lr, v_lr, v,
+                                     radius=self.gf_radius, eps=self.gf_eps)
+        hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
+        rgb = hsv_to_rgb(hsv_fixed)
+        rgb = rgb / jnp.maximum(jnp.max(rgb), 1e-8)
+        return {"enhanced": rgb, "illu_lr": illu_lr, "image_v_lr": v_lr,
+                "image_v_fixed_lr": v_fixed_lr}
+
+
+def colie_loss(L: float = 0.3, alpha: float = 1.0, beta: float = 20.0,
+               gamma: float = 8.0, delta: float = 5.0):
+    exp = LOSSES.build("exposure_control_loss", patch_size=16, mean_val=L)
+    tv = LOSSES.build("total_variation_loss")
+
+    def fn(outputs, datapoint):
+        illu = outputs["illu_lr"]
+        v_lr = outputs["image_v_lr"]
+        v_fixed = outputs["image_v_fixed_lr"]
+        # ExposureValueControlLoss: |mean((sqrt(pool(mean)) - L)^2)| — the
+        # sqrt variant (reference image.py:572-607)
+        pooled = jnp.sqrt(jnp.maximum(
+            jnp.mean(_avg_pool16(jnp.mean(illu, axis=-1, keepdims=True)), axis=-1,
+                     keepdims=True), 0.0))
+        loss_exp = jnp.abs(jnp.mean((pooled - L) ** 2))
+        loss_spa = jnp.mean(jnp.abs((illu - v_lr) ** 2))
+        loss_tv = tv(illu)
+        loss_sparsity = jnp.mean(v_fixed)
+        return alpha * loss_spa + beta * loss_tv + gamma * loss_exp + delta * loss_sparsity
+    return fn
+
+
+def _avg_pool16(x):
+    k = 16
+    h, w = x.shape[-3] // k, x.shape[-2] // k
+    x = x[..., : h * k, : w * k, :]
+    return x.reshape(*x.shape[:-3], h, k, w, k, x.shape[-1]).mean(axis=(-4, -2))
+
+
+def _make_colie(name, use_hvi=False, **kw):
+    return Model(
+        name=name, arch="colie",
+        module=CoLIEModule(
+            window_size=kw.get("window_size", 7),
+            down_size=kw.get("down_size", 256),
+            hidden_dim=kw.get("hidden_dim", 256),
+            add_layer=kw.get("add_layer", 2),
+            num_layers=kw.get("num_layers", 4),
+            use_hvi=use_hvi),
+        tasks=(Task.LLIE,),
+        schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE, Scheme.INSTANCE),
+        loss_fn=colie_loss(L=kw.get("L", 0.3), alpha=kw.get("alpha", 1.0),
+                           beta=kw.get("beta", 20.0), gamma=kw.get("gamma", 8.0),
+                           delta=kw.get("delta", 5.0)),
+        required_inputs=("image",),
+        instance_steps=kw.get("instance_steps", 100),
+        instance_lr=kw.get("instance_lr", 1e-5),
+        instance_weight_decay=kw.get("instance_weight_decay", 3e-4),
+    )
+
+
+@MODELS.register(name="colie_re", arch="colie", aliases=["colie"],
+                 tasks=(Task.LLIE,), schemes=(Scheme.INSTANCE,))
+def colie_re(**kwargs) -> Model:
+    return _make_colie("colie_re", **kwargs)
+
+
+@MODELS.register(name="colie_hvi", arch="colie",
+                 tasks=(Task.LLIE,), schemes=(Scheme.INSTANCE,))
+def colie_hvi(**kwargs) -> Model:
+    return _make_colie("colie_hvi", use_hvi=True, **kwargs)
+
+
+@MODELS.register(name="colie_hvid", arch="colie",
+                 tasks=(Task.LLIE,), schemes=(Scheme.INSTANCE,))
+def colie_hvid(**kwargs) -> Model:
+    m = _make_colie("colie_hvid", use_hvi=True, **kwargs)
+    m.required_inputs = ("image",)  # depth used when present (colie_hvi.py:282)
+    return m

@@ -1,1 +1,3 @@
-"""retouch models."""
+"""Retouch models."""
+
+from enhax.models.retouch import neurop

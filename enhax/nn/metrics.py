@@ -93,9 +93,16 @@ def _avg_pool2(x):
 def ms_ssim(input, target, data_range: float = 1.0, window_size: int = 11,
             sigma: float = 1.5, weights=None, k: tuple = (0.01, 0.03)):
     """Multi-scale SSIM with the standard 5-scale weights."""
-    w = jnp.asarray(weights if weights is not None else _MSSSIM_WEIGHTS)
+    w = list(weights if weights is not None else _MSSSIM_WEIGHTS)
     x = input.astype(jnp.float32)
     y = target.astype(jnp.float32)
+    # trim scales the image is too small for (needs win px after k halvings)
+    min_side = min(x.shape[-3], x.shape[-2])
+    max_levels = max(1, int(np.floor(np.log2(min_side / window_size))) + 1)
+    if len(w) > max_levels:
+        w = w[:max_levels]
+        w = [wi / sum(w) for wi in w]
+    w = jnp.asarray(w)
     levels = w.shape[0]
     mcs = []
     val = None

@@ -1,0 +1,101 @@
+"""Forward/loss smoke tests for the second LLIE wave + dehaze + retouch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import enhax
+from enhax.models.base import build_model
+
+
+@pytest.fixture
+def dp(rng):
+    return {"image": jnp.asarray(rng.uniform(0.02, 0.4, (1, 64, 64, 3)).astype(np.float32)),
+            "ref_image": jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))}
+
+
+def _smoke(name, dp, needs_ref=False, **kw):
+    m = build_model(name, **kw)
+    inputs = {k: dp[k] for k in ("image", "ref_image") if needs_ref or k == "image"}
+    params = m.init(jax.random.PRNGKey(0), inputs)
+    out = m.apply(params, inputs)
+    assert out[m.out_key].shape == dp["image"].shape, name
+    assert np.all(np.isfinite(np.asarray(out[m.out_key]))), name
+    loss, _ = m.forward_loss(params, dp)
+    assert np.isfinite(float(loss)), name
+    return m, params, out
+
+
+def test_colie(dp):
+    _smoke("colie_re", dp, down_size=32)
+
+
+def test_rrdnet(dp):
+    _smoke("rrdnet_re", dp)
+
+
+def test_psenet(dp):
+    _smoke("psenet", dp, base_number=8)
+
+
+def test_rsfnet(dp):
+    _smoke("rsfnet", dp, factors=3, num_iters=2)
+
+
+def test_zero_ig(dp):
+    _smoke("zero_ig_re", dp, num_channels=16, embed_channels=16)
+
+
+def test_hvi_cidnet(dp):
+    _smoke("hvi_cidnet_re", dp, channels=(8, 8, 16, 32), needs_ref=True)
+
+
+def test_lyt_net(dp):
+    _smoke("lyt_net_re", dp, filters=16, needs_ref=True)
+
+
+def test_llunetpp(dp):
+    _smoke("llunet++_re", dp, filters=(8, 16, 32), needs_ref=True)
+
+
+def test_lllinet(dp):
+    _smoke("lllinet", dp, num_channels=8, depth=3, needs_ref=True)
+    _smoke("lllinet_hvi", dp, num_channels=8, depth=3, needs_ref=True)
+
+
+def test_zero_mie(dp):
+    _smoke("zero_mie", dp, down_size=32, hidden_channels=32)
+
+
+def test_zero_mie_ms_with_depth(dp, rng):
+    m = build_model("zero_mie_ms", down_size=32, hidden_channels=32)
+    params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+    out = m.apply(params, {"image": dp["image"]})
+    assert out["enhanced"].shape == dp["image"].shape
+
+
+def test_zid(dp):
+    m = build_model("zid")
+    inputs = {"image": dp["image"]}
+    params = m.init(jax.random.PRNGKey(0), inputs)
+    out = m.apply(params, inputs)
+    assert out["enhanced"].shape == dp["image"].shape
+    loss, _ = m.forward_loss(params, inputs)
+    assert np.isfinite(float(loss))
+
+
+def test_neurop(dp):
+    m, params, out = _smoke("neurop_re", dp, base_nf=16, encode_nf=8, needs_ref=True)
+    assert "val_ex" in out
+
+
+def test_zoo_size():
+    """Model registry should now cover the major reference families."""
+    assert len(enhax.MODELS) >= 35, sorted(enhax.MODELS.keys())
+    for arch in ("zero_dce", "gcenet", "colie", "zero_mie", "hvi_cidnet",
+                 "lyt_net", "llunetpp", "lllinet", "psenet", "rrdnet",
+                 "rsfnet", "zero_ig", "zsn2n", "tv_denoise", "zid", "hinet",
+                 "nafnet", "restormer", "uformer", "mprnet", "zero_restore",
+                 "neurop"):
+        assert arch in enhax.MODELS.archs, arch
