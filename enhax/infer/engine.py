@@ -127,7 +127,8 @@ class Predictor:
             outputs = jax.block_until_ready(self._jitted(self.variables, dp))
             dt = time.perf_counter() - t0
 
-        outputs = _crop_outputs(outputs, unpad_hw)
+        s = getattr(self.model, "scale", 1) or 1
+        outputs = _crop_outputs(outputs, (unpad_hw[0] * s, unpad_hw[1] * s))
         if self.resize and self.image_size is not None:
             key = self.model.out_key
             outputs[key] = resize_op(outputs[key], orig_hw)

@@ -57,6 +57,7 @@ class Model:
     instance_lr: float = 1e-4
     instance_weight_decay: float = 0.0
     size_divisor: int = 32
+    scale: int = 1   # spatial output/input ratio (SR models > 1)
     metadata: dict = dataclasses.field(default_factory=dict)
     # Optional override for losses needing multiple forwards (e.g. ZSN2N's
     # pair-downsample consistency, reference gcenet.py:505-536). Signature:

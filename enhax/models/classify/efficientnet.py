@@ -1,0 +1,87 @@
+"""EfficientNet B0-B4 (reference vision/classify/efficientnet)."""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhax.constants import MODELS, Scheme, Task
+from enhax.models.classify.base import make_classifier
+
+
+class MBConv(nn.Module):
+    features: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = partial(nn.BatchNorm, use_running_average=not train)
+        c_in = x.shape[-1]
+        mid = c_in * self.expand
+        y = x
+        if self.expand != 1:
+            y = nn.silu(bn(name="bn0")(
+                nn.Conv(mid, (1, 1), use_bias=False, name="expand")(y)))
+        y = nn.Conv(mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), feature_group_count=mid,
+                    use_bias=False, name="dw")(y)
+        y = nn.silu(bn(name="bn1")(y))
+        s = jnp.mean(y, axis=(-3, -2))
+        s = nn.silu(nn.Dense(max(int(c_in * self.se_ratio), 1), name="se1")(s))
+        s = jax.nn.sigmoid(nn.Dense(mid, name="se2")(s))
+        y = y * s[..., None, None, :]
+        y = bn(name="bn2")(nn.Conv(self.features, (1, 1), use_bias=False,
+                                   name="project")(y))
+        if self.stride == 1 and c_in == self.features:
+            y = y + x
+        return y
+
+
+_BASE = [  # expand, channels, layers, stride, kernel
+    (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3)]
+
+
+class EfficientNet(nn.Module):
+    width: float = 1.0
+    depth: float = 1.0
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = partial(nn.BatchNorm, use_running_average=not train)
+
+        def rc(c):  # round channels to multiple of 8
+            c = c * self.width
+            return int(max(8, int(c + 4) // 8 * 8))
+
+        def rd(d):
+            return int(math.ceil(d * self.depth))
+
+        y = nn.silu(bn(name="bn0")(
+            nn.Conv(rc(32), (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+        for bi, (e, c, n, s, k) in enumerate(_BASE):
+            for j in range(rd(n)):
+                y = MBConv(rc(c), e, k, s if j == 0 else 1,
+                           name=f"block{bi}_{j}")(y, train=train)
+        y = nn.silu(bn(name="bn_head")(
+            nn.Conv(rc(1280), (1, 1), use_bias=False, name="head_conv")(y)))
+        y = jnp.mean(y, axis=(-3, -2))
+        return {"logits": nn.Dense(self.num_classes, name="classifier")(y)}
+
+
+for _name, (_w, _d) in {"efficientnet_b0": (1.0, 1.0), "efficientnet_b1": (1.0, 1.1),
+                        "efficientnet_b2": (1.1, 1.2), "efficientnet_b3": (1.2, 1.4),
+                        "efficientnet_b4": (1.4, 1.8)}.items():
+    def _builder(num_classes: int = 1000, w=_w, d=_d, nm=_name, **kwargs):
+        return make_classifier(nm, "efficientnet",
+                               EfficientNet(width=w, depth=d, num_classes=num_classes))
+    MODELS.register(name=_name, obj=_builder, arch="efficientnet",
+                    tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))

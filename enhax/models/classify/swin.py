@@ -1,0 +1,80 @@
+"""Swin Transformer t/s/b (reference vision/classify/swin, v1)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhax.constants import MODELS, Scheme, Task
+from enhax.models.classify.base import make_classifier
+from enhax.nn.layers import WindowAttention, make_shift_attn_mask
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        mask = None
+        if self.shift:
+            mask = make_shift_attn_mask(h, w, self.window, self.shift)
+        y = nn.LayerNorm(name="norm1")(x)
+        y = WindowAttention(self.dim, self.heads, self.window, shift=self.shift,
+                            name="attn")(y, mask=mask)
+        x = x + y
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp1")(y)
+        y = nn.gelu(y)
+        return x + nn.Dense(self.dim, name="mlp2")(y)
+
+
+class Swin(nn.Module):
+    dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (4, 4), strides=(4, 4), name="embed")(x)
+        y = nn.LayerNorm(name="embed_norm")(y)
+        for i, (depth, heads) in enumerate(zip(self.depths, self.heads)):
+            dim = self.dim * 2**i
+            if i > 0:
+                # patch merging
+                n, h, w, c = y.shape
+                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+                y = y.reshape(n, h // 2, w // 2, 4 * c)
+                y = nn.LayerNorm(name=f"merge_norm{i}")(y)
+                y = nn.Dense(dim, use_bias=False, name=f"merge{i}")(y)
+            for j in range(depth):
+                shift = self.window // 2 if j % 2 == 1 else 0
+                y = SwinBlock(dim, heads, self.window, shift,
+                              name=f"block{i}_{j}")(y)
+        y = nn.LayerNorm(name="norm")(y)
+        y = jnp.mean(y, axis=(-3, -2))
+        return {"logits": nn.Dense(self.num_classes, name="head")(y)}
+
+
+for _name, (_dim, _depths) in {
+    "swin_t": (96, (2, 2, 6, 2)),
+    "swin_s": (96, (2, 2, 18, 2)),
+    "swin_b": (128, (2, 2, 18, 2)),
+}.items():
+    def _builder(num_classes: int = 1000, window: int = 7, dim=_dim,
+                 depths=_depths, nm=_name, **kwargs):
+        heads = tuple(dim * 2**i // 32 for i in range(4))
+        return make_classifier(nm, "swin",
+                               Swin(dim=dim, depths=depths, heads=heads,
+                                    window=window, num_classes=num_classes),
+                               size_divisor=window * 32)
+    MODELS.register(name=_name, obj=_builder, arch="swin",
+                    tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))

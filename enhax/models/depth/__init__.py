@@ -1,1 +1,3 @@
-"""depth models."""
+"""Depth estimation models."""
+
+from enhax.models.depth import depth_anything_v2

@@ -1,1 +1,4 @@
-"""segment models."""
+"""Segmentation models."""
+
+from enhax.models.segment import unet
+from enhax.models.segment import deeplabv3

@@ -1,1 +1,4 @@
-"""sr models."""
+"""Super-resolution models."""
+
+from enhax.models.sr import srno
+from enhax.models.sr import diinn

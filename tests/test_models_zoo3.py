@@ -1,0 +1,141 @@
+"""Classification/SR/segment/depth/tracking wave tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import enhax
+from enhax.models.base import build_model
+
+
+@pytest.fixture
+def img(rng):
+    return jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+
+@pytest.mark.parametrize("name", ["resnet18", "mobilenet_v2", "alexnet",
+                                  "squeezenet1_0", "convnext_tiny",
+                                  "shufflenet_v2_x1_0", "efficientnet_b0"])
+def test_classifier_forward(name, img):
+    m = build_model(name, num_classes=10)
+    dp = {"image": img}
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["logits"].shape == (1, 10)
+    assert np.all(np.isfinite(np.asarray(out["logits"])))
+
+
+def test_classifier_loss(img):
+    m = build_model("resnet18", num_classes=10)
+    dp = {"image": img, "class_id": jnp.asarray([3])}
+    params = m.init(jax.random.PRNGKey(0), dp)
+    loss, _ = m.forward_loss(params, dp)
+    assert np.isfinite(float(loss))
+
+
+def test_vit_forward(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    m = build_model("vit_b_32", num_classes=5)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["logits"].shape == (1, 5)
+
+
+def test_swin_forward(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    m = build_model("swin_t", num_classes=5, window=4)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["logits"].shape == (1, 5)
+
+
+def test_classify_zoo_size():
+    assert len(enhax.MODELS.models_for_task(enhax.Task.CLASSIFY)) >= 30
+
+
+def test_srno(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    m = build_model("srno", features=16, scale=2)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["enhanced"].shape == (1, 32, 32, 3)
+
+
+def test_diinn(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    m = build_model("diinn", features=16, scale=2)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["enhanced"].shape == (1, 32, 32, 3)
+
+
+def test_unet_segmentation(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    m = build_model("unet", num_classes=4, base=8, depth=2)
+    dp = {"image": x, "segmentation": jnp.zeros((1, 32, 32, 1), jnp.int32)}
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["logits"].shape == (1, 32, 32, 4)
+    assert out["mask"].shape == (1, 32, 32)
+    loss, _ = m.forward_loss(params, dp)
+    assert np.isfinite(float(loss))
+
+
+def test_deeplabv3(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    m = build_model("deeplabv3_resnet50", num_classes=4)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["logits"].shape == (1, 64, 64, 4)
+
+
+def test_depth_anything_arch(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 56, 56, 3)).astype(np.float32))
+    m = build_model("depth_anything_v2_vits", dim=64, depth=12, heads=4)
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["depth"].shape == (1, 56, 56, 1)
+    assert float(jnp.min(out["depth"])) >= 0
+
+
+# --- tracking ---------------------------------------------------------------
+
+def test_sort_tracks_moving_box():
+    from enhax.track import SORT
+    tracker = SORT(max_age=3, min_hits=2)
+    ids = []
+    for t in range(8):
+        det = np.array([[10 + 4 * t, 10, 40 + 4 * t, 50, 0.9]])
+        out = tracker.update(det)
+        if len(out):
+            ids.append(int(out[0, 4]))
+    assert len(ids) >= 5
+    assert len(set(ids)) == 1  # one stable identity
+
+
+def test_sort_two_objects_keep_ids():
+    from enhax.track import SORT
+    tracker = SORT(max_age=3, min_hits=1)
+    for t in range(6):
+        dets = np.array([[10 + 3 * t, 10, 30 + 3 * t, 40, 0.9],
+                         [100, 100 + 3 * t, 130, 140 + 3 * t, 0.8]])
+        out = tracker.update(dets)
+    assert out.shape[0] == 2
+    assert len(set(out[:, 4].astype(int))) == 2
+
+
+def test_ocsort_reacquires_after_occlusion():
+    from enhax.track import OCSORT
+    tracker = OCSORT(max_age=10, min_hits=1)
+    first_id = None
+    for t in range(12):
+        if 4 <= t < 7:
+            dets = np.empty((0, 5))  # occluded
+        else:
+            dets = np.array([[10 + 5 * t, 10, 40 + 5 * t, 50, 0.9]])
+        out = tracker.update(dets)
+        if len(out) and first_id is None:
+            first_id = int(out[0, 4])
+    assert len(out) == 1
+    assert int(out[0, 4]) == first_id  # identity preserved through occlusion
