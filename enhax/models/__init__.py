@@ -13,3 +13,4 @@ from enhax.models import classify
 from enhax.models import sr
 from enhax.models import segment
 from enhax.models import depth
+from enhax.models import detect

@@ -1,0 +1,68 @@
+"""C++ connected-components labeling tests (native + fallback parity)."""
+
+import numpy as np
+import pytest
+
+from enhax.native import ccl
+
+
+@pytest.fixture
+def mask():
+    m = np.zeros((12, 12), np.uint8)
+    m[1:4, 1:4] = 1      # 9-px island
+    m[6:11, 6:11] = 1    # 25-px island
+    m[8, 8] = 0          # 1-px hole inside it
+    m[0, 11] = 1         # single pixel
+    return m
+
+
+def test_native_builds():
+    assert ccl.native_available(), "C++ CCL failed to build/load"
+
+
+def test_label_counts(mask):
+    labels, n = ccl.connected_components(mask)
+    assert n == 3
+    assert labels.shape == mask.shape
+    assert labels[mask == 0].max() == 0
+    # all three components have distinct labels
+    assert {labels[2, 2], labels[7, 7], labels[0, 11]} == {1, 2, 3}
+
+
+def test_native_matches_numpy(mask, rng):
+    rnd = (rng.uniform(size=(32, 33)) > 0.6).astype(np.uint8)
+    la, na = ccl.connected_components(rnd)
+    lb, nb = ccl._ccl_numpy(rnd)
+    assert na == nb
+    # same partition (labels may renumber identically due to row-major order)
+    np.testing.assert_array_equal(la, lb)
+
+
+def test_remove_small_islands(mask):
+    out, removed = ccl.remove_small_regions(mask.copy(), area_thresh=5,
+                                            mode="islands")
+    assert removed == 1           # only the single pixel is < 5
+    assert not out[0, 11]
+    assert out[2, 2] and out[7, 7]
+
+
+def test_fill_small_holes(mask):
+    out, removed = ccl.remove_small_regions(mask.copy(), area_thresh=4,
+                                            mode="holes")
+    assert removed == 1           # the 1-px hole gets filled
+    assert out[8, 8]
+
+
+def test_bad_mode(mask):
+    with pytest.raises(ValueError, match="islands"):
+        ccl.remove_small_regions(mask, 5, mode="nope")
+
+
+def test_large_mask_native_fast(rng):
+    big = (rng.uniform(size=(512, 512)) > 0.5).astype(np.uint8)
+    import time
+    t0 = time.perf_counter()
+    labels, n = ccl.connected_components(big)
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 1.0  # native path must be fast (numpy fallback would be ~10s)
