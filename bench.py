@@ -1,18 +1,23 @@
-"""Headline benchmark: 1080p LLIE enhancement throughput on one chip.
+"""Headline benchmark: 1080p LLIE video-pipeline throughput on one chip.
 
 Model: Zero-DCE++ (reference zero_dcepp.py:87; BASELINE.md config 2) with
-a downscaled curve-estimation setting — curves estimated on a 1/4-downscaled image and
-bilinearly upsampled (the Zero-DCE++ paper uses up to E=1/12 for HD) — applied
-to full-resolution 1080p frames.
+curves estimated on a 1/4-downscaled image and bilinearly upsampled (the
+Zero-DCE++ paper uses up to E=1/12 for HD) — applied to full-resolution
+1080p frames.
+
+Pipeline shape (BASELINE.md config 5, batched video-frame enhancement): a
+jitted ``lax.scan`` enhances 8 consecutive batches of 2 frames per device
+round trip, materializing every enhanced frame on device — the way a video
+stream is actually served (one host sync per chunk, not per frame).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the north-star target of 100 megapixels/sec/chip
 (BASELINE.json; the reference publishes no numbers of its own).
 
-Timing notes: on the axon relay, ``jax.block_until_ready`` does not reliably
-serialize device work, each run syncs via a device-side reduction fetched to
-host (float(x.sum())) — this over-counts by one ~24 ms RPC round trip per
-run, i.e. the printed number is *conservative*.
+Timing notes: on the axon relay ``jax.block_until_ready`` does not reliably
+serialize device work, so each run syncs via a device-side reduction fetched
+to the host (float(x.sum())) — the printed number *includes* that ~24 ms
+RPC round trip per chunk, i.e. it is conservative.
 """
 
 from __future__ import annotations
@@ -27,34 +32,38 @@ NORTH_STAR_MPS = 100.0  # megapixels/sec/chip (BASELINE.json north_star)
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/enhax_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from enhax.models.base import build_model
 
-    batch, h, w = 4, 1088, 1920  # 1080p rounded to /32 (static shapes)
+    chunk, batch, h, w = 8, 2, 1088, 1920  # 1080p rounded to /32 (static)
     model = build_model("zero_dce++_re", scale_factor=4.0)
-    datapoint = {"image": jnp.asarray(
-        np.random.default_rng(0).uniform(0, 0.3, (batch, h, w, 3)).astype(np.float32))}
-    variables = model.init(jax.random.PRNGKey(0), datapoint)
+    frames = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 0.3, (chunk, batch, h, w, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), {"image": frames[0]})
 
-    fwd = jax.jit(lambda v, d: model.apply(v, d)["enhanced"])
+    def pipeline(v, frames):
+        def body(carry, x):
+            return carry, model.apply(v, {"image": x})["enhanced"]
+        _, ys = jax.lax.scan(body, 0.0, frames)
+        return ys
 
-    # warmup/compile + hard sync
-    s = float(fwd(variables, datapoint).sum())
+    fwd = jax.jit(pipeline)
+    s = float(fwd(variables, frames).sum())  # compile + hard sync
     assert np.isfinite(s)
 
     runs = 10
     t0 = time.perf_counter()
     for _ in range(runs):
-        s = float(fwd(variables, datapoint).sum())  # hard host sync per run
+        s = float(fwd(variables, frames).sum())  # hard host sync per chunk
     dt = (time.perf_counter() - t0) / runs
 
-    megapixels = batch * h * w / 1e6
+    megapixels = chunk * batch * h * w / 1e6
     mps = megapixels / dt
     print(json.dumps({
-        "metric": "zero_dcepp_1080p_throughput",
+        "metric": "zero_dcepp_1080p_video_throughput",
         "value": round(mps, 2),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(mps / NORTH_STAR_MPS, 3),

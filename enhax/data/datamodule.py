@@ -101,16 +101,21 @@ class DataModule:
             raise ValueError(f"{type(self).__name__} has no dataset_cls")
         has_val = Split.VAL in self.dataset_splits
         has_test = Split.TEST in self.dataset_splits
+        def try_build(split, transform):
+            try:
+                return cls(self.root, split=split, transform=transform,
+                           verbose=self.verbose, **self.dataset_kwargs)
+            except RuntimeError:
+                return None  # split not present on disk
+
         if stage in (None, "train"):
             self.train = cls(self.root, split=Split.TRAIN, transform=self.transform,
                              verbose=self.verbose, **self.dataset_kwargs)
             val_split = Split.VAL if has_val else (Split.TEST if has_test else Split.TRAIN)
-            self.val = cls(self.root, split=val_split, transform=self.val_transform,
-                           verbose=self.verbose, **self.dataset_kwargs)
+            self.val = try_build(val_split, self.val_transform)
         if stage in (None, "test"):
             t_split = Split.TEST if has_test else Split.TRAIN
-            self.test = cls(self.root, split=t_split, transform=self.val_transform,
-                            verbose=self.verbose, **self.dataset_kwargs)
+            self.test = try_build(t_split, self.val_transform)
         return self
 
     # -- loaders ----------------------------------------------------------------
@@ -124,6 +129,31 @@ class DataModule:
 
     def test_loader(self):
         return batch_iterator(self.test, self.batch_size, shuffle=False)
+
+    def split_train_val(self, ratio: float = 0.8, seed: int = 0):
+        """Split self.train into train/val subsets (reference datamodule.py:223)."""
+        import numpy as np
+        n = len(self.train)
+        idx = np.arange(n)
+        np.random.default_rng(seed).shuffle(idx)
+        cut = int(n * ratio)
+
+        class _Subset:
+            def __init__(s, ds, indices):
+                s.ds = ds
+                s.indices = list(indices)
+                s.collate = ds.collate
+
+            def __len__(s):
+                return len(s.indices)
+
+            def __getitem__(s, i):
+                return s.ds[s.indices[i]]
+
+        base = self.train
+        self.train = _Subset(base, idx[:cut])
+        self.val = _Subset(base, idx[cut:])
+        return self
 
     def summarize(self):
         rows = []

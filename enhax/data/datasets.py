@@ -133,6 +133,11 @@ _SPECS = [
     DatasetSpec("cityscapes_snow_s", Task.DESNOW, _TT, paired=True),
     DatasetSpec("cityscapes_snow_m", Task.DESNOW, _TT, paired=True),
     DatasetSpec("cityscapes_snow_l", Task.DESNOW, _TT, paired=True),
+    # --- deblur/denoise benchmark sets used by HINet/NAFNet/Restormer
+    # (BASELINE.md config 3; reference exercises them via vendored repos) ----
+    DatasetSpec("gopro", Task.DEBLUR, _TT, paired=True, has_test_annotations=True),
+    DatasetSpec("sidd", Task.DENOISE, _TT, paired=True, has_test_annotations=True),
+    DatasetSpec("reds", Task.DEBLUR, _TT, paired=True),
     # --- detection-ish (coco/) ------------------------------------------------
     DatasetSpec("coco", Task.DETECT, _TT, paired=False),
 ]

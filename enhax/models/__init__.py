@@ -14,3 +14,4 @@ from enhax.models import sr
 from enhax.models import segment
 from enhax.models import depth
 from enhax.models import detect
+from enhax.models import inpaint
