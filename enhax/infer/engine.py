@@ -139,6 +139,47 @@ class Predictor:
     def __call__(self, datapoint: dict) -> dict:
         return self.infer(datapoint)
 
+    def predict_iter(self, source, batch_size: int = 8):
+        """Batched prediction over an iterable of datapoint dicts.
+
+        Groups consecutive same-shaped items into batches (shape buckets stay
+        bounded, each bucket compiles once), yields (outputs, metas) where
+        outputs are per-batch and metas is the list of item metas. This is
+        the batched replacement for the reference's item-at-a-time predict
+        loop (runml/predict.py:76).
+        """
+        pending: list[dict] = []
+        pending_shape = None
+
+        def flush():
+            nonlocal pending, pending_shape
+            if not pending:
+                return None
+            batch = {}
+            for k in pending[0]:
+                if k == "meta":
+                    continue
+                vals = [p[k] for p in pending if p.get(k) is not None]
+                if vals and hasattr(vals[0], "shape"):
+                    batch[k] = jnp.stack([jnp.asarray(v) for v in vals])
+            metas = [p.get("meta", {}) for p in pending]
+            out = self.infer(batch)
+            pending = []
+            pending_shape = None
+            return out, metas
+
+        for item in source:
+            shape = item["image"].shape
+            if pending and (shape != pending_shape or len(pending) >= batch_size):
+                res = flush()
+                if res:
+                    yield res
+            pending.append(item)
+            pending_shape = shape
+        res = flush()
+        if res:
+            yield res
+
 
 def make_instance_infer(model: Model, steps: int, lr: float = 1e-4,
                         weight_decay: float = 0.0):

@@ -11,3 +11,4 @@ from enhax.models.classify import vit
 from enhax.models.classify import swin
 from enhax.models.classify import efficientnet
 from enhax.models.classify import misc
+from enhax.models.classify import inception

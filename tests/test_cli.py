@@ -1,0 +1,70 @@
+"""CLI entry-point tests (in-process; the full subprocess path is exercised
+by the project verify drives)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    import cv2
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(d / f"{i}.png"),
+                    (rng.uniform(0, 0.3, (20, 24, 3)) * 255).astype(np.uint8))
+    return d
+
+
+def test_parse_train_args_flags_beat_config(tmp_path):
+    from enhax.cli.train import parse_train_args
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text("model='zero_dce_re'\ndata='lol_v1'\nepochs=50\n")
+    args = parse_train_args(["--config", str(cfg), "--epochs", "3"])
+    assert args["model"] == "zero_dce_re"
+    assert args["epochs"] == 3  # flag wins
+
+
+def test_predict_cli_inprocess(image_dir, tmp_path):
+    from enhax.cli.predict import predict
+    out = predict({"model": "zero_dce_re", "data": str(image_dir),
+                   "save_dir": str(tmp_path / "out"), "save_image": True})
+    outs = list(out.glob("*.png"))
+    assert len(outs) == 3
+
+
+def test_metric_cli_inprocess(image_dir):
+    from enhax.cli.metric import measure_metric
+    res = measure_metric({"input": str(image_dir), "target": str(image_dir),
+                          "metric": ["psnr", "ssim", "brightness"]})
+    assert res["psnr"] > 60  # identical dirs
+    assert abs(res["ssim"] - 1.0) < 1e-4
+
+
+def test_metric_unknown_metric(image_dir):
+    from enhax.cli.metric import measure_metric
+    with pytest.raises(SystemExit, match="unknown metric"):
+        measure_metric({"input": str(image_dir), "metric": ["niqe_magic"]})
+
+
+def test_plot_cli_inprocess(image_dir, tmp_path):
+    from enhax.cli.plot import plot
+    out = plot({"input": str(image_dir), "results": [str(image_dir)],
+                "target": str(image_dir), "save_dir": str(tmp_path / "plots"),
+                "label": True})
+    assert len(list(out.glob("*.png"))) == 3
+
+
+def test_predict_iter_batches(image_dir):
+    import jax
+    from enhax.data.dataset import ImageLoader
+    from enhax.infer import Predictor
+    from enhax.models.base import build_model
+    m = build_model("zero_dce_re", num_channels=8)
+    pred = Predictor(m)
+    loader = ImageLoader(image_dir)
+    results = list(pred.predict_iter(loader, batch_size=2))
+    assert len(results) == 2  # 2 + 1
+    out0, metas0 = results[0]
+    assert out0["enhanced"].shape[0] == 2
+    assert len(metas0) == 2 and "name" in metas0[0]
