@@ -164,11 +164,11 @@ def zero_reference_loss(
 @MODELS.register(name="zero_dce_re", arch="zero_dce",
                  tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE))
 def zero_dce_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8,
-                **kwargs) -> Model:
+                dtype=None, **kwargs) -> Model:
     return Model(
         name="zero_dce_re", arch="zero_dce",
         module=ZeroDCE(in_channels=in_channels, num_channels=num_channels,
-                       num_iters=num_iters, conv_type="conv"),
+                       num_iters=num_iters, conv_type="conv", dtype=dtype),
         tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE),
         loss_fn=zero_reference_loss(),
         required_inputs=("image",),
@@ -178,12 +178,12 @@ def zero_dce_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8
 @MODELS.register(name="zero_dce++_re", arch="zero_dce", aliases=["zero_dcepp_re"],
                  tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE))
 def zero_dcepp_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8,
-                  scale_factor: float = 1.0, **kwargs) -> Model:
+                  scale_factor: float = 1.0, dtype=None, **kwargs) -> Model:
     return Model(
         name="zero_dce++_re", arch="zero_dce",
         module=ZeroDCE(in_channels=in_channels, num_channels=num_channels,
                        num_iters=num_iters, conv_type="dsconv",
-                       shared_curve=True, scale_factor=scale_factor),
+                       shared_curve=True, scale_factor=scale_factor, dtype=dtype),
         tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE),
         loss_fn=zero_reference_loss(),
         required_inputs=("image",),

@@ -84,14 +84,14 @@ class NAFNetModule(nn.Module):
         skips = []
         for i, n in enumerate(self.enc_blk_nums):
             for j in range(n):
-                y = NAFBlock(c, tlc_window=self.tlc_window,
+                y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype,
                              name=f"enc{i}_{j}")(y)
             skips.append(y)
             y = nn.Conv(c * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                         name=f"down{i}")(y)
             c *= 2
         for j in range(self.middle_blk_num):
-            y = NAFBlock(c, tlc_window=self.tlc_window, name=f"mid_{j}")(y)
+            y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype, name=f"mid_{j}")(y)
         for i, n in enumerate(self.dec_blk_nums):
             y = nn.Conv(c * 2, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"up{i}")(y)
@@ -99,7 +99,7 @@ class NAFNetModule(nn.Module):
             c //= 2
             y = y + skips[-(i + 1)]
             for j in range(n):
-                y = NAFBlock(c, tlc_window=self.tlc_window,
+                y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype,
                              name=f"dec{i}_{j}")(y)
         out = nn.Conv(3, (3, 3), dtype=self.dtype, name="ending")(y)
         return {"enhanced": out + inp}
@@ -113,12 +113,12 @@ def _nafnet_loss():
     return fn
 
 
-def _make(name, width, enc, mid, dec, tlc_window=None):
+def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
     return Model(
         name=name, arch="nafnet",
         module=NAFNetModule(width=width, middle_blk_num=mid,
                             enc_blk_nums=enc, dec_blk_nums=dec,
-                            tlc_window=tlc_window),
+                            tlc_window=tlc_window, dtype=dtype),
         tasks=(Task.DEBLUR, Task.DENOISE),
         schemes=(Scheme.SUPERVISED,),
         loss_fn=_nafnet_loss(),
@@ -130,10 +130,10 @@ def _make(name, width, enc, mid, dec, tlc_window=None):
 @MODELS.register(name="nafnet", arch="nafnet",
                  tasks=(Task.DEBLUR, Task.DENOISE), schemes=(Scheme.SUPERVISED,))
 def nafnet(width: int = 32, middle_blk_num: int = 12,
-           enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2), **kwargs) -> Model:
+           enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2), dtype=None, **kwargs) -> Model:
     """NAFNet-width32 (SIDD config of the reference's vendored repo)."""
     return _make("nafnet", width, tuple(enc_blk_nums), middle_blk_num,
-                 tuple(dec_blk_nums))
+                 tuple(dec_blk_nums), dtype=dtype)
 
 
 @MODELS.register(name="nafnet_local", arch="nafnet",

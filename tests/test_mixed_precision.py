@@ -1,0 +1,46 @@
+"""bf16 mixed-precision: quality parity + spatial-sharded model equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhax.models.base import build_model
+from enhax.nn.metrics import psnr
+
+
+@pytest.fixture
+def img(rng):
+    return jnp.asarray(rng.uniform(0, 0.4, (1, 32, 32, 3)).astype(np.float32))
+
+
+def test_zero_dce_bf16_quality_parity(img):
+    """bf16 compute with f32 params must stay within ~1/255 of f32 output."""
+    m32 = build_model("zero_dce_re", num_channels=16)
+    mbf = build_model("zero_dce_re", num_channels=16, dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), {"image": img})
+    out32 = m32.apply(params, {"image": img})["enhanced"]
+    outbf = mbf.apply(params, {"image": img})["enhanced"].astype(jnp.float32)
+    p = float(psnr(jnp.clip(out32, 0, 1), jnp.clip(outbf, 0, 1)))
+    assert p > 40.0, f"bf16 PSNR vs f32 too low: {p}"
+
+
+def test_nafnet_bf16_runs(img):
+    m = build_model("nafnet", width=8, middle_blk_num=1,
+                    enc_blk_nums=(1, 1), dec_blk_nums=(1, 1), dtype=jnp.bfloat16)
+    params = m.init(jax.random.PRNGKey(0), {"image": img})
+    out = m.apply(params, {"image": img})["enhanced"]
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_zero_dce_spatial_sharded_matches_unsharded(rng):
+    """Full model H-sharded over the space axis == unsharded output."""
+    from enhax.parallel import make_mesh, spatial_sharding
+    mesh = make_mesh(("data", "space"), shape=(1, 8))
+    m = build_model("zero_dce_re", num_channels=8)
+    x = jnp.asarray(rng.uniform(0, 0.4, (1, 64, 32, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    ref = m.apply(params, {"image": x})["enhanced"]
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    out = jax.jit(lambda p, i: m.apply(p, {"image": i})["enhanced"])(params, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
