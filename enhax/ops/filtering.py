@@ -134,3 +134,48 @@ def sobel_filter(x, normalized: bool = True, eps: float = 1e-6):
             gx = gx + kx[i, j] * patch
             gy = gy + ky[i, j] * patch
     return jnp.sqrt(gx * gx + gy * gy + eps)
+
+
+def conv_guided_filter_module(radius: int = 1, features: int = 32):
+    """Learned guided filter (reference guided_filter.py:300 ConvGuidedFilter):
+    the box-filter statistics are kept, but the (a, b) solve is replaced by a
+    small conv net over [cov, var]. Returns a flax module."""
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    class ConvGuidedFilter(nn.Module):
+        @nn.compact
+        def __call__(self, x_lr, y_lr, x_hr):
+            from enhax.ops.resize import resize as _resize
+            n = box_window_count((x_lr.shape[-3], x_lr.shape[-2]), radius, x_lr.dtype)
+            mean_x = box_filter_sum(x_lr, radius) / n
+            mean_y = box_filter_sum(y_lr, radius) / n
+            cov = box_filter_sum(x_lr * y_lr, radius) / n - mean_x * mean_y
+            var = box_filter_sum(x_lr * x_lr, radius) / n - mean_x * mean_x
+            z = jnp.concatenate([cov, var], axis=-1)
+            z = nn.relu(nn.Conv(features, (1, 1), name="a1")(z))
+            z = nn.relu(nn.Conv(features, (1, 1), name="a2")(z))
+            a = nn.Conv(x_lr.shape[-1], (1, 1), name="a3")(z)
+            b = mean_y - a * mean_x
+            hr = (x_hr.shape[-3], x_hr.shape[-2])
+            return _resize(a, hr) * x_hr + _resize(b, hr)
+
+    return ConvGuidedFilter()
+
+
+def deep_guided_filter_module(radius: int = 1, features: int = 24):
+    """DeepGuidedFilter (guided_filter.py:400): a small conv net produces the
+    guidance map before the (learned) guided filter — end-to-end trainable
+    joint upsampling. Returns a flax module mapping (lr_in, lr_out, hr_in)."""
+    from flax import linen as nn
+
+    class DeepGuidedFilter(nn.Module):
+        @nn.compact
+        def __call__(self, x_lr, y_lr, x_hr):
+            def guide(v, name):
+                g = nn.relu(nn.Conv(features, (3, 3), name=f"{name}_c1")(v))
+                return nn.Conv(v.shape[-1], (1, 1), name=f"{name}_c2")(g)
+            gf = conv_guided_filter_module(radius, features)
+            return gf(guide(x_lr, "glr"), y_lr, guide(x_hr, "ghr"))
+
+    return DeepGuidedFilter()

@@ -71,3 +71,42 @@ class EarlyStopHook:
             self.bad_epochs += 1
             if self.bad_epochs >= self.patience:
                 trainer.max_epochs = row["epoch"]  # stop after this epoch
+
+
+@CALLBACKS.register(name="tensorboard")
+class TensorBoardHook:
+    """TensorBoard scalar/image logging (reference nn/logger/tensorboard.py:34).
+
+    Writes every row metric as a scalar; with ``image_batch`` set, also logs
+    enhanced images every ``image_every_n_epochs``.
+    """
+
+    def __init__(self, log_dir=None, image_batch: dict | None = None,
+                 image_every_n_epochs: int = 0, out_key: str = "enhanced"):
+        self.log_dir = log_dir
+        self.image_batch = image_batch
+        self.image_every = image_every_n_epochs
+        self.out_key = out_key
+        self._writer = None
+
+    def _get_writer(self, trainer):
+        if self._writer is None:
+            from flax.metrics import tensorboard as tb
+            log_dir = self.log_dir or (str(trainer.save_dir) + "/tb")
+            self._writer = tb.SummaryWriter(log_dir)
+        return self._writer
+
+    def __call__(self, trainer, state, row):
+        w = self._get_writer(trainer)
+        step = row.get("step", row["epoch"])
+        for k, v in row.items():
+            if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                w.scalar(k, v, step)
+        if (self.image_batch is not None and self.image_every
+                and row["epoch"] % self.image_every == 0):
+            import jax.numpy as jnp
+            import numpy as np
+            out = trainer.model.apply(state.params, trainer._place(self.image_batch))
+            img = np.asarray(jnp.clip(out[self.out_key], 0, 1))[0]
+            w.image(self.out_key, img, step)
+        w.flush()
