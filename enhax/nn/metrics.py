@@ -160,3 +160,104 @@ def compute_efficiency_score(apply_fn, params, datapoint, runs: int = 20):
     from enhax.utils.timer import time_device_fn
     avg_s = time_device_fn(jitted, params, datapoint, warmup=2, repeats=runs)
     return flops / 1e9, n_params / 1e6, avg_s
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (reference wraps torchmetrics LPIPS, nn/metric/image.py:63-83).
+# The metric needs pretrained AlexNet + linear-head weights; this provides the
+# architecture and scoring given a converted params pytree (use
+# enhax.convert.torch_weights on a local torchmetrics/lpips checkpoint —
+# this image has no network egress to download them).
+# ---------------------------------------------------------------------------
+
+class _LPIPSAlexFeatures:
+    """AlexNet conv trunk tapped at the 5 LPIPS layers (relu1..relu5)."""
+
+    def __init__(self):
+        from flax import linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                taps = []
+                x = nn.relu(nn.Conv(64, (11, 11), strides=(4, 4),
+                                    padding=((2, 2), (2, 2)), name="conv1")(x))
+                taps.append(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+                x = nn.relu(nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)),
+                                    name="conv2")(x))
+                taps.append(x)
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+                x = nn.relu(nn.Conv(384, (3, 3), name="conv3")(x))
+                taps.append(x)
+                x = nn.relu(nn.Conv(256, (3, 3), name="conv4")(x))
+                taps.append(x)
+                x = nn.relu(nn.Conv(256, (3, 3), name="conv5")(x))
+                taps.append(x)
+                return taps
+
+        self.net = Net()
+
+    def init(self, rng, x):
+        return self.net.init(rng, x)
+
+    def __call__(self, params, x):
+        return self.net.apply(params, x)
+
+
+def lpips(input, target, params: dict, lin_weights: list,
+          normalize: bool = True):
+    """Learned perceptual image patch similarity (AlexNet backbone).
+
+    Args:
+        input/target: (N, H, W, 3) in [0, 1].
+        params: converted AlexNet feature params (flax pytree).
+        lin_weights: list of 5 (C,) arrays — the LPIPS linear head weights.
+    """
+    feat = _LPIPSAlexFeatures()
+    shift = jnp.asarray([-0.030, -0.088, -0.188])
+    scale = jnp.asarray([0.458, 0.448, 0.450])
+
+    def prep(x):
+        if normalize:
+            x = 2.0 * x - 1.0
+        return (x - shift) / scale
+
+    fx = feat(params, prep(input))
+    fy = feat(params, prep(target))
+    total = 0.0
+    for f1, f2, w in zip(fx, fy, lin_weights):
+        n1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-10)
+        n2 = f2 / jnp.maximum(jnp.linalg.norm(f2, axis=-1, keepdims=True), 1e-10)
+        d = (n1 - n2) ** 2
+        w = jnp.asarray(w).reshape(1, 1, 1, -1)
+        total = total + jnp.mean(jnp.sum(d * w, axis=-1))
+    return total
+
+
+METRICS.register(name="lpips", obj=lpips)
+
+
+@METRICS.register(name="miou")
+def miou(pred_labels, target_labels, num_classes: int, ignore_index: int | None = 255):
+    """Mean intersection-over-union for segmentation label maps.
+
+    Rebuild of the reference's darkcityscapes mIoU harness
+    (project/runml/metric_darkcityscapes.py). Inputs: int label maps
+    (N, H, W) or (N, H, W, 1).
+    """
+    p = pred_labels.reshape(-1).astype(jnp.int32)
+    t = target_labels.reshape(-1).astype(jnp.int32)
+    if ignore_index is not None:
+        valid = t != ignore_index
+    else:
+        valid = jnp.ones_like(t, dtype=bool)
+    ious = []
+    for c in range(num_classes):
+        pi = (p == c) & valid
+        ti = (t == c) & valid
+        inter = jnp.sum(pi & ti)
+        union = jnp.sum(pi | ti)
+        ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), jnp.nan))
+    ious = jnp.stack(ious)
+    return jnp.nanmean(ious)

@@ -90,3 +90,43 @@ def test_partial_conversion_reports_unused(rng):
     template = m.init(jax.random.PRNGKey(0), dp)
     params, report = convert_state_dict(sd, template)
     assert any("unused torch entry: classifier.weight" in r for r in report)
+
+
+class TorchBNBlock(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = tnn.Conv2d(3, 8, 3, 1, 1, bias=False)
+        self.bn = tnn.BatchNorm2d(8)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def test_batchnorm_stats_conversion(rng):
+    """Running mean/var must convert into flax batch_stats (eval parity)."""
+    from flax import linen as nn
+
+    class FlaxBNBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), use_bias=False, name="conv")(x)
+            x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+            return nn.relu(x)
+
+    tm = TorchBNBlock()
+    # give BN non-trivial running stats
+    tm.train()
+    with torch.no_grad():
+        for _ in range(5):
+            tm(torch.from_numpy(rng.uniform(0, 1, (4, 3, 8, 8)).astype(np.float32)))
+    tm.eval()
+    x = rng.uniform(0, 1, (1, 3, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        y_t = tm(torch.from_numpy(x)).numpy()
+
+    fm = FlaxBNBlock()
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    params, report = convert_state_dict(tm.state_dict(), template)
+    assert not [r for r in report if "unmatched" in r], report
+    y_f = np.asarray(fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(y_f.transpose(0, 3, 1, 2), y_t, atol=1e-5)

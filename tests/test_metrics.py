@@ -77,3 +77,37 @@ def test_mae_mse_rmse(rng):
     assert float(metrics.mae(x, y)) == 2.0
     assert float(metrics.mse(x, y)) == 4.0
     assert float(metrics.rmse(x, y)) == 2.0
+
+
+def test_lpips_architecture_and_ordering(rng):
+    """LPIPS with random (untrained) weights still orders distances sanely."""
+    import jax
+    from enhax.nn.metrics import _LPIPSAlexFeatures, lpips
+    feat = _LPIPSAlexFeatures()
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = feat.init(jax.random.PRNGKey(0), x)
+    lins = [np.abs(rng.normal(size=c)).astype(np.float32)
+            for c in (64, 192, 384, 256, 256)]
+    same = float(lpips(x, x, params, lins))
+    near = float(lpips(x, jnp.clip(x + 0.02, 0, 1), params, lins))
+    far = float(lpips(x, jnp.asarray(rng.uniform(0, 1, x.shape).astype(np.float32)),
+                      params, lins))
+    assert same < 1e-9
+    assert near < far
+
+
+def test_miou():
+    from enhax.nn.metrics import miou
+    pred = jnp.asarray([[[0, 0], [1, 1]]])
+    tgt = jnp.asarray([[[0, 1], [1, 1]]])
+    # class0: inter 1 union 2 -> .5 ; class1: inter 2 union 3 -> .667
+    v = float(miou(pred, tgt, num_classes=2, ignore_index=None))
+    np.testing.assert_allclose(v, (0.5 + 2 / 3) / 2, atol=1e-6)
+
+
+def test_miou_ignore_index():
+    from enhax.nn.metrics import miou
+    pred = jnp.asarray([[[0, 1]]])
+    tgt = jnp.asarray([[[0, 255]]])
+    v = float(miou(pred, tgt, num_classes=2))
+    np.testing.assert_allclose(v, 1.0, atol=1e-6)  # only class0 counted
