@@ -50,8 +50,13 @@ jax.tree_util.register_pytree_node(
 
 
 def make_train_step(model: Model, tx: optax.GradientTransformation,
-                    donate: bool = True):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+                    donate: bool = True, remat: bool = False):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``remat=True`` rematerializes the forward during backprop
+    (jax.checkpoint) — trades FLOPs for activation memory, the TPU-native
+    answer to big-batch/high-res training (SURVEY.md hardware notes).
+    """
 
     def step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         rngs = {"dropout": rng, "params": rng}
@@ -59,6 +64,9 @@ def make_train_step(model: Model, tx: optax.GradientTransformation,
         def loss_fn(params):
             loss, outputs = model.forward_loss(params, batch, rngs=rngs)
             return loss, outputs
+
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
 
         (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -121,6 +129,7 @@ class Trainer:
         save_dir=None,
         seed: int = 0,
         hooks: list | None = None,
+        remat: bool = False,
     ):
         self.model = model
         if isinstance(optimizer, dict):
@@ -139,7 +148,7 @@ class Trainer:
         self.hooks = hooks or []
         self.history: list[dict] = []
 
-        self._train_step = make_train_step(model, self.tx)
+        self._train_step = make_train_step(model, self.tx, remat=remat)
         self._eval_step = make_eval_step(model)
 
     # -- state ----------------------------------------------------------------

@@ -44,3 +44,24 @@ def test_zero_dce_spatial_sharded_matches_unsharded(rng):
     xs = jax.device_put(x, spatial_sharding(mesh))
     out = jax.jit(lambda p, i: m.apply(p, {"image": i})["enhanced"])(params, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_remat_train_step_matches_plain(rng):
+    """jax.checkpoint remat must not change gradients (same loss trajectory)."""
+    import optax
+    from enhax.train.trainer import TrainState, make_train_step
+    m = build_model("zero_dce_re", num_channels=8)
+    batch = {"image": jnp.asarray(rng.uniform(0, 0.4, (1, 16, 16, 3)).astype(np.float32))}
+    tx = optax.adam(1e-3)
+    params = m.init(jax.random.PRNGKey(0), batch)
+    s0 = TrainState(0, params, tx.init(params))
+    step_plain = make_train_step(m, tx, donate=False, remat=False)
+    step_remat = make_train_step(m, tx, donate=False, remat=True)
+    rng_key = jax.random.PRNGKey(1)
+    s1, m1 = step_plain(s0, batch, rng_key)
+    s2, m2 = step_remat(s0, batch, rng_key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
