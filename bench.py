@@ -5,10 +5,12 @@ curves estimated on a 1/4-downscaled image and bilinearly upsampled (the
 Zero-DCE++ paper uses up to E=1/12 for HD) — applied to full-resolution
 1080p frames.
 
-Pipeline shape (BASELINE.md config 5, batched video-frame enhancement): a
-jitted ``lax.scan`` enhances 8 consecutive batches of 2 frames per device
-round trip, materializing every enhanced frame on device — the way a video
-stream is actually served (one host sync per chunk, not per frame).
+Pipeline shape (BASELINE.md config 5, batched video-frame enhancement):
+one jitted call enhances a 32-frame 1080p chunk per device round trip,
+materializing every enhanced frame on device — the way a video stream is
+actually served (one host sync per chunk, not per frame). A flat batch
+outperforms a lax.scan of small batches by ~60% on this chip (better
+dispatch amortization and MXU occupancy).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the north-star target of 100 megapixels/sec/chip
@@ -38,29 +40,23 @@ def main():
 
     from enhax.models.base import build_model
 
-    chunk, batch, h, w = 8, 2, 1088, 1920  # 1080p rounded to /32 (static)
+    batch, h, w = 32, 1088, 1920  # 1080p rounded to /32 (static)
     model = build_model("zero_dce++_re", scale_factor=4.0)
     frames = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 0.3, (chunk, batch, h, w, 3)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), {"image": frames[0]})
+        0, 0.3, (batch, h, w, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), {"image": frames})
 
-    def pipeline(v, frames):
-        def body(carry, x):
-            return carry, model.apply(v, {"image": x})["enhanced"]
-        _, ys = jax.lax.scan(body, 0.0, frames)
-        return ys
-
-    fwd = jax.jit(pipeline)
-    s = float(fwd(variables, frames).sum())  # compile + hard sync
+    fwd = jax.jit(lambda v, d: model.apply(v, d)["enhanced"])
+    s = float(fwd(variables, {"image": frames}).sum())  # compile + hard sync
     assert np.isfinite(s)
 
     runs = 10
     t0 = time.perf_counter()
     for _ in range(runs):
-        s = float(fwd(variables, frames).sum())  # hard host sync per chunk
+        s = float(fwd(variables, {"image": frames}).sum())  # hard sync/chunk
     dt = (time.perf_counter() - t0) / runs
 
-    megapixels = chunk * batch * h * w / 1e6
+    megapixels = batch * h * w / 1e6
     mps = megapixels / dt
     print(json.dumps({
         "metric": "zero_dcepp_1080p_video_throughput",
