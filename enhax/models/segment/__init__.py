@@ -2,3 +2,4 @@
 
 from enhax.models.segment import unet
 from enhax.models.segment import deeplabv3
+from enhax.models.segment import sam

@@ -139,3 +139,19 @@ def test_ocsort_reacquires_after_occlusion():
             first_id = int(out[0, 4])
     assert len(out) == 1
     assert int(out[0, 4]) == first_id  # identity preserved through occlusion
+
+
+def test_sam_lite_promptable_segmentation(rng):
+    """SAM-lite: point prompts -> multi-mask output + IoU preds + CCL postproc."""
+    from enhax.models.segment.sam import sam_postprocess
+    m = build_model("sam_lite", dim=64, depth=2)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    points = jnp.asarray([[[0.5, 0.5], [0.2, 0.8]]], jnp.float32)
+    labels = jnp.asarray([[1, 0]], jnp.int32)
+    dp = {"image": img, "points": points, "labels": labels}
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["masks"].shape == (1, 3, 64, 64)
+    assert out["iou_predictions"].shape == (1, 3)
+    clean = sam_postprocess(np.asarray(out["masks"][0, 0]), area_thresh=4)
+    assert clean.shape == (64, 64) and clean.dtype == bool
