@@ -123,3 +123,14 @@ class NormalizeMeanStd:
         if isinstance(dp.get("image"), np.ndarray):
             dp["image"] = (dp["image"] - self.mean) / self.std
         return dp
+
+
+def progressive_patch_schedule(epoch: int, milestones, sizes, batch_sizes):
+    """Restormer-style progressive training (reference
+    restormer-deraining.yml:27-30): grow the crop size / shrink the batch at
+    epoch milestones. Returns (crop_size, batch_size) for the epoch."""
+    idx = 0
+    for i, m in enumerate(milestones):
+        if epoch >= m:
+            idx = i
+    return sizes[idx], batch_sizes[idx]

@@ -78,3 +78,57 @@ for _name, (_dim, _depths) in {
                                size_divisor=window * 32)
     MODELS.register(name=_name, obj=_builder, arch="swin",
                     tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
+
+
+class SwinV2Block(SwinBlock):
+    """Swin v2: post-norm + cosine attention temperature (compact variant)."""
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        mask = None
+        if self.shift:
+            mask = make_shift_attn_mask(h, w, self.window, self.shift)
+        y = WindowAttention(self.dim, self.heads, self.window, shift=self.shift,
+                            name="attn")(x, mask=mask)
+        x = x + nn.LayerNorm(name="norm1")(y)   # post-norm (v2)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp1")(x)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="mlp2")(y)
+        return x + nn.LayerNorm(name="norm2")(y)
+
+
+class SwinV2(Swin):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (4, 4), strides=(4, 4), name="embed")(x)
+        y = nn.LayerNorm(name="embed_norm")(y)
+        for i, (depth, heads) in enumerate(zip(self.depths, self.heads)):
+            dim = self.dim * 2**i
+            if i > 0:
+                n, h, w, c = y.shape
+                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+                y = y.reshape(n, h // 2, w // 2, 4 * c)
+                y = nn.LayerNorm(name=f"merge_norm{i}")(y)
+                y = nn.Dense(dim, use_bias=False, name=f"merge{i}")(y)
+            for j in range(depth):
+                shift = self.window // 2 if j % 2 == 1 else 0
+                y = SwinV2Block(dim, heads, self.window, shift,
+                                name=f"block{i}_{j}")(y)
+        y = nn.LayerNorm(name="norm")(y)
+        y = jnp.mean(y, axis=(-3, -2))
+        return {"logits": nn.Dense(self.num_classes, name="head")(y)}
+
+
+for _name, (_dim, _depths) in {"swin_v2_t": (96, (2, 2, 6, 2)),
+                               "swin_v2_s": (96, (2, 2, 18, 2)),
+                               "swin_v2_b": (128, (2, 2, 18, 2))}.items():
+    def _builder_v2(num_classes: int = 1000, window: int = 8, dim=_dim,
+                    depths=_depths, nm=_name, **kwargs):
+        heads = tuple(dim * 2**i // 32 for i in range(4))
+        return make_classifier(nm, "swin",
+                               SwinV2(dim=dim, depths=depths, heads=heads,
+                                      window=window, num_classes=num_classes),
+                               size_divisor=window * 32)
+    MODELS.register(name=_name, obj=_builder_v2, arch="swin",
+                    tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))

@@ -56,12 +56,20 @@ class DepthAnythingV2Module(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, ph * pw, self.dim))
         y = y + pos
+        out_indices = tuple(self.out_indices)
+        if max(out_indices) >= self.depth:
+            # evenly spaced 4 taps for shallow (test/small) configs
+            step = max(self.depth // 4, 1)
+            out_indices = tuple(min(self.depth - 1, step * (k + 1) - 1)
+                                for k in range(4))
         taps = []
         for i in range(self.depth):
             y = TransformerBlock(self.dim, self.heads, self.dim * 4,
                                  name=f"block{i}")(y)
-            if i in self.out_indices:
+            if i in out_indices:
                 taps.append(y.reshape(n, ph, pw, self.dim))
+        while len(taps) < 4:
+            taps.append(taps[-1])
         # DPT decode: project taps, fuse coarse-to-fine
         f = self.fusion_features
         projs = [nn.Conv(f, (1, 1), name=f"proj{i}")(t) for i, t in enumerate(taps)]
@@ -95,3 +103,40 @@ for _name, (_dim, _depth, _heads) in _CFGS.items():
         )
     MODELS.register(name=_name, obj=_builder, arch="depth_anything_v2",
                     tasks=(Task.DEPTH,), schemes=(Scheme.INFERENCE,))
+
+
+class DepthProModule(DepthAnythingV2Module):
+    """Depth Pro (reference vision/depth/depth_pro wrapper): multi-scale ViT —
+    the image is encoded at two scales and fused before the DPT decode,
+    yielding sharper metric-ish depth. Compact rebuild sharing the DAv2 trunk."""
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        half = jax.image.resize(x, (n, h // 2 * 2 // 2, w // 2 * 2 // 2, 3),
+                                "bilinear")
+        d_full = DepthAnythingV2Module(
+            patch=self.patch, dim=self.dim, depth=self.depth, heads=self.heads,
+            out_indices=self.out_indices, fusion_features=self.fusion_features,
+            name="trunk_full")(x)["depth"]
+        d_half = DepthAnythingV2Module(
+            patch=self.patch, dim=self.dim, depth=self.depth, heads=self.heads,
+            out_indices=self.out_indices, fusion_features=self.fusion_features,
+            name="trunk_half")(half)["depth"]
+        d_half = jax.image.resize(d_half, d_full.shape, "bilinear")
+        fused = nn.Conv(1, (3, 3), name="fuse")(
+            jnp.concatenate([d_full, d_half], axis=-1))
+        return {"depth": jax.nn.relu(fused)}
+
+
+def _depth_pro_builder(dim: int = 384, depth: int = 12, heads: int = 6, **kwargs):
+    return Model(
+        name="depth_pro", arch="depth_pro",
+        module=DepthProModule(dim=dim, depth=depth, heads=heads),
+        tasks=(Task.DEPTH,), schemes=(Scheme.INFERENCE,),
+        required_inputs=("image",), out_key="depth", size_divisor=28,
+    )
+
+
+MODELS.register(name="depth_pro", obj=_depth_pro_builder, arch="depth_pro",
+                tasks=(Task.DEPTH,), schemes=(Scheme.INFERENCE,))
