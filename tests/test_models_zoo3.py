@@ -155,3 +155,15 @@ def test_sam_lite_promptable_segmentation(rng):
     assert out["iou_predictions"].shape == (1, 3)
     clean = sam_postprocess(np.asarray(out["masks"][0, 0]), area_thresh=4)
     assert clean.shape == (64, 64) and clean.dtype == bool
+
+
+def test_yolo_lite_detect_and_decode(rng):
+    from enhax.models.detect.yolo import decode_yolo
+    m = build_model("yolo_lite", num_classes=3, width=8)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), {"image": img})
+    out = m.apply(params, {"image": img})
+    assert out["cls_p3"].shape == (1, 8, 8, 3)
+    assert out["box_p3"].shape == (1, 8, 8, 32)  # 4 * reg_max
+    dets = decode_yolo(out, num_classes=3, score_thresh=0.0, max_dets=10)
+    assert dets.shape[1] == 6 and len(dets) <= 10
