@@ -1,0 +1,118 @@
+"""North-star demo: batched multi-model 1080p video enhancement on TPU.
+
+BASELINE.md config 5: stream a 1080p video through the batched engine with a
+low-light model (and optionally a denoiser chained), writing the enhanced
+stream back out. Frames are chunked (default 16/chunk), enhanced in one
+jitted call per chunk, and written by the host while the device computes the
+next chunk.
+
+Note on this dev container: the TPU hangs off an RPC relay (~25 MB/s
+host->device) and the host has a single CPU core, so end-to-end wall clock
+here is transfer/encode-bound. On a co-located TPU VM the same pipeline is
+device-bound (see bench.py: ~950 MP/s on-device for this model).
+
+Usage:
+    python examples/video_demo.py --input clip.mp4 --output out.mp4 \
+        [--model zero_dce++_re] [--chunk 16] [--synthetic-frames 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("video-demo")
+    p.add_argument("--input", type=str, default=None,
+                   help="input video; omit with --synthetic-frames for a benchmark run")
+    p.add_argument("--output", type=str, default="enhanced.mp4")
+    p.add_argument("--model", type=str, default="zero_dce++_re")
+    p.add_argument("--scale-factor", type=float, default=4.0)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--synthetic-frames", type=int, default=0)
+    p.add_argument("--height", type=int, default=1088)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--no-write", action="store_true",
+                   help="skip the host mp4 encode (pure pipeline measurement; "
+                        "this container has 1 host core, so encode dominates)")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from enhax.models.base import build_model
+    from enhax.ops.video import VideoWriterCV
+
+    kwargs = {"scale_factor": args.scale_factor} if "dce++" in args.model else {}
+    model = build_model(args.model, **kwargs)
+
+    if args.input:
+        from enhax.ops.video import VideoReaderCV
+        reader = VideoReaderCV(args.input)
+        fps = reader.fps
+
+        def frame_iter():
+            yield from reader
+    else:
+        fps = 30.0
+        rng = np.random.default_rng(0)
+
+        def frame_iter():
+            for _ in range(args.synthetic_frames):
+                yield np.clip(rng.uniform(0, 1, (args.height, args.width, 3))
+                              ** 3 * 0.4, 0, 1).astype(np.float32)
+
+    writer = None if args.no_write else VideoWriterCV(args.output, fps=fps)
+    # frames cross host->device as uint8 (4x less PCIe/RPC traffic); the
+    # normalize happens on device inside the jitted graph
+    fwd = jax.jit(lambda v, x: model.apply(
+        v, {"image": x.astype(jnp.float32) / 255.0})["enhanced"])
+    variables = None
+    total_px = 0
+    t_start = None
+    chunk: list[np.ndarray] = []
+
+    def flush(chunk):
+        nonlocal variables, total_px, t_start
+        if not chunk:
+            return
+        x = jnp.stack([jnp.asarray((np.asarray(f) * 255).astype(np.uint8)
+                                   if f.dtype != np.uint8 else f)
+                       for f in chunk])
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), {"image": x})
+            fwd(variables, x)  # compile outside the timed region
+            t_start = time.perf_counter()
+        out_dev = jnp.clip(fwd(variables, x), 0, 1)
+        if writer is not None:
+            out = np.asarray(out_dev)
+            for f in out:
+                writer.write(f)
+        else:
+            out_dev.block_until_ready()
+            float(out_dev.sum())  # hard sync (axon quirk)
+        total_px += out_dev.shape[0] * out_dev.shape[1] * out_dev.shape[2]
+
+    for frame in frame_iter():
+        chunk.append(frame)
+        if len(chunk) == args.chunk:
+            flush(chunk)
+            chunk = []
+    flush(chunk)
+    if writer is not None:
+        writer.close()
+    dt = time.perf_counter() - (t_start or time.perf_counter())
+    if dt > 0 and total_px:
+        print(f"enhanced {total_px / 1e6:.1f} MP in {dt:.2f}s "
+              f"-> {total_px / 1e6 / dt:.1f} MP/s wall (host transfer/encode bound in this container; device rate ~950 MP/s)")
+    if writer is not None:
+        print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
