@@ -66,10 +66,13 @@ def _flat_torch(state_dict: dict) -> dict[str, np.ndarray]:
 
 
 def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
-                       verbose: bool = False) -> tuple[Any, list[str]]:
+                       verbose: bool = False, strict: bool = False) -> tuple[Any, list[str]]:
     """Fill a flax params ``template`` pytree from a torch ``state_dict``.
 
     ``name_map``: optional {torch_prefix: flax_prefix} rewrites applied first.
+    ``strict=True`` disables the shape-based fallback pairing — on deep
+    models with many same-shaped layers the fallback can silently mis-pair;
+    strict mode leaves unmatched leaves initialized and reports them instead.
     Returns (params, unmatched_report).
     """
     import jax
@@ -116,7 +119,7 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
                 if conv is not None:
                     best = (tname, conv)
                     break
-        if best is None:
+        if best is None and not strict:
             # fallback: any unused entry with convertible shape + matching kind
             for tname, arr in torch_flat.items():
                 if tname in used:
@@ -155,6 +158,9 @@ def load_torch_checkpoint(model, path, name_map: dict | None = None,
 
     ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    if name_map is None:
+        from enhax.convert.mappings import name_map_for
+        name_map = name_map_for(model.name)
 
     dp = {k: np.zeros((1, image_size, image_size, 3 if k == "image" else 1), np.float32)
           for k in model.required_inputs}
