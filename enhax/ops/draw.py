@@ -59,3 +59,29 @@ def draw_trajectories(image, trajectories: dict, colors=None, thickness=2):
         if len(pts):
             cv2.circle(img, tuple(pts[-1]), 4, c, -1)
     return img
+
+
+# Named color palette (reference globals.py:102 RGB enum, compact subset of
+# the 138-color table; extend as needed). Values are RGB uint8 triples.
+PALETTE = {
+    "red": (255, 0, 0), "green": (0, 128, 0), "blue": (0, 0, 255),
+    "yellow": (255, 255, 0), "cyan": (0, 255, 255), "magenta": (255, 0, 255),
+    "orange": (255, 165, 0), "purple": (128, 0, 128), "pink": (255, 192, 203),
+    "lime": (0, 255, 0), "teal": (0, 128, 128), "navy": (0, 0, 128),
+    "maroon": (128, 0, 0), "olive": (128, 128, 0), "brown": (165, 42, 42),
+    "coral": (255, 127, 80), "gold": (255, 215, 0), "indigo": (75, 0, 130),
+    "turquoise": (64, 224, 208), "violet": (238, 130, 238),
+    "white": (255, 255, 255), "black": (0, 0, 0), "gray": (128, 128, 128),
+    "silver": (192, 192, 192), "crimson": (220, 20, 60),
+    "chocolate": (210, 105, 30), "salmon": (250, 128, 114),
+    "khaki": (240, 230, 140), "orchid": (218, 112, 214),
+    "sky_blue": (135, 206, 235), "sea_green": (46, 139, 87),
+    "slate_gray": (112, 128, 144), "steel_blue": (70, 130, 180),
+    "tomato": (255, 99, 71), "wheat": (245, 222, 179),
+}
+
+
+def color_for_id(i: int) -> tuple:
+    """Deterministic distinct color for a track/class id."""
+    keys = [k for k in PALETTE if k not in ("white", "black")]
+    return PALETTE[keys[int(i) % len(keys)]]

@@ -129,3 +129,26 @@ def test_gaussian_filter_preserves_mean(rng):
     x = jnp.asarray(rng.uniform(size=(1, 16, 16, 1)).astype(np.float32))
     out = gaussian_filter(x, 5, 1.0)
     assert abs(float(jnp.mean(out)) - float(jnp.mean(x))) < 0.01
+
+
+def test_hsv_extreme_values():
+    """HSV roundtrip at degenerate points (black/white/saturated primaries)."""
+    from enhax.ops import color as C
+    pts = jnp.asarray([[[0, 0, 0], [1, 1, 1], [1, 0, 0], [0, 1, 0],
+                        [0, 0, 1], [0.5, 0.5, 0.5]]], jnp.float32)
+    back = C.hsv_to_rgb(C.rgb_to_hsv(pts))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-5)
+
+
+def test_hvi_extreme_values():
+    from enhax.ops import color as C
+    pts = jnp.asarray([[[0, 0, 0], [1, 1, 1], [1, 0, 0], [0, 0, 1]]], jnp.float32)
+    back = C.hvi_to_rgb(C.rgb_to_hvi(pts))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=5e-3)
+
+
+def test_draw_palette():
+    from enhax.ops.draw import PALETTE, color_for_id
+    assert len(PALETTE) >= 30
+    assert color_for_id(0) != color_for_id(1)
+    assert color_for_id(5) == color_for_id(5 + len(PALETTE) - 2)
