@@ -6,7 +6,7 @@ Zero-DCE++ paper uses up to E=1/12 for HD) — applied to full-resolution
 1080p frames.
 
 Pipeline shape (BASELINE.md config 5, batched video-frame enhancement):
-one jitted call enhances a 32-frame 1080p chunk per device round trip,
+one jitted call enhances a 48-frame 1080p chunk per device round trip,
 materializing every enhanced frame on device — the way a video stream is
 actually served (one host sync per chunk, not per frame). A flat batch
 outperforms a lax.scan of small batches by ~60% on this chip (better
@@ -40,7 +40,7 @@ def main():
 
     from enhax.models.base import build_model
 
-    batch, h, w = 32, 1088, 1920  # 1080p rounded to /32 (static)
+    batch, h, w = 48, 1088, 1920  # 1080p rounded to /32 (static)
     model = build_model("zero_dce++_re", scale_factor=4.0)
     frames = jnp.asarray(np.random.default_rng(0).uniform(
         0, 0.3, (batch, h, w, 3)).astype(np.float32))
