@@ -50,7 +50,7 @@ class LaMaModule(nn.Module):
         for i in range(self.n_downs):
             c //= 2
             y = nn.relu(nn.ConvTranspose(c, (3, 3), strides=(2, 2),
-                                         name=f"up{i}")(y))
+                                         name=f"up{i}", transpose_kernel=True)(y))
         pred = nn.sigmoid(nn.Conv(3, (7, 7), name="out")(y))
         return {"enhanced": pred * mask + image * (1.0 - mask), "pred": pred}
 

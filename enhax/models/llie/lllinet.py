@@ -51,7 +51,7 @@ class LLLiNetModule(nn.Module):
                 y = nn.max_pool(y, (2, 2), strides=(2, 2))
         for i in reversed(range(self.depth - 1)):
             y = nn.ConvTranspose(c * 2**i, (2, 2), strides=(2, 2),
-                                 name=f"up{i}")(y)
+                                 name=f"up{i}", transpose_kernel=True)(y)
             y = ResDoubleConv(c * 2**i, name=f"dec{i}")(
                 jnp.concatenate([y, skips[i]], axis=-1))
         out = nn.Conv(3, (3, 3), name="out")(y)

@@ -64,7 +64,7 @@ class HINUpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, bridge):
         y = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="up")(x)
+                             dtype=self.dtype, name="up", transpose_kernel=True)(x)
         y = jnp.concatenate([y, bridge], axis=-1)
         return HINConvBlock(self.features, downsample=False,
                             relu_slope=self.relu_slope, name="conv_block")(y)

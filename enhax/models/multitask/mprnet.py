@@ -81,10 +81,10 @@ class EncDec(nn.Module):
         e3 = cabs(d2, c * 4, "enc3")
 
         u2 = nn.ConvTranspose(c * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="up2")(e3)
+                              name="up2", transpose_kernel=True)(e3)
         dd2 = cabs(u2 + e2, c * 2, "dec2")
         u1 = nn.ConvTranspose(c, (2, 2), strides=(2, 2), dtype=self.dtype,
-                              name="up1")(dd2)
+                              name="up1", transpose_kernel=True)(dd2)
         dd1 = cabs(u1 + e1, c, "dec1")
         return (e1, e2, e3), (dd1, dd2, e3)
 

@@ -95,7 +95,7 @@ class UformerModule(nn.Module):
 
         for i, lvl in enumerate(reversed(range(4))):
             y = nn.ConvTranspose(d * 2**lvl, (2, 2), strides=(2, 2),
-                                 dtype=self.dtype, name=f"up{lvl}")(y)
+                                 dtype=self.dtype, name=f"up{lvl}", transpose_kernel=True)(y)
             y = jnp.concatenate([y, skips[lvl]], axis=-1)
             y = stage(y, d * 2**(lvl + 1), self.num_heads[5 + i],
                       self.depths[5 + i], f"dec{lvl}")

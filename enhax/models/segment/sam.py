@@ -121,9 +121,9 @@ class MaskDecoder(nn.Module):
         mask_tok = tokens[:, 1 : 1 + self.num_masks]          # (N, M, C)
 
         feat = img.reshape(n, ph, pw, c)
-        feat = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), name="up1")(feat)
+        feat = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), name="up1", transpose_kernel=True)(feat)
         feat = nn.gelu(nn.LayerNorm(name="up_norm")(feat))
-        feat = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), name="up2")(feat)
+        feat = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), name="up2", transpose_kernel=True)(feat)
         hyper = nn.Dense(c // 8, name="hyper")(mask_tok)       # (N, M, C/8)
         masks = jnp.einsum("nhwc,nmc->nmhw", feat, hyper)
         return masks, iou_pred

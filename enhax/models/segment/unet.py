@@ -39,7 +39,7 @@ class UNetModule(nn.Module):
         y = DoubleConv(self.base * 2**self.depth, name="bottleneck")(y)
         for i in reversed(range(self.depth)):
             y = nn.ConvTranspose(self.base * 2**i, (2, 2), strides=(2, 2),
-                                 name=f"up{i}")(y)
+                                 name=f"up{i}", transpose_kernel=True)(y)
             y = DoubleConv(self.base * 2**i, name=f"dec{i}")(
                 jnp.concatenate([y, skips[i]], axis=-1))
         logits = nn.Conv(self.num_classes, (1, 1), name="head")(y)
