@@ -40,6 +40,13 @@ def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple) -> np.n
             return t
     if a.ndim == 1 and tuple(a.shape) == tuple(target_shape):
         return a
+    # broadcast-style params: same elements, both effectively 1D after
+    # squeezing (e.g. torch (1,C,1,1) beta -> flax (1,1,1,C))
+    if a.size == int(np.prod(target_shape)):
+        nonsingleton_a = [d for d in a.shape if d != 1]
+        nonsingleton_t = [d for d in target_shape if d != 1]
+        if len(nonsingleton_a) <= 1 and len(nonsingleton_t) <= 1:
+            return a.reshape(target_shape)
     return None
 
 

@@ -360,18 +360,22 @@ class LayeredFeatureAggregation(nn.Module):
 # ---------------------------------------------------------------------------
 
 def pixel_shuffle(x, factor: int):
-    """(N,H,W,C*r^2) -> (N,H*r,W*r,C)."""
+    """(N,H,W,C*r^2) -> (N,H*r,W*r,C).
+
+    Channel grouping follows torch.pixel_shuffle ((C_out, r, r) order) so
+    converted checkpoints keep sub-pixel phase alignment.
+    """
     n, h, w, c = x.shape
     r = factor
-    x = x.reshape(n, h, w, r, r, c // (r * r))
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(n, h, w, c // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(n, h * r, w * r, c // (r * r))
 
 
 def pixel_unshuffle(x, factor: int):
-    """(N,H,W,C) -> (N,H/r,W/r,C*r^2)."""
+    """(N,H,W,C) -> (N,H/r,W/r,C*r^2) (torch channel order)."""
     n, h, w, c = x.shape
     r = factor
     x = x.reshape(n, h // r, r, w // r, r, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(n, h // r, w // r, c * r * r)
