@@ -46,6 +46,30 @@ def _pad_batch(images: dict, divisor: int) -> tuple[dict, tuple[int, int]]:
     return out, (h, w)
 
 
+def _pad_to_bucket(images: dict, buckets: tuple) -> tuple[dict, tuple[int, int]]:
+    """Reflect-pad H/W up to the nearest bucket size (largest bucket caps)."""
+    any_img = images["image"]
+    h, w = any_img.shape[-3], any_img.shape[-2]
+
+    def pick(v):
+        for b in buckets:
+            if v <= b:
+                return b
+        return v  # larger than all buckets: keep exact (single compile)
+
+    th, tw = pick(h), pick(w)
+    if (th, tw) == (h, w):
+        return images, (h, w)
+    out = {}
+    for k, v in images.items():
+        if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[-3] == h and v.shape[-2] == w:
+            pad = [(0, 0)] * (v.ndim - 3) + [(0, th - h), (0, tw - w), (0, 0)]
+            out[k] = jnp.pad(v, pad, mode="reflect")
+        else:
+            out[k] = v
+    return out, (h, w)
+
+
 def _crop_outputs(outputs: dict, size: tuple[int, int]) -> dict:
     h, w = size
     out = {}
@@ -70,13 +94,18 @@ class Predictor:
     """
 
     def __init__(self, model: Model, variables=None, image_size=None,
-                 resize: bool = False, tile: tuple | None = None, seed: int = 0):
+                 resize: bool = False, tile: tuple | None = None, seed: int = 0,
+                 bucket_sizes: tuple | None = None):
         self.model = model
         self.variables = variables
         self.image_size = image_size
         self.resize = resize
         self.tile = tile
         self.seed = seed
+        # Optional shape buckets: padded H/W are rounded UP to the nearest
+        # bucket so arbitrary folders compile at most len(buckets)^2 graphs
+        # (pad-to-bucket + crop; SURVEY.md §7 "dynamic shapes" plan).
+        self.bucket_sizes = tuple(sorted(bucket_sizes)) if bucket_sizes else None
         self._jitted = jax.jit(self._forward)
         self._instance_fn = None
 
@@ -101,6 +130,10 @@ class Predictor:
             dp = {k: resize_op(v, self.image_size) if v.ndim == 4 else v
                   for k, v in dp.items()}
         dp, unpad_hw = _pad_batch(dp, self.model.size_divisor)
+        if self.bucket_sizes:
+            dp, unpad_hw2 = _pad_to_bucket(dp, self.bucket_sizes)
+            unpad_hw = (min(unpad_hw[0], unpad_hw2[0]),
+                        min(unpad_hw[1], unpad_hw2[1]))
 
         self._ensure_variables(dp)
 

@@ -64,3 +64,18 @@ def test_predictor_tile_mode(rng):
     # curve estimation is not strictly tile-local, but outputs must be close
     diff = float(jnp.mean(jnp.abs(out_full["enhanced"] - out_tiled["enhanced"])))
     assert diff < 0.05, diff
+
+
+def test_bucketed_predictor_single_compile(rng):
+    """Different small sizes land in one bucket -> one compiled shape."""
+    from enhax.models.base import build_model
+    m = build_model("zero_dce_re", num_channels=8)
+    pred = Predictor(m, bucket_sizes=(64, 128))
+    shapes_seen = set()
+    for hw in ((30, 47), (50, 20), (64, 64)):
+        out = pred.infer({"image": rng.uniform(0, 0.3, (*hw, 3)).astype(np.float32)})
+        assert out["enhanced"].shape[1:3] == hw  # cropped back exactly
+        shapes_seen.add(hw)
+    # oversized input falls through to exact padding
+    out = pred.infer({"image": rng.uniform(0, 0.3, (150, 150, 3)).astype(np.float32)})
+    assert out["enhanced"].shape[1:3] == (150, 150)
