@@ -35,6 +35,8 @@ def parse_predict_args(argv=None) -> dict:
     p.add_argument("--tile", type=int, default=None, help="tile size for tiled inference")
     p.add_argument("--tile-overlap", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--buckets", type=int, nargs="*", default=None,
+                   help="shape buckets, e.g. --buckets 256 512 1024 (pads up; bounds recompiles)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--save-image", action="store_true", default=True)
@@ -67,7 +69,8 @@ def predict(args: dict):
         tile = (args["tile"], args["tile"], args.get("tile_overlap", 32))
     pred = Predictor(model, variables=variables,
                      image_size=(args["imgsz"], args["imgsz"]) if args.get("imgsz") else None,
-                     resize=bool(args.get("resize")), tile=tile)
+                     resize=bool(args.get("resize")), tile=tile,
+                     bucket_sizes=tuple(args["buckets"]) if args.get("buckets") else None)
 
     save_dir = args.get("save_dir") or default_save_dir(
         "predict", model.arch, model.name, str(data).replace("/", "_"))

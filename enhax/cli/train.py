@@ -100,16 +100,25 @@ def train(args: dict):
         from enhax.parallel.mesh import make_mesh
         mesh = make_mesh(("data",), devices=jax.devices()[: args["devices"]])
 
+    hooks = []
+    if args.get("progressive"):
+        from enhax.train.hooks import ProgressiveTrainingHook
+        p = args["progressive"]
+        hooks.append(ProgressiveTrainingHook(dm, p["milestones"], p["sizes"],
+                                             p["batch_sizes"]))
+
     from enhax.train import Trainer
     trainer = Trainer(
         model, opt_cfg,
         max_epochs=tr_cfg["max_epochs"], max_steps=tr_cfg.get("max_steps"),
         mesh=mesh, ckpt_dir=str(save_dir) + "/ckpt", monitor=tr_cfg["monitor"],
         log_every_n_steps=tr_cfg["log_every_n_steps"], save_dir=save_dir,
-        seed=tr_cfg["seed"],
+        seed=tr_cfg["seed"], hooks=hooks,
+        remat=bool(tr_cfg.get("remat", False)),
     )
     console.print(f"[train] {model.name} on {data_name} -> {save_dir}")
-    state = trainer.fit(dm.train_loader, dm.val_loader)
+    val_fn = dm.val_loader if dm.val is not None else None
+    state = trainer.fit(dm.train_loader, val_fn)
     console.print(f"[train] done at step {int(state.step)}")
     return state
 

@@ -110,3 +110,30 @@ class TensorBoardHook:
             img = np.asarray(jnp.clip(out[self.out_key], 0, 1))[0]
             w.image(self.out_key, img, step)
         w.flush()
+
+
+@CALLBACKS.register(name="progressive_training")
+class ProgressiveTrainingHook:
+    """Restormer-style progressive patch-size training
+    (restormer-deraining.yml:27-30): after each epoch, set the datamodule's
+    crop size and batch size for the next epoch from the schedule."""
+
+    def __init__(self, datamodule, milestones, sizes, batch_sizes):
+        self.dm = datamodule
+        self.milestones = tuple(milestones)
+        self.sizes = tuple(sizes)
+        self.batch_sizes = tuple(batch_sizes)
+        self.apply_for_epoch(0)
+
+    def apply_for_epoch(self, epoch: int):
+        from enhax.data.transforms import Compose, RandomCrop, progressive_patch_schedule
+        size, bs = progressive_patch_schedule(
+            epoch, self.milestones, self.sizes, self.batch_sizes)
+        self.dm.batch_size = bs
+        self.dm.transform = Compose([RandomCrop(size)])
+        if self.dm.train is not None and hasattr(self.dm.train, "transform"):
+            self.dm.train.transform = self.dm.transform
+        return size, bs
+
+    def __call__(self, trainer, state, row):
+        self.apply_for_epoch(row["epoch"] + 1)
