@@ -20,9 +20,19 @@ from typing import Any
 import numpy as np
 
 
-def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple) -> np.ndarray | None:
-    """Transpose a torch tensor into the flax layout matching target_shape."""
+def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple,
+                        target_kind: str = "") -> np.ndarray | None:
+    """Transpose a torch tensor into the flax layout matching target_shape.
+
+    ``target_kind``: the flax leaf name ("kernel"/"scale"/...). A 2D torch
+    ``weight`` mapping to a flax ``kernel`` is ALWAYS transposed (torch
+    Linear stores (out, in)); the exact-shape shortcut would silently keep
+    square matrices untransposed otherwise.
+    """
     a = np.asarray(arr)
+    if a.ndim == 2 and target_kind == "kernel":
+        t = a.T
+        return t if t.shape == tuple(target_shape) else None
     if tuple(a.shape) == tuple(target_shape):
         return a
     if a.ndim == 4:
@@ -122,7 +132,7 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
             # base-name match: exact token-tail overlap
             if tbase and fbase and (tbase[-min(len(tbase), len(fbase)):] ==
                                     fbase[-min(len(tbase), len(fbase)):]):
-                conv = torch_to_flax_array(tname, arr, leaf.shape)
+                conv = torch_to_flax_array(tname, arr, leaf.shape, fkind)
                 if conv is not None:
                     best = (tname, conv)
                     break
@@ -135,7 +145,7 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
                 tkind = ttoks[-1] if ttoks else ""
                 if fkind not in _KIND_MAP.get(tkind, (tkind,)):
                     continue
-                conv = torch_to_flax_array(tname, arr, leaf.shape)
+                conv = torch_to_flax_array(tname, arr, leaf.shape, fkind)
                 if conv is not None:
                     best = (tname, conv)
                     break

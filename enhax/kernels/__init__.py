@@ -10,8 +10,13 @@ table (SURVEY.md §5.7, §7 step 6):
     curve tile-locally in VMEM and applies all iterations without ever
     materializing the full-res curve tensor in HBM.
 
-All kernels run under ``interpret=True`` on CPU (tests) and compile to
-Mosaic on TPU.
+``fused_curve_apply`` is TPU-validated (bit-exact vs the XLA path; compile
+requires the flattened (H, W*C) VMEM layout — NHWC with C=3 pads lanes
+3->128 and blows the 16 MB scoped-VMEM budget). The in-tile-upsample
+variant currently runs under ``interpret=True`` (tests); its 4D layout
+needs the same flattening before TPU compile. On this chip XLA's own
+fusion of the curve loop is already within ~15% of the hand kernel, so the
+XLA path remains the default.
 """
 
 from enhax.kernels.dce_curve import fused_curve_apply, fused_curve_upsample_apply
