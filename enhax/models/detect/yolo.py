@@ -97,8 +97,6 @@ def decode_yolo(outputs: dict, num_classes: int, reg_max: int = 8,
                 score_thresh: float = 0.3, iou_thresh: float = 0.5,
                 max_dets: int = 100) -> np.ndarray:
     """Anchor-free decode + class-agnostic NMS -> (N, 6) [xyxy, score, cls]."""
-    from enhax.ops.geometry import bbox_iou
-
     dets = []
     for name, stride in (("p3", 8), ("p4", 16), ("p5", 32)):
         cls = jax.nn.sigmoid(jnp.asarray(outputs[f"cls_{name}"]))[0]
@@ -126,16 +124,11 @@ def decode_yolo(outputs: dict, num_classes: int, reg_max: int = 8,
             dets.append(stacked)
     if not dets:
         return np.zeros((0, 6))
-    dets = np.concatenate(dets)[np.argsort(-np.concatenate(dets)[:, 4])][:max_dets * 4]
-    # greedy NMS
-    keep = []
-    for d in dets:
-        if all(float(bbox_iou(jnp.asarray(d[:4]), jnp.asarray(k[:4]))) < iou_thresh
-               for k in keep):
-            keep.append(d)
-        if len(keep) >= max_dets:
-            break
-    return np.asarray(keep).reshape(-1, 6)
+    dets = np.concatenate(dets)
+    from enhax.native.nms import nms as _nms
+    keep = _nms(dets, iou_thresh=iou_thresh, score_thresh=score_thresh,
+                max_keep=max_dets)
+    return dets[keep].reshape(-1, 6)
 
 
 @MODELS.register(name="yolo_lite", arch="yolo", aliases=["yolov8_lite"],

@@ -124,8 +124,9 @@ class ZeroDCEV(nn.Module):
         curves = DCENet(self.num_channels, self.num_iters, "conv",
                         dtype=self.dtype, name="dce")(v_lr)
         v_fixed_lr = apply_curves(v_lr, curves, self.num_iters, shared=False)
-        v_fixed = fast_guided_filter(v_fixed_lr, v_lr, v,
-                                     radius=self.radius, eps=self.eps)
+        v_fixed = jnp.clip(fast_guided_filter(v_fixed_lr, v_lr, v,
+                                              radius=self.radius, eps=self.eps),
+                           0.0, 1.0)
         hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
         rgb = hsv_to_rgb(hsv_fixed)
         rgb = rgb / jnp.maximum(jnp.max(rgb), 1e-8)

@@ -7,6 +7,7 @@ time — loaded via ctypes (no pybind11 in this image), with a pure-numpy
 fallback when the toolchain is unavailable.
 """
 
+from enhax.native.nms import nms
 from enhax.native.ccl import (
     connected_components, remove_small_regions, native_available,
 )

@@ -255,7 +255,8 @@ class WindowAttention(nn.Module):
         xw = xw.reshape(n * nh * nw, ws * ws, c)
 
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype)(xw)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(xw)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -284,7 +285,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(xw.shape[0], ws * ws, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype)(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         # merge windows
         out = out.reshape(n, nh, nw, ws, ws, self.dim).transpose(0, 1, 3, 2, 4, 5)

@@ -52,10 +52,7 @@ def test_window_attention_conversion_parity(rng):
 
     fm = WindowAttention(dim, heads, window_size=ws)
     template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x_img))
-    name_map = {"rel_pos_bias": "rel_pos_bias", "qkv.": "Dense_0.",
-                "proj.": "Dense_1."}
-    params, report = convert_state_dict(tm.state_dict(), template,
-                                        name_map=name_map)
+    params, report = convert_state_dict(tm.state_dict(), template)
     assert not [r for r in report if "unmatched" in r], report[:6]
     y_f = np.asarray(fm.apply(params, jnp.asarray(x_img)))
     np.testing.assert_allclose(y_f, y_t, atol=2e-5)

@@ -66,3 +66,29 @@ def test_large_mask_native_fast(rng):
     dt = time.perf_counter() - t0
     assert n > 0
     assert dt < 1.0  # native path must be fast (numpy fallback would be ~10s)
+
+
+def test_native_nms():
+    from enhax.native import nms
+    dets = np.array([
+        [0, 0, 10, 10, 0.9],
+        [1, 1, 11, 11, 0.8],   # overlaps box 0 heavily -> suppressed
+        [50, 50, 60, 60, 0.7],
+        [0, 0, 10, 10, 0.1],   # below score thresh
+    ], np.float32)
+    keep = nms(dets, iou_thresh=0.5, score_thresh=0.2)
+    assert list(keep) == [0, 2]
+
+
+def test_nms_native_matches_fallback(rng):
+    import enhax.native.nms as mod
+    dets = rng.uniform(0, 100, (50, 5)).astype(np.float32)
+    dets[:, 2:4] = dets[:, :2] + rng.uniform(5, 30, (50, 2))
+    a = mod.nms(dets, 0.4)
+    saved_lib, saved_failed = mod._lib, mod._build_failed
+    mod._lib, mod._build_failed = None, True  # force numpy fallback
+    try:
+        b = mod.nms(dets, 0.4)
+    finally:
+        mod._lib, mod._build_failed = saved_lib, saved_failed
+    np.testing.assert_array_equal(a, b)
