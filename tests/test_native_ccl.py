@@ -81,7 +81,8 @@ def test_native_nms():
 
 
 def test_nms_native_matches_fallback(rng):
-    import enhax.native.nms as mod
+    import importlib
+    mod = importlib.import_module("enhax.native.nms")
     dets = rng.uniform(0, 100, (50, 5)).astype(np.float32)
     dets[:, 2:4] = dets[:, :2] + rng.uniform(5, 30, (50, 2))
     a = mod.nms(dets, 0.4)
