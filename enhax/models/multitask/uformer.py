@@ -21,9 +21,13 @@ from enhax.nn.layers import WindowAttention, make_shift_attn_mask
 
 
 class LeFF(nn.Module):
-    """Locally-enhanced feed-forward: linear -> dwconv3x3 -> linear."""
+    """Locally-enhanced feed-forward: linear -> dwconv3x3 -> linear.
+
+    ``fast=True`` is the reference's fastleff variant (uformer.py fastleff):
+    the depthwise conv is dropped, leaving a plain MLP."""
     dim: int
     mult: int = 4
+    fast: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -31,9 +35,10 @@ class LeFF(nn.Module):
         hidden = self.dim * self.mult
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         y = jax.nn.gelu(y)
-        y = nn.Conv(hidden, (3, 3), feature_group_count=hidden, dtype=self.dtype,
-                    name="dwconv")(y)
-        y = jax.nn.gelu(y)
+        if not self.fast:
+            y = nn.Conv(hidden, (3, 3), feature_group_count=hidden,
+                        dtype=self.dtype, name="dwconv")(y)
+            y = jax.nn.gelu(y)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
 
@@ -43,6 +48,7 @@ class LeWinBlock(nn.Module):
     window_size: int = 8
     shift: int = 0
     mult: int = 4
+    fast_leff: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -56,7 +62,8 @@ class LeWinBlock(nn.Module):
                             shift=self.shift, dtype=self.dtype, name="attn")(y, mask=mask)
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
-        return x + LeFF(self.dim, self.mult, dtype=self.dtype, name="ffn")(y)
+        return x + LeFF(self.dim, self.mult, fast=self.fast_leff,
+                        dtype=self.dtype, name="ffn")(y)
 
 
 class UformerModule(nn.Module):
@@ -65,6 +72,7 @@ class UformerModule(nn.Module):
     num_heads: Sequence[int] = (1, 2, 4, 8, 16, 16, 8, 4, 2)
     window_size: int = 8
     use_shift: bool = True
+    fast_leff: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -78,7 +86,8 @@ class UformerModule(nn.Module):
         def stage(y, dim, heads, depth, name):
             for j in range(depth):
                 shift = ws // 2 if (self.use_shift and j % 2 == 1) else 0
-                y = LeWinBlock(dim, heads, ws, shift=shift, dtype=self.dtype,
+                y = LeWinBlock(dim, heads, ws, shift=shift,
+                               fast_leff=self.fast_leff, dtype=self.dtype,
                                name=f"{name}_{j}")(y)
             return y
 
@@ -112,10 +121,11 @@ def _charb_loss():
     return fn
 
 
-def _make_uformer(name, dim, depths, use_shift=True):
+def _make_uformer(name, dim, depths, use_shift=True, fast_leff=False):
     return Model(
         name=name, arch="uformer",
-        module=UformerModule(dim=dim, depths=depths, use_shift=use_shift),
+        module=UformerModule(dim=dim, depths=depths, use_shift=use_shift,
+                             fast_leff=fast_leff),
         tasks=(Task.DENOISE, Task.DEBLUR, Task.DERAIN),
         schemes=(Scheme.SUPERVISED,),
         loss_fn=_charb_loss(),
@@ -153,3 +163,10 @@ def uformer_b(**kwargs) -> Model:
 def uformer_noshift(**kwargs) -> Model:
     return _make_uformer("uformer_noshift", 32, (2, 2, 2, 2, 2, 2, 2, 2, 2),
                          use_shift=False)
+
+
+@MODELS.register(name="uformer_fastleff", arch="uformer",
+                 tasks=(Task.DENOISE,), schemes=(Scheme.SUPERVISED,))
+def uformer_fastleff(**kwargs) -> Model:
+    return _make_uformer("uformer_fastleff", 32, (2, 2, 2, 2, 2, 2, 2, 2, 2),
+                         fast_leff=True)
