@@ -150,6 +150,7 @@ class Trainer:
 
         self._train_step = make_train_step(model, self.tx, remat=remat)
         self._eval_step = make_eval_step(model)
+        self._preempted = False
 
     # -- state ----------------------------------------------------------------
 
@@ -190,6 +191,20 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         mode_sign = 1.0 if self.monitor[1] == "max" else -1.0
         t0 = time.perf_counter()
+
+        # Preemption-aware save (SURVEY.md §5.3): on SIGTERM, finish the
+        # current epoch, checkpoint, and return cleanly so the next run
+        # auto-resumes.
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+            console.print("[trainer] SIGTERM received — will checkpoint and stop")
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            prev_handler = None  # not the main thread
 
         for epoch in range(start_epoch, self.max_epochs):
             # -- train ---------------------------------------------------------
@@ -236,7 +251,15 @@ class Trainer:
 
             if self.max_steps and state.step >= self.max_steps:
                 break
+            if self._preempted:
+                if self.ckpt_dir:
+                    save_checkpoint(self.ckpt_dir, state, epoch, name="last")
+                    console.print("[trainer] preemption checkpoint saved")
+                break
 
+        if prev_handler is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prev_handler)
         return state
 
     def _write_csv_log(self):

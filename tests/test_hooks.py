@@ -69,3 +69,28 @@ def test_progressive_hook_changes_schedule(batch, tmp_path):
     assert dm.batch_size == 1
     item = dm.train[0]
     assert item["image"].shape[:2] == (32, 32)
+
+
+def test_preemption_checkpoint(batch, tmp_path):
+    """SIGTERM mid-training -> checkpoint saved, loop exits cleanly."""
+    import os
+    import signal
+
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=1000, save_dir=tmp_path,
+                 ckpt_dir=tmp_path / "ckpt", log_every_n_steps=10**6)
+
+    def batches():
+        yield batch
+        os.kill(os.getpid(), signal.SIGTERM)  # preempt after first batch
+        yield batch
+
+    state = tr.fit(lambda: batches())
+    assert (tmp_path / "ckpt" / "last").is_dir()
+    assert int(state.step) >= 1
+    # resume picks up the preemption checkpoint
+    tr2 = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=3, ckpt_dir=tmp_path / "ckpt")
+    state2 = tr2.fit(lambda: [batch])
+    assert int(state2.step) > int(state.step)
