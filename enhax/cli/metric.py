@@ -90,7 +90,7 @@ def measure_metric(args: dict) -> dict:
             if m in FR_METRICS:
                 if tgt is None:
                     continue
-                val = float(METRICS.build(m) if False else METRICS.get(m)(img[None], tgt[None]))
+                val = float(METRICS.get(m)(img[None], tgt[None]))
             elif m in NR_METRICS:
                 if nr is None:
                     nr = _nr_metrics(img)
