@@ -21,7 +21,7 @@ from enhax.utils.console import console, print_table
 from enhax.utils.pathlib import Path
 
 FR_METRICS = ("psnr", "ssim", "ms_ssim", "mae", "mse", "rmse")
-NR_METRICS = ("brightness", "contrast", "entropy")
+NR_METRICS = ("brightness", "contrast", "entropy", "niqe")
 
 
 def parse_metric_args(argv=None) -> dict:
@@ -32,6 +32,9 @@ def parse_metric_args(argv=None) -> dict:
                    help="metric name; repeatable; default: psnr ssim")
     p.add_argument("--use-gt-mean", action="store_true",
                    help="scale results to GT mean brightness before FR metrics")
+    p.add_argument("--niqe-params", type=str, default=None,
+                   help="pristine stats for --metric niqe: official .mat or "
+                        ".npz from enhax.nn.niqe.fit_niqe_params")
     p.add_argument("--backend", type=str, default="jax")
     p.add_argument("--verbose", action="store_true")
     return vars(p.parse_args(argv))
@@ -59,6 +62,19 @@ def measure_metric(args: dict) -> dict:
     target_dir = Path(args["target"]) if args.get("target") else None
     names = args.get("metric") or ["psnr", "ssim"]
     use_gt_mean = bool(args.get("use_gt_mean"))
+
+    niqe_fn = None
+    if "niqe" in names:
+        from enhax.nn.niqe import load_niqe_params, make_niqe
+        path = args.get("niqe_params")
+        if not path:
+            raise SystemExit("--metric niqe needs --niqe-params (.mat/.npz)")
+        if str(path).endswith(".npz"):
+            with np.load(path) as z:
+                params = {"mu": z["mu"], "cov": z["cov"]}
+        else:
+            params = load_niqe_params(path)
+        niqe_fn = make_niqe(params)
 
     files = input_dir.image_files()
     if not files:
@@ -91,6 +107,8 @@ def measure_metric(args: dict) -> dict:
                 if tgt is None:
                     continue
                 val = float(METRICS.get(m)(img[None], tgt[None]))
+            elif m == "niqe":
+                val = float(niqe_fn(img))
             elif m in NR_METRICS:
                 if nr is None:
                     nr = _nr_metrics(img)

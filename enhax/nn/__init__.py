@@ -10,5 +10,7 @@ from enhax.nn import metrics
 from enhax.nn import optim
 from enhax.nn import layers
 from enhax.nn import inr
+from enhax.nn import niqe as _niqe_mod  # registers "niqe" metric
+from enhax.nn.niqe import niqe, niqe_features, fit_niqe_params, make_niqe
 from enhax.nn.losses import *  # noqa: F401,F403
 from enhax.nn.metrics import psnr, ssim, ms_ssim, mae, mse, rmse
