@@ -37,6 +37,11 @@ def parse_predict_args(argv=None) -> dict:
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--buckets", type=int, nargs="*", default=None,
                    help="shape buckets, e.g. --buckets 256 512 1024 (pads up; bounds recompiles)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard inference over N devices (0 = single device)")
+    p.add_argument("--spatial", action="store_true",
+                   help="with --devices: also split image height over a "
+                        "'space' mesh axis (large-image inference)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--save-image", action="store_true", default=True)
@@ -67,10 +72,20 @@ def predict(args: dict):
     tile = None
     if args.get("tile"):
         tile = (args["tile"], args["tile"], args.get("tile_overlap", 32))
+    mesh = None
+    if args.get("spatial") and not args.get("devices"):
+        raise SystemExit("--spatial requires --devices N")
+    if args.get("devices"):
+        from enhax.parallel.mesh import make_mesh
+        import jax
+        n = min(int(args["devices"]), len(jax.devices()))
+        axes = ("data", "space") if args.get("spatial") else ("data",)
+        mesh = make_mesh(axes, devices=jax.devices()[:n])
     pred = Predictor(model, variables=variables,
                      image_size=(args["imgsz"], args["imgsz"]) if args.get("imgsz") else None,
                      resize=bool(args.get("resize")), tile=tile,
-                     bucket_sizes=tuple(args["buckets"]) if args.get("buckets") else None)
+                     bucket_sizes=tuple(args["buckets"]) if args.get("buckets") else None,
+                     mesh=mesh, spatial=bool(args.get("spatial") and mesh))
 
     save_dir = args.get("save_dir") or default_save_dir(
         "predict", model.arch, model.name, str(data).replace("/", "_"))

@@ -95,7 +95,8 @@ class Predictor:
 
     def __init__(self, model: Model, variables=None, image_size=None,
                  resize: bool = False, tile: tuple | None = None, seed: int = 0,
-                 bucket_sizes: tuple | None = None):
+                 bucket_sizes: tuple | None = None, mesh=None,
+                 spatial: bool = False):
         self.model = model
         self.variables = variables
         self.image_size = image_size
@@ -106,8 +107,18 @@ class Predictor:
         # bucket so arbitrary folders compile at most len(buckets)^2 graphs
         # (pad-to-bucket + crop; SURVEY.md §7 "dynamic shapes" plan).
         self.bucket_sizes = tuple(sorted(bucket_sizes)) if bucket_sizes else None
+        # Optional multi-device inference: a jax.sharding.Mesh with a "data"
+        # axis (+ optional "space" axis with spatial=True to split image H).
+        # Inputs are placed sharded; XLA propagates the sharding through the
+        # jitted forward, inserting halo collectives for spatially split
+        # convs (SURVEY.md §5.7; replaces the reference's DDP predict path).
+        self.mesh = mesh
+        self.spatial = spatial
+        if spatial and (mesh is None or "space" not in mesh.axis_names):
+            raise ValueError('spatial=True needs a mesh with a "space" axis')
         self._jitted = jax.jit(self._forward)
         self._instance_fn = None
+        self._vars_placed = False
 
     def _forward(self, variables, datapoint):
         return self.model.apply(variables, datapoint)
@@ -115,6 +126,31 @@ class Predictor:
     def _ensure_variables(self, datapoint):
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.seed), datapoint)
+
+    def _place_on_mesh(self, dp: dict) -> dict:
+        """Shard a padded datapoint over the mesh (batch + optional H)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from enhax.parallel.mesh import replicated
+        if not self._vars_placed:
+            self.variables = jax.device_put(self.variables,
+                                            replicated(self.mesh))
+            self._vars_placed = True
+        nd = self.mesh.shape.get("data", 1)
+        ns = self.mesh.shape.get("space", 1) if self.spatial else 1
+        out = {}
+        for k, v in dp.items():
+            if not (hasattr(v, "ndim") and v.ndim >= 1):
+                out[k] = v
+                continue
+            batch_ok = v.shape[0] % nd == 0
+            space_ok = (self.spatial and v.ndim == 4
+                        and v.shape[1] % ns == 0 and v.shape[1] // ns > 0)
+            entries = ["data" if batch_ok else None]
+            if v.ndim >= 2:
+                entries.append("space" if space_ok else None)
+            spec = P(*entries)
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
 
     def infer(self, datapoint: dict) -> dict:
         """Single-batch inference with timing (reference infer contract)."""
@@ -136,6 +172,8 @@ class Predictor:
                         min(unpad_hw[1], unpad_hw2[1]))
 
         self._ensure_variables(dp)
+        if self.mesh is not None:
+            dp = self._place_on_mesh(dp)
 
         if self.model.instance_steps > 0:
             if self._instance_fn is None:
