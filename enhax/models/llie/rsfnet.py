@@ -8,8 +8,10 @@ color/exposure/TV zero-reference loss.
 
 Deviation: the reference tracks per-epoch factor statistics on the host and
 freezes lambdas after ``freeze_epochs`` (rsfnet.py:188-257); enhax keeps the
-factorization purely functional (no host state). The unrolled math —
-e = shrink(a, lambda_e); a <- a - step * e — is preserved.
+factorization purely functional and expresses the freeze as the jit-safe
+``enhax.nn.optim.freeze_after`` transform — config:
+``{"freeze": {"match": "lambda_|step", "after_steps": 25 * steps_per_epoch}}``.
+The unrolled math — e = shrink(a, lambda_e); a <- a - step * e — is preserved.
 """
 
 from __future__ import annotations

@@ -16,6 +16,8 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from enhax.constants import LR_SCHEDULERS, OPTIMIZERS
@@ -238,6 +240,44 @@ def build_schedule(base_lr: float, spec: dict | None):
     return LR_SCHEDULERS.build(name, base_lr=base_lr, **spec)
 
 
+def freeze_after(param_filter, after_steps: int) -> optax.GradientTransformation:
+    """Zero updates for matching params once the step count passes a threshold.
+
+    The JAX-native form of the reference's epoch-gated ``requires_grad_ =
+    False`` freezing (RSFNet rsfnet.py:159-162 freezes its soft-threshold
+    lambdas/steps after ``freeze_epochs``): instead of mutating param flags —
+    impossible under jit — a stateful transform masks their updates to zero
+    past ``after_steps``. Chain it before the optimizer:
+
+        tx = optax.chain(freeze_after(lambda p: "lambda_" in p, 2500),
+                         optax.adam(1e-4))
+
+    Args:
+        param_filter: ``fn(path_str) -> bool``; path is "/".join of the
+            param's pytree keys (e.g. "params/stage0/lambda_a").
+        after_steps: optimizer step count after which matches stop updating.
+    """
+    def _path_str(path):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+
+    def init_fn(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        frozen = state["count"] >= after_steps
+        def mask(path, u):
+            if param_filter(_path_str(path)):
+                return jnp.where(frozen, jnp.zeros_like(u), u)
+            return u
+        updates = jax.tree_util.tree_map_with_path(mask, updates)
+        return updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(config: dict):
     """Build an optax GradientTransformation from a reference-style dict.
 
@@ -278,4 +318,13 @@ def build_optimizer(config: dict):
     clip = cfg.get("grad_clip_norm")
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+
+    # {"freeze": {"match": "lambda_a|lambda_e", "after_steps": 2500}}
+    frz = cfg.get("freeze")
+    if frz:
+        import re
+        pat = re.compile(frz["match"])
+        tx = optax.chain(
+            freeze_after(lambda p: bool(pat.search(p)),
+                         int(frz["after_steps"])), tx)
     return tx

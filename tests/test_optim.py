@@ -1,0 +1,63 @@
+"""Optimizer-builder tests: freeze_after transform and config wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from enhax.nn.optim import build_optimizer, freeze_after
+
+
+def _params():
+    return {"params": {"stage0": {"lambda_a": jnp.ones((3,)),
+                                  "kernel": jnp.ones((2, 2))}}}
+
+
+def test_freeze_after_masks_updates():
+    tx = optax.chain(freeze_after(lambda p: "lambda_a" in p, after_steps=2),
+                     optax.sgd(1.0))
+    params = _params()
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    lam = [float(params["params"]["stage0"]["lambda_a"][0])]
+    ker = [float(params["params"]["stage0"]["kernel"][0, 0])]
+    for _ in range(4):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        lam.append(float(params["params"]["stage0"]["lambda_a"][0]))
+        ker.append(float(params["params"]["stage0"]["kernel"][0, 0]))
+
+    # lambda_a moves for 2 steps, then freezes; kernel keeps moving
+    assert lam == [1.0, 0.0, -1.0, -1.0, -1.0]
+    assert ker == [1.0, 0.0, -1.0, -2.0, -3.0]
+
+
+def test_freeze_after_under_jit():
+    tx = optax.chain(freeze_after(lambda p: "lambda_a" in p, after_steps=1),
+                     optax.sgd(1.0))
+    params = _params()
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    @jax.jit
+    def step(params, state):
+        updates, state = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(3):
+        params, state = step(params, state)
+    assert float(params["params"]["stage0"]["lambda_a"][0]) == 0.0
+    assert float(params["params"]["stage0"]["kernel"][0, 0]) == -2.0
+
+
+def test_build_optimizer_freeze_config():
+    tx = build_optimizer({"optimizer": {"name": "sgd", "lr": 1.0},
+                          "freeze": {"match": "lambda_", "after_steps": 0}})
+    params = _params()
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_array_equal(
+        np.asarray(updates["params"]["stage0"]["lambda_a"]), 0.0)
+    assert float(updates["params"]["stage0"]["kernel"][0, 0]) != 0.0
