@@ -247,10 +247,12 @@ def freeze_after(param_filter, after_steps: int) -> optax.GradientTransformation
     False`` freezing (RSFNet rsfnet.py:159-162 freezes its soft-threshold
     lambdas/steps after ``freeze_epochs``): instead of mutating param flags —
     impossible under jit — a stateful transform masks their updates to zero
-    past ``after_steps``. Chain it before the optimizer:
+    past ``after_steps``. Chain it AFTER the optimizer — stateful optimizers
+    (adam momentum) emit nonzero updates for zero gradients, so masking must
+    hit the final updates, not the grads:
 
-        tx = optax.chain(freeze_after(lambda p: "lambda_" in p, 2500),
-                         optax.adam(1e-4))
+        tx = optax.chain(optax.adam(1e-4),
+                         freeze_after(lambda p: "lambda_" in p, 2500))
 
     Args:
         param_filter: ``fn(path_str) -> bool``; path is "/".join of the
@@ -320,11 +322,12 @@ def build_optimizer(config: dict):
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
 
     # {"freeze": {"match": "lambda_a|lambda_e", "after_steps": 2500}}
+    # (appended last: must mask final updates, not pre-optimizer grads)
     frz = cfg.get("freeze")
     if frz:
         import re
         pat = re.compile(frz["match"])
         tx = optax.chain(
-            freeze_after(lambda p: bool(pat.search(p)),
-                         int(frz["after_steps"])), tx)
+            tx, freeze_after(lambda p: bool(pat.search(p)),
+                             int(frz["after_steps"])))
     return tx

@@ -14,8 +14,8 @@ def _params():
 
 
 def test_freeze_after_masks_updates():
-    tx = optax.chain(freeze_after(lambda p: "lambda_a" in p, after_steps=2),
-                     optax.sgd(1.0))
+    tx = optax.chain(optax.sgd(1.0),
+                     freeze_after(lambda p: "lambda_a" in p, after_steps=2))
     params = _params()
     state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
@@ -34,8 +34,8 @@ def test_freeze_after_masks_updates():
 
 
 def test_freeze_after_under_jit():
-    tx = optax.chain(freeze_after(lambda p: "lambda_a" in p, after_steps=1),
-                     optax.sgd(1.0))
+    tx = optax.chain(optax.sgd(1.0),
+                     freeze_after(lambda p: "lambda_a" in p, after_steps=1))
     params = _params()
     state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
@@ -61,3 +61,19 @@ def test_build_optimizer_freeze_config():
     np.testing.assert_array_equal(
         np.asarray(updates["params"]["stage0"]["lambda_a"]), 0.0)
     assert float(updates["params"]["stage0"]["kernel"][0, 0]) != 0.0
+
+
+def test_freeze_truly_freezes_adam():
+    """Masking must beat adam momentum: param static after the threshold."""
+    tx = build_optimizer({"optimizer": {"name": "adam", "lr": 1e-2},
+                          "freeze": {"match": "lambda_a", "after_steps": 1}})
+    params = _params()
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    vals = []
+    for _ in range(5):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        vals.append(float(params["params"]["stage0"]["lambda_a"][0]))
+    assert vals[0] != 1.0            # moved on step 1
+    assert vals[1:] == [vals[0]] * 4  # pinned afterwards despite momentum
