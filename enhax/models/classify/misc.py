@@ -101,11 +101,18 @@ class MNASNet(nn.Module):
 
 
 class RegNetX(nn.Module):
-    """RegNetX: simple staged residual bottlenecks with group conv."""
+    """RegNet: staged residual bottlenecks with group conv.
+
+    ``se_ratio > 0`` adds the squeeze-excite block of the Y family
+    (reference vision/classify/regnet/regnet.py:72-871 registers the
+    torchvision X and Y variants); squeeze width is relative to the
+    block's input channels as in torchvision.
+    """
     widths: Sequence[int] = (80, 240, 560, 1360)
     depths: Sequence[int] = (2, 5, 15, 1)
     group_width: int = 40
     num_classes: int = 1000
+    se_ratio: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,6 +130,12 @@ class RegNetX(nn.Module):
                     nn.Conv(wd, (3, 3), strides=(stride, stride),
                             feature_group_count=groups, use_bias=False,
                             name=f"s{si}b{j}_c2")(z)))
+                if self.se_ratio > 0:
+                    se_ch = max(1, int(round(r.shape[-1] * self.se_ratio)))
+                    a = jnp.mean(z, axis=(-3, -2), keepdims=True)
+                    a = nn.relu(nn.Conv(se_ch, (1, 1), name=f"s{si}b{j}_se1")(a))
+                    a = jax.nn.sigmoid(nn.Conv(wd, (1, 1), name=f"s{si}b{j}_se2")(a))
+                    z = z * a
                 z = bn(name=f"s{si}b{j}_bn3")(
                     nn.Conv(wd, (1, 1), use_bias=False, name=f"s{si}b{j}_c3")(z))
                 if r.shape != z.shape:
@@ -147,15 +160,28 @@ def mnasnet1_0(num_classes: int = 1000, **kwargs):
     return make_classifier("mnasnet1_0", "mnasnet", MNASNet(num_classes=num_classes))
 
 
-for _name, (_w, _d, _g) in {
-    "regnet_x_400mf": ((32, 64, 160, 400), (1, 2, 7, 12), 16),
-    "regnet_x_800mf": ((64, 128, 288, 672), (1, 3, 7, 5), 16),
-    "regnet_x_1_6gf": ((72, 168, 408, 912), (2, 4, 10, 2), 24),
-    "regnet_x_3_2gf": ((96, 192, 432, 1008), (2, 6, 15, 2), 48),
+# torchvision size tables: (widths, depths, group_width, se_ratio)
+for _name, (_w, _d, _g, _se) in {
+    "regnet_x_400mf": ((32, 64, 160, 400), (1, 2, 7, 12), 16, 0.0),
+    "regnet_x_800mf": ((64, 128, 288, 672), (1, 3, 7, 5), 16, 0.0),
+    "regnet_x_1_6gf": ((72, 168, 408, 912), (2, 4, 10, 2), 24, 0.0),
+    "regnet_x_3_2gf": ((96, 192, 432, 1008), (2, 6, 15, 2), 48, 0.0),
+    "regnet_x_8gf": ((80, 240, 720, 1920), (2, 5, 15, 1), 120, 0.0),
+    "regnet_x_16gf": ((256, 512, 896, 2048), (2, 6, 13, 1), 128, 0.0),
+    "regnet_x_32gf": ((336, 672, 1344, 2520), (2, 7, 13, 1), 168, 0.0),
+    "regnet_y_400mf": ((48, 104, 208, 440), (1, 3, 6, 6), 8, 0.25),
+    "regnet_y_800mf": ((64, 144, 320, 784), (1, 3, 8, 2), 16, 0.25),
+    "regnet_y_1_6gf": ((48, 120, 336, 888), (2, 6, 17, 2), 24, 0.25),
+    "regnet_y_3_2gf": ((72, 216, 576, 1512), (2, 5, 13, 1), 24, 0.25),
+    "regnet_y_8gf": ((224, 448, 896, 2016), (2, 4, 10, 1), 56, 0.25),
+    "regnet_y_16gf": ((224, 448, 1232, 3024), (2, 6, 17, 2), 112, 0.25),
+    "regnet_y_32gf": ((232, 696, 1392, 3712), (2, 5, 12, 1), 232, 0.25),
+    "regnet_y_128gf": ((528, 1056, 2904, 7392), (2, 7, 17, 1), 264, 0.25),
 }.items():
-    def _builder(num_classes: int = 1000, w=_w, d=_d, g=_g, nm=_name, **kwargs):
+    def _builder(num_classes: int = 1000, w=_w, d=_d, g=_g, se=_se, nm=_name,
+                 **kwargs):
         return make_classifier(nm, "regnet",
                                RegNetX(widths=w, depths=d, group_width=g,
-                                       num_classes=num_classes))
+                                       se_ratio=se, num_classes=num_classes))
     MODELS.register(name=_name, obj=_builder, arch="regnet",
                     tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))

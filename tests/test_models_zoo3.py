@@ -16,7 +16,8 @@ def img(rng):
 
 @pytest.mark.parametrize("name", ["resnet18", "mobilenet_v2", "alexnet",
                                   "squeezenet1_0", "convnext_tiny",
-                                  "shufflenet_v2_x1_0", "efficientnet_b0"])
+                                  "shufflenet_v2_x1_0", "efficientnet_b0",
+                                  "regnet_x_400mf", "regnet_y_400mf"])
 def test_classifier_forward(name, img):
     m = build_model(name, num_classes=10)
     dp = {"image": img}
@@ -167,3 +168,23 @@ def test_yolo_lite_detect_and_decode(rng):
     assert out["box_p3"].shape == (1, 8, 8, 32)  # 4 * reg_max
     dets = decode_yolo(out, num_classes=3, score_thresh=0.0, max_dets=10)
     assert dets.shape[1] == 6 and len(dets) <= 10
+
+
+def test_regnet_full_size_table():
+    """All 15 torchvision RegNet variants are registered and buildable."""
+    from enhax.constants import MODELS
+    names = sorted(n for n in MODELS if n.startswith("regnet"))
+    assert len(names) == 15
+    assert "regnet_y_128gf" in names and "regnet_x_32gf" in names
+
+
+def test_regnet_y_has_se(img):
+    """Y family carries squeeze-excite params; X family does not."""
+    my = build_model("regnet_y_400mf", num_classes=10)
+    mx = build_model("regnet_x_400mf", num_classes=10)
+    py = my.init(jax.random.PRNGKey(0), {"image": img})
+    px = mx.init(jax.random.PRNGKey(0), {"image": img})
+    flat_y = jax.tree_util.tree_flatten_with_path(py)[0]
+    flat_x = jax.tree_util.tree_flatten_with_path(px)[0]
+    has = lambda flat: any("_se1" in "/".join(map(str, p)) for p, _ in flat)
+    assert has(flat_y) and not has(flat_x)
