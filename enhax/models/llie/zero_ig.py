@@ -7,11 +7,13 @@ illumination-normalized image; trained per image with the paper's composite
 loss (enhance + paired-downsample residual/consistency + color blur + TV +
 bilateral smoothness).
 
-Deviation: the reference's 17-term loss (zero_ig.py:164-256) includes
-texture-difference-gated consistency and local-variance matching; enhax
-implements the dominant terms (enhance, res-1/res-2 pair-downsample,
-color-blur, illumination-consistency, TV, smooth) — same optimization
-structure, fewer tail terms.
+Loss parity (zero_ig.py:164-256): enhance, res-1/res-2 pair-downsample,
+color-blur, illumination-consistency, TV, bilateral SmoothLoss,
+texture-gated local-mean consistency (Loss_cons) and local-variance
+matching (Loss_Var) are all implemented. Remaining deviation: the
+stage-2 cross-predictions (h3_pred/h4_pred on [h, s] concatenations,
+zero_ig.py:230-234) are folded into the per-half full-pipeline residual
+terms — same self-supervision signal through a simpler graph.
 """
 
 from __future__ import annotations
@@ -72,6 +74,29 @@ class ZeroIGModule(nn.Module):
                 "noise1": noise1, "noise2": noise2}
 
 
+def _mean5_zero(x):
+    """5x5 sliding mean, zero padding, fixed /25 (AvgPool2d semantics with
+    count_include_pad=True; zero_ig.py:41-53)."""
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "SAME")
+    return s / 25.0
+
+
+def _local_var5(x):
+    """Reference calculate_local_variance: windowed mean of (x - avg)^2
+    where avg is the 5x5 zero-pad sliding mean (zero_ig.py:41-53)."""
+    d = x - _mean5_zero(x)
+    return _mean5_zero(d * d)
+
+
+def _local_mean5(x):
+    """5x5 sliding mean with reflect padding (core ImageLocalMean)."""
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    s = jax.lax.reduce_window(xp, 0.0, jax.lax.add, (1, 5, 5, 1),
+                              (1, 1, 1, 1), "VALID")
+    return s / 25.0
+
+
 def _zero_ig_forward_loss(model, variables, datapoint, rngs):
     image = datapoint["image"] + 1e-9
     f = lambda img: model.apply(variables, {"image": img}, rngs=rngs)
@@ -111,6 +136,24 @@ def _zero_ig_forward_loss(model, variables, datapoint, rngs):
     loss += 1000.0 * mse(sg(s2), s3)
     tv = LOSSES.build("total_variation_loss")
     loss += 1600.0 * tv(s2)
+
+    # Bilateral illumination smoothness (zero_ig.py:220 SmoothLoss * 5)
+    smooth = LOSSES.build("bilateral_smooth_loss")
+    loss += 5.0 * smooth(sg(l2), s2)
+
+    # Texture-gated local-mean consistency (Loss_cons, zero_ig.py:240-245):
+    # in flat regions (gate 0) the denoised halves must match their local
+    # means; textured regions (gate 1) are left alone. The gate reuses the
+    # reference's asymmetric pairing (h3_denoised1 in both weighted diffs).
+    gate = LOSSES.build("texture_difference_loss")(e1, e2)
+    lm1, lm2 = _local_mean5(e1), _local_mean5(e2)
+    wd1 = (1.0 - gate) * lm1 + e1 * gate
+    wd2 = (1.0 - gate) * lm2 + e1 * gate
+    loss += 10000.0 * (mse(e1, wd1) + mse(e2, wd2))
+
+    # Local-variance matching (Loss_Var, zero_ig.py:246-249): the local
+    # variance of the removed noise (h3 - h2) must match that of h2.
+    loss += 1000.0 * mse(_local_var5(h2), _local_var5(h3 - h2))
     return loss, out
 
 

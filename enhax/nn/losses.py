@@ -34,6 +34,7 @@ __all__ = [
     "depth_weighted_smoothness_loss", "edge_aware_loss", "edge_loss",
     "edge_constancy_loss", "edge_charbonnier_loss", "entropy_loss",
     "histogram_loss", "std_loss", "texture_difference_loss", "color_loss",
+    "bilateral_smooth_loss",
     "perceptual_loss_builder",
 ]
 
@@ -514,6 +515,51 @@ def std_loss(loss_weight: float = 1.0, reduction: str = "mean"):
         center = g[..., 2:-2, 2:-2, :]
         blur = blur[..., 2:-2, 2:-2, :]
         return loss_weight * reduce_loss((center - blur) ** 2, reduction)
+    return fn
+
+
+@LOSSES.register(name="bilateral_smooth_loss")
+@LOSSES.register(name="smooth_loss")
+def bilateral_smooth_loss(sigma: float = 10.0, loss_weight: float = 1.0,
+                          reduction: str = "mean"):
+    """Bilateral smoothness over 12 neighbor offsets (ZeroIG SmoothLoss,
+    zero_ig.py:56-160): target gradients are L1-penalized with weights
+    exp(-||dYCbCr(input)||^2 / (2 sigma^2)), so the illumination may only
+    vary where the guide image itself has edges. The reference enumerates
+    each offset twice (w1..w24 with identical forward/backward pairs); we
+    compute 12 offsets and double — same value.
+
+    Deviation: the reference's ``rgb2yCbCr`` flattens an NCHW tensor with
+    ``view(-1, 3)``, mixing pixels across channels (an upstream-repo layout
+    bug); enhax applies the same BT.601 studio-swing matrix per pixel.
+    """
+    offsets = ((1, 0), (0, 1), (1, 1), (1, -1), (2, 0), (0, 2),
+               (2, 1), (2, -1), (1, 2), (1, -2), (2, 2), (2, -2))
+    mat = jnp.array([[0.257, -0.148, 0.439],
+                     [0.564, -0.291, -0.368],
+                     [0.098, 0.439, -0.071]], jnp.float32)
+    bias = jnp.array([16.0 / 255.0, 128.0 / 255.0, 128.0 / 255.0], jnp.float32)
+
+    def _shift_pair(x, dy, dx):
+        h, w = x.shape[-3], x.shape[-2]
+        y0, y1 = max(dy, 0), h + min(dy, 0)
+        x0, x1 = max(dx, 0), w + min(dx, 0)
+        a = x[..., y0:y1, x0:x1, :]
+        b = x[..., y0 - dy:y1 - dy, x0 - dx:x1 - dx, :]
+        return a, b
+
+    def fn(input, target, **_):
+        guide = input @ mat + bias
+        sigma_color = -1.0 / (2 * sigma * sigma)
+        total = 0.0
+        for dy, dx in offsets:
+            ga, gb = _shift_pair(guide, dy, dx)
+            w = jnp.exp(jnp.sum((ga - gb) ** 2, axis=-1, keepdims=True)
+                        * sigma_color)
+            ta, tb = _shift_pair(target, dy, dx)
+            grad = jnp.sum(jnp.abs(ta - tb), axis=-1, keepdims=True)
+            total = total + 2.0 * jnp.mean(w * grad)
+        return loss_weight * total
     return fn
 
 

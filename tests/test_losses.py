@@ -121,3 +121,26 @@ def test_losses_jit_compatible(imgs):
     fn = jax.jit(LOSSES.build("charbonnier_loss"))
     out = float(fn(x, y))
     assert np.isfinite(out)
+
+
+def test_bilateral_smooth_loss_edge_aware(rng):
+    """Smooth guide -> strong penalty on target gradients; edged guide ->
+    weights collapse and the same target costs less."""
+    from enhax.constants import LOSSES
+    fn = LOSSES.build("bilateral_smooth_loss")
+    tgt = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    flat_guide = jnp.full((1, 16, 16, 3), 0.5, jnp.float32)
+    edgy_guide = jnp.asarray(
+        (rng.uniform(0, 1, (1, 16, 16, 3)) > 0.5).astype(np.float32))
+    assert float(fn(flat_guide, tgt)) > float(fn(edgy_guide, tgt))
+    # smooth target under a flat guide costs ~0
+    assert float(fn(flat_guide, jnp.zeros_like(tgt))) == pytest.approx(0.0)
+
+
+def test_bilateral_smooth_loss_grad(rng):
+    from enhax.constants import LOSSES
+    fn = LOSSES.build("bilateral_smooth_loss")
+    guide = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32))
+    g = jax.grad(lambda t: fn(guide, t))(guide)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
