@@ -99,3 +99,34 @@ def test_zoo_size():
                  "nafnet", "restormer", "uformer", "mprnet", "zero_restore",
                  "neurop"):
         assert arch in enhax.MODELS.archs, arch
+
+
+def test_psenet_pseudo_gt_selects_bright(rng):
+    """Dark input -> per-pixel argmax picks brightened gamma references."""
+    from enhax.models.llie.psenet import good_looking_score, pseudo_gt
+    dark = jnp.asarray(rng.uniform(0, 0.15, (2, 32, 32, 3)).astype(np.float32))
+    gt = pseudo_gt(dark, jax.random.PRNGKey(0))
+    assert gt.shape == dark.shape
+    assert float(gt.mean()) > float(dark.mean())
+    assert np.all(np.isfinite(np.asarray(gt)))
+    # score map shape and well-exposedness preference
+    s_dark = good_looking_score(dark)
+    s_mid = good_looking_score(jnp.clip(dark + 0.4, 0, 1))
+    assert s_dark.shape == (2, 32, 32, 1)
+    assert float(s_mid.mean()) > float(s_dark.mean())
+
+
+def test_psenet_pseudo_gt_includes_prev_output(rng):
+    """A prev_output that dominates the good-looking score (max saturation,
+    high local contrast, mid exposure) must win the per-pixel argmax."""
+    from enhax.models.llie.psenet import pseudo_gt
+    dark = jnp.asarray(rng.uniform(0, 0.1, (1, 32, 32, 3)).astype(np.float32))
+    ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    checker = ((ii + jj) % 2).astype(np.float32)
+    prev = np.zeros((1, 32, 32, 3), np.float32)
+    prev[0, ..., 0] = checker  # saturation ~1, strong contrast, mean ~0.17
+    gt_with = pseudo_gt(dark, jax.random.PRNGKey(0), prev_output=jnp.asarray(prev))
+    gt_wo = pseudo_gt(dark, jax.random.PRNGKey(0))
+    frac = float(jnp.mean(jnp.all(jnp.isclose(gt_with, prev, atol=1e-6), axis=-1)))
+    assert frac > 0.5  # majority of pixels taken from prev_output
+    assert not np.allclose(np.asarray(gt_with), np.asarray(gt_wo))
