@@ -1,4 +1,7 @@
-"""DenseNet 121/169/201 (reference vision/classify/densenet)."""
+"""DenseNet 121/161/169/201 (reference vision/classify/densenet).
+
+Stem width is 2x growth rate (64 for k=32, 96 for densenet161 k=48),
+matching torchvision num_init_features."""
 
 from __future__ import annotations
 
@@ -34,7 +37,8 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, name="stem")(x)
+        y = nn.Conv(2 * self.growth, (7, 7), strides=(2, 2), use_bias=False,
+                    name="stem")(x)
         y = nn.relu(bn(name="bn0")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for bi, n in enumerate(self.layers):
@@ -50,11 +54,15 @@ class DenseNet(nn.Module):
         return {"logits": nn.Dense(self.num_classes, name="classifier")(y)}
 
 
-for _name, _layers in {"densenet121": (6, 12, 24, 16),
-                       "densenet169": (6, 12, 32, 32),
-                       "densenet201": (6, 12, 48, 32)}.items():
-    def _builder(num_classes: int = 1000, layers=_layers, nm=_name, **kwargs):
+for _name, (_layers, _growth) in {
+        "densenet121": ((6, 12, 24, 16), 32),
+        "densenet161": ((6, 12, 36, 24), 48),
+        "densenet169": ((6, 12, 32, 32), 32),
+        "densenet201": ((6, 12, 48, 32), 32)}.items():
+    def _builder(num_classes: int = 1000, layers=_layers, growth=_growth,
+                 nm=_name, **kwargs):
         return make_classifier(nm, "densenet",
-                               DenseNet(layers=layers, num_classes=num_classes))
+                               DenseNet(layers=layers, growth=growth,
+                                        num_classes=num_classes))
     MODELS.register(name=_name, obj=_builder, arch="densenet",
                     tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))

@@ -79,7 +79,8 @@ class EfficientNet(nn.Module):
 
 for _name, (_w, _d) in {"efficientnet_b0": (1.0, 1.0), "efficientnet_b1": (1.0, 1.1),
                         "efficientnet_b2": (1.1, 1.2), "efficientnet_b3": (1.2, 1.4),
-                        "efficientnet_b4": (1.4, 1.8)}.items():
+                        "efficientnet_b4": (1.4, 1.8), "efficientnet_b5": (1.6, 2.2),
+                        "efficientnet_b6": (1.8, 2.6), "efficientnet_b7": (2.0, 3.1)}.items():
     def _builder(num_classes: int = 1000, w=_w, d=_d, nm=_name, **kwargs):
         return make_classifier(nm, "efficientnet",
                                EfficientNet(width=w, depth=d, num_classes=num_classes))

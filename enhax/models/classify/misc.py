@@ -53,6 +53,7 @@ class ShuffleUnit(nn.Module):
 class ShuffleNetV2(nn.Module):
     stages: Sequence[int] = (4, 8, 4)
     channels: Sequence[int] = (116, 232, 464)
+    head: int = 1024
     num_classes: int = 1000
 
     @nn.compact
@@ -66,7 +67,7 @@ class ShuffleNetV2(nn.Module):
             for j in range(1, n):
                 y = ShuffleUnit(c, stride=1, name=f"stage{si}_{j}")(y, train=train)
         y = nn.relu(bn(name="bn_last")(
-            nn.Conv(1024, (1, 1), use_bias=False, name="conv_last")(y)))
+            nn.Conv(self.head, (1, 1), use_bias=False, name="conv_last")(y)))
         y = jnp.mean(y, axis=(-3, -2))
         return {"logits": nn.Dense(self.num_classes, name="fc")(y)}
 
@@ -147,17 +148,31 @@ class RegNetX(nn.Module):
         return {"logits": nn.Dense(self.num_classes, name="fc")(y)}
 
 
-@MODELS.register(name="shufflenet_v2_x1_0", arch="shufflenet", aliases=["shufflenet_v2"],
-                 tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
-def shufflenet_v2_x1_0(num_classes: int = 1000, **kwargs):
-    return make_classifier("shufflenet_v2_x1_0", "shufflenet",
-                           ShuffleNetV2(num_classes=num_classes))
+# torchvision shufflenet_v2 size tables: (stage channels, head width)
+for _name, (_ch, _head) in {
+    "shufflenet_v2_x0_5": ((48, 96, 192), 1024),
+    "shufflenet_v2_x1_0": ((116, 232, 464), 1024),
+    "shufflenet_v2_x1_5": ((176, 352, 704), 1024),
+    "shufflenet_v2_x2_0": ((244, 488, 976), 2048),
+}.items():
+    def _snbuilder(num_classes: int = 1000, ch=_ch, head=_head, nm=_name,
+                   **kwargs):
+        return make_classifier(nm, "shufflenet",
+                               ShuffleNetV2(channels=ch, head=head,
+                                            num_classes=num_classes))
+    MODELS.register(name=_name, obj=_snbuilder, arch="shufflenet",
+                    aliases=["shufflenet_v2"] if _name.endswith("x1_0") else (),
+                    tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
 
 
-@MODELS.register(name="mnasnet1_0", arch="mnasnet", aliases=["mnasnet"],
-                 tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
-def mnasnet1_0(num_classes: int = 1000, **kwargs):
-    return make_classifier("mnasnet1_0", "mnasnet", MNASNet(num_classes=num_classes))
+for _name, _w in {"mnasnet0_5": 0.5, "mnasnet0_75": 0.75,
+                  "mnasnet1_0": 1.0, "mnasnet1_3": 1.3}.items():
+    def _mnbuilder(num_classes: int = 1000, w=_w, nm=_name, **kwargs):
+        return make_classifier(nm, "mnasnet",
+                               MNASNet(width=w, num_classes=num_classes))
+    MODELS.register(name=_name, obj=_mnbuilder, arch="mnasnet",
+                    aliases=["mnasnet"] if _name == "mnasnet1_0" else (),
+                    tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
 
 
 # torchvision size tables: (widths, depths, group_width, se_ratio)

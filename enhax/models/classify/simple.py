@@ -43,19 +43,35 @@ class Fire(nn.Module):
 
 
 class SqueezeNet(nn.Module):
+    """version "1_0": 7x7/96 stem, pools after fire4/8 (torchvision 1.0);
+    version "1_1": 3x3/64 stem, earlier pools (torchvision 1.1, ~2.4x less
+    compute at equal accuracy)."""
     num_classes: int = 1000
+    version: str = "1_0"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), name="conv1")(x))
-        y = nn.max_pool(y, (3, 3), strides=(2, 2))
-        for i, (s, e) in enumerate([(16, 64), (16, 64), (32, 128)]):
-            y = Fire(s, e, name=f"fire{i + 2}")(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2))
-        for i, (s, e) in enumerate([(32, 128), (48, 192), (48, 192), (64, 256)]):
-            y = Fire(s, e, name=f"fire{i + 5}")(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2))
-        y = Fire(64, 256, name="fire9")(y)
+        if self.version == "1_0":
+            y = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), name="conv1")(x))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(16, 64), (16, 64), (32, 128)]):
+                y = Fire(s, e, name=f"fire{i + 2}")(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(32, 128), (48, 192), (48, 192), (64, 256)]):
+                y = Fire(s, e, name=f"fire{i + 5}")(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            y = Fire(64, 256, name="fire9")(y)
+        else:
+            y = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), name="conv1")(x))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(16, 64), (16, 64)]):
+                y = Fire(s, e, name=f"fire{i + 2}")(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(32, 128), (32, 128)]):
+                y = Fire(s, e, name=f"fire{i + 4}")(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for i, (s, e) in enumerate([(48, 192), (48, 192), (64, 256), (64, 256)]):
+                y = Fire(s, e, name=f"fire{i + 6}")(y)
         y = nn.Conv(self.num_classes, (1, 1), name="classifier")(y)
         return {"logits": jnp.mean(y, axis=(-3, -2))}
 
@@ -110,6 +126,13 @@ class GoogLeNet(nn.Module):
                  tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
 def alexnet(num_classes: int = 1000, **kwargs):
     return make_classifier("alexnet", "alexnet", AlexNet(num_classes=num_classes))
+
+
+@MODELS.register(name="squeezenet1_1", arch="squeezenet",
+                 tasks=(Task.CLASSIFY,), schemes=(Scheme.SUPERVISED,))
+def squeezenet1_1(num_classes: int = 1000, **kwargs):
+    return make_classifier("squeezenet1_1", "squeezenet",
+                           SqueezeNet(num_classes=num_classes, version="1_1"))
 
 
 @MODELS.register(name="squeezenet1_0", arch="squeezenet", aliases=["squeezenet"],

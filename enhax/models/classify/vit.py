@@ -58,6 +58,7 @@ for _name, (_p, _d, _dep, _h, _m) in {
     "vit_b_32": (32, 768, 12, 12, 3072),
     "vit_l_16": (16, 1024, 24, 16, 4096),
     "vit_l_32": (32, 1024, 24, 16, 4096),
+    "vit_h_14": (14, 1280, 32, 16, 5120),
 }.items():
     def _builder(num_classes: int = 1000, p=_p, d=_d, dep=_dep, h=_h, m=_m,
                  nm=_name, **kwargs):

@@ -17,7 +17,9 @@ def img(rng):
 @pytest.mark.parametrize("name", ["resnet18", "mobilenet_v2", "alexnet",
                                   "squeezenet1_0", "convnext_tiny",
                                   "shufflenet_v2_x1_0", "efficientnet_b0",
-                                  "regnet_x_400mf", "regnet_y_400mf"])
+                                  "regnet_x_400mf", "regnet_y_400mf",
+                                  "squeezenet1_1", "shufflenet_v2_x0_5",
+                                  "mnasnet0_5"])
 def test_classifier_forward(name, img):
     m = build_model(name, num_classes=10)
     dp = {"image": img}
