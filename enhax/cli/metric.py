@@ -35,6 +35,8 @@ def parse_metric_args(argv=None) -> dict:
     p.add_argument("--niqe-params", type=str, default=None,
                    help="pristine stats for --metric niqe: official .mat or "
                         ".npz from enhax.nn.niqe.fit_niqe_params")
+    p.add_argument("--save-csv", type=str, default=None,
+                   help="also write per-image scores to this CSV file")
     p.add_argument("--backend", type=str, default="jax")
     p.add_argument("--verbose", action="store_true")
     return vars(p.parse_args(argv))
@@ -87,6 +89,7 @@ def measure_metric(args: dict) -> dict:
 
     sums = {m: 0.0 for m in names}
     counts = {m: 0 for m in names}
+    rows_csv = []
     skipped = 0
     for f in files:
         img = jnp.asarray(read_image(f))
@@ -102,6 +105,7 @@ def measure_metric(args: dict) -> dict:
             if use_gt_mean:
                 img = scale_gt_mean(img, tgt)
         nr = None
+        row = {"file": f.name}
         for m in names:
             if m in FR_METRICS:
                 if tgt is None:
@@ -118,6 +122,8 @@ def measure_metric(args: dict) -> dict:
                                  f"FR: {FR_METRICS} NR: {NR_METRICS}")
             sums[m] += val
             counts[m] += 1
+            row[m] = f"{val:.6f}"
+        rows_csv.append(row)
 
     results = {m: (sums[m] / counts[m] if counts[m] else float("nan")) for m in names}
     rows = [{"metric": m, "value": f"{v:.4f}", "items": counts[m]}
@@ -125,6 +131,13 @@ def measure_metric(args: dict) -> dict:
     print_table(rows, title=f"{input_dir}" + (" (GT-mean)" if use_gt_mean else ""))
     if skipped:
         console.print(f"[metric] skipped {skipped} items (NaN/shape mismatch/missing GT)")
+    if args.get("save_csv"):
+        import csv
+        with open(args["save_csv"], "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=["file", *names])
+            w.writeheader()
+            w.writerows(rows_csv)
+        console.print(f"[metric] per-image scores -> {args['save_csv']}")
     return results
 
 
