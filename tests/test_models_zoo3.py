@@ -19,7 +19,7 @@ def img(rng):
                                   "shufflenet_v2_x1_0", "efficientnet_b0",
                                   "regnet_x_400mf", "regnet_y_400mf",
                                   "squeezenet1_1", "shufflenet_v2_x0_5",
-                                  "mnasnet0_5"])
+                                  "mnasnet0_5", "efficientnet_v2_s"])
 def test_classifier_forward(name, img):
     m = build_model(name, num_classes=10)
     dp = {"image": img}
