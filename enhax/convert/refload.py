@@ -1,0 +1,300 @@
+"""Import the reference's own torch model code for ground-truth parity tests.
+
+Round-1 parity tests compared enhax against hand-written torch mirrors; if
+the mirror and the flax model shared a misreading, parity passed while being
+wrong. This module imports the reference's *actual* code so conversion
+parity is grounded in reference-executed forwards:
+
+  * ``load_vendored``: sys.path-isolated import of a vendored repo module
+    (e.g. NAFNet ``basicsr.models.archs.NAFNet_arch`` from
+    mon_extra/vision/enhance/multitask/nafnet/). Several vendored repos ship
+    packages with the same name (``basicsr`` x3), so each load purges the
+    package from ``sys.modules`` before and after.
+  * ``load_first_party``: import a ``src/mon/vision/...`` model file under a
+    stubbed ``mon`` package (console/Path/registries/losses faked, layers
+    proxied to ``torch.nn``), so the reference's model ``forward`` runs
+    without dragging in its full runtime.
+
+Read-only usage of PUBLIC reference code for verification; nothing is
+copied into enhax.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import pathlib
+import sys
+import types
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.is_dir()
+
+
+def _purge(top: str) -> None:
+    for k in [k for k in sys.modules if k == top or k.startswith(top + ".")]:
+        del sys.modules[k]
+
+
+def _external_stubs() -> dict:
+    """Stub modules for third-party deps the vendored repos import at module
+    scope but that this image doesn't ship (torchvision). Only the names the
+    arch files' import chains actually touch are provided."""
+    stubs = {}
+    try:
+        importlib.import_module("torchvision")
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tv.__path__ = []
+        utils = types.ModuleType("torchvision.utils")
+        utils.make_grid = lambda *a, **k: None
+        models = types.ModuleType("torchvision.models")
+        models.__getattr__ = lambda name: None
+        transforms = types.ModuleType("torchvision.transforms")
+        transforms.__getattr__ = lambda name: type(name, (), {})
+        tv.utils = utils
+        tv.models = models
+        tv.transforms = transforms
+        stubs.update({"torchvision": tv, "torchvision.utils": utils,
+                      "torchvision.models": models,
+                      "torchvision.transforms": transforms})
+    # small leaf deps imported at module scope by basicsr's utils chain
+    for name in ("lmdb",):
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            m = types.ModuleType(name)
+            m.__getattr__ = lambda attr: None
+            stubs[name] = m
+    return stubs
+
+
+def load_vendored(repo_rel: str, module_name: str):
+    """Import ``module_name`` from a vendored repo under mon_extra.
+
+    ``repo_rel``: path relative to ``src/mon_extra`` that is the repo root
+    for the repo's absolute imports (e.g. ``vision/enhance/multitask/nafnet``).
+
+    Parent packages are *stubbed* (empty modules whose ``__path__`` points at
+    the real directories) so the repo's ``__init__.py`` chains — which pull
+    in torchvision/cv2-heavy training machinery — never execute; only the
+    requested leaf module and whatever it imports run.
+    """
+    root = REFERENCE_ROOT / "src" / "mon_extra" / repo_rel
+    if not root.is_dir():
+        raise FileNotFoundError(root)
+    parts = module_name.split(".")
+    top = parts[0]
+    saved_path = list(sys.path)
+    _purge(top)
+    ext = _external_stubs()
+    saved_ext = {k: sys.modules.get(k) for k in ext}
+    sys.modules.update(ext)
+    sys.path.insert(0, str(root))
+    try:
+        # stub ancestor packages: basicsr, basicsr.models, basicsr.models.archs
+        pkg_dir = root
+        for i, part in enumerate(parts[:-1]):
+            pkg_dir = pkg_dir / part
+            pkg_name = ".".join(parts[: i + 1])
+            stub = types.ModuleType(pkg_name)
+            stub.__path__ = [str(pkg_dir)]
+            stub.__package__ = pkg_name
+            sys.modules[pkg_name] = stub
+        mod = importlib.import_module(module_name)
+    finally:
+        sys.path[:] = saved_path
+        for k, v in saved_ext.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    # detach so the next same-named vendored package starts clean; the
+    # returned module object stays alive via this reference
+    _purge(top)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# Stub `mon` runtime for first-party model files
+# ---------------------------------------------------------------------------
+
+def _make_dummy_module_class(name: str):
+    import torch
+
+    class _Dummy(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, *a, **k):
+            return torch.zeros(())
+
+    _Dummy.__name__ = name
+    return _Dummy
+
+
+def _build_stub_mon():
+    import torch
+
+    mon = types.ModuleType("mon")
+    core = types.ModuleType("mon.core")
+    core.Path = pathlib.Path
+
+    class _Console:
+        def print(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    core.console = _Console()
+    mon.core = core
+
+    nn_mod = types.ModuleType("mon.nn")
+
+    class Loss(torch.nn.Module):
+        def __init__(self, *a, reduction: str = "mean", **k):
+            super().__init__()
+            self.reduction = reduction
+
+    class DSConv2d(torch.nn.Module):
+        """Behavioral stub of mon.nn.DSConv2d (dsconv.py:106-150):
+        depthwise (groups=in) then pointwise 1x1, names dw_conv/pw_conv."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, bias=True, **k):
+            super().__init__()
+            self.dw_conv = torch.nn.Conv2d(
+                in_channels, in_channels, kernel_size, stride, padding,
+                dilation, groups=in_channels, bias=bias)
+            self.pw_conv = torch.nn.Conv2d(in_channels, out_channels, 1, bias=bias)
+
+        def forward(self, x):
+            return self.pw_conv(self.dw_conv(x))
+
+    nn_mod.Loss = Loss
+    nn_mod.DSConv2d = DSConv2d
+    nn_mod.functional = torch.nn.functional
+    nn_mod.init = torch.nn.init
+
+    def _nn_getattr(name):
+        try:
+            return getattr(torch.nn, name)
+        except AttributeError:
+            return _make_dummy_module_class(name)
+
+    nn_mod.__getattr__ = _nn_getattr
+    mon.nn = nn_mod
+
+    gl = types.ModuleType("mon.globals")
+
+    class _Registry:
+        def register(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    class _AnyEnum:
+        def __getattr__(self, name):
+            return name
+
+    gl.MODELS = _Registry()
+    gl.DATASETS = _Registry()
+    gl.LOSSES = _Registry()
+    gl.METRICS = _Registry()
+    gl.Task = _AnyEnum()
+    gl.Scheme = _AnyEnum()
+    gl.ZOO_DIR = pathlib.Path("/tmp/zoo")
+    mon.globals = gl
+
+    vision = types.ModuleType("mon.vision")
+    enhance = types.ModuleType("mon.vision.enhance")
+    base = types.ModuleType("mon.vision.enhance.base")
+
+    class _StubModel(torch.nn.Module):
+        def __init__(self, *a, name=None, in_channels=3, out_channels=None,
+                     num_classes=None, weights=None, **k):
+            super().__init__()
+            self.name = name
+            self.in_channels = in_channels
+            # reference nn/model.py:267
+            self.out_channels = out_channels or num_classes or in_channels
+            self.weights = weights
+
+        def assert_datapoint(self, dp):
+            pass
+
+        def assert_outputs(self, o):
+            pass
+
+        def load_weights(self, *a, **k):
+            pass
+
+        def init_weights(self, m):
+            pass
+
+        def compute_efficiency_score(self, *a, **k):
+            return 0, 0, 0
+
+    base.ImageEnhancementModel = _StubModel
+    base.MultimodalImageEnhancementModel = _StubModel
+    enhance.base = base
+
+    filtering = types.ModuleType("mon.vision.filtering")
+    filtering.__getattr__ = lambda name: _make_dummy_module_class(name)
+    vision.enhance = enhance
+    vision.filtering = filtering
+    mon.vision = vision
+
+    mods = {
+        "mon": mon, "mon.core": core, "mon.nn": nn_mod, "mon.globals": gl,
+        "mon.vision": vision, "mon.vision.enhance": enhance,
+        "mon.vision.enhance.base": base, "mon.vision.filtering": filtering,
+        "mon.nn.functional": torch.nn.functional,
+    }
+    return mods
+
+
+def load_first_party(model_rel: str, extra_stubs: dict | None = None):
+    """Import a first-party reference model file under the stub mon runtime.
+
+    ``model_rel``: path relative to ``src/mon`` (e.g.
+    ``vision/enhance/llie/zero_dce/zero_dce.py``). Returns the module.
+    """
+    path = REFERENCE_ROOT / "src" / "mon" / model_rel
+    if not path.is_file():
+        raise FileNotFoundError(path)
+    stubs = _build_stub_mon()
+    if extra_stubs:
+        stubs.update(extra_stubs)
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        name = "refmod_" + path.stem
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        try:
+            spec.loader.exec_module(mod)
+        finally:
+            del sys.modules[name]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def neutralize_losses(module) -> None:
+    """Replace module-level Loss classes with inert stubs so model __init__
+    doesn't build perceptual/VGG losses (which would download weights)."""
+    import torch
+
+    for attr in dir(module):
+        if "Loss" in attr and isinstance(getattr(module, attr), type):
+            setattr(module, attr, _make_dummy_module_class(attr))

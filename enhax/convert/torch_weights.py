@@ -96,13 +96,20 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
 
     torch_flat = _flat_torch(state_dict)
     if name_map:
+        # two rule kinds: plain keys are prefix rewrites (first match wins);
+        # keys starting with "*" are substring rewrites (all applied) — used
+        # for inner-module renames like ".dw_conv." -> ".depthwise."
+        prefix_rules = {k: v for k, v in name_map.items() if not k.startswith("*")}
+        sub_rules = {k[1:]: v for k, v in name_map.items() if k.startswith("*")}
         renamed = {}
         for k, v in torch_flat.items():
             nk = k
-            for old, new in name_map.items():
+            for old, new in prefix_rules.items():
                 if nk.startswith(old):
                     nk = new + nk[len(old):]
                     break
+            for old, new in sub_rules.items():
+                nk = nk.replace(old, new)
             renamed[nk] = v
         torch_flat = renamed
 
@@ -167,14 +174,57 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
     return jax.tree_util.tree_unflatten(treedef, new_leaves), report
 
 
+def unwrap_state_dict(ckpt) -> dict:
+    """Unwrap released-checkpoint nestings into a flat {name: tensor} dict.
+
+    Handles the layouts the reference's zoo actually ships (nn/model.py:381-426
+    loads dicts with 'state_dict'; BasicSR releases nest under 'params' /
+    'params_ema'; lightning under 'state_dict'; DataParallel prefixes
+    'module.'). Prefers 'params_ema' over 'params' (BasicSR convention: EMA
+    weights are the released inference weights).
+    """
+    sd = ckpt
+    if isinstance(sd, dict):
+        for key in ("state_dict", "params_ema", "params", "model", "model_state_dict", "net"):
+            inner = sd.get(key)
+            if isinstance(inner, dict) and inner and all(
+                    hasattr(v, "shape") or isinstance(v, np.ndarray)
+                    for v in inner.values()):
+                sd = inner
+                break
+    if not isinstance(sd, dict):
+        raise ValueError(f"cannot interpret checkpoint of type {type(sd)} as a state dict")
+    # strip DataParallel / torch.compile prefixes
+    out = {}
+    for k, v in sd.items():
+        for pre in ("module.", "_orig_mod."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
 def load_torch_checkpoint(model, path, name_map: dict | None = None,
-                          image_size: int = 64, verbose: bool = False):
-    """Load a torch .pt/.pth/.ckpt into params for an enhax Model."""
+                          image_size: int = 64, verbose: bool = False,
+                          strict: bool = False):
+    """Load a torch .pt/.pth/.ckpt into params for an enhax Model.
+
+    Tries ``weights_only=True`` first (safe unpickle); falls back to full
+    pickle with a loud warning for trusted legacy files. Unmatched flax
+    leaves are always reported on the console; ``strict=True`` additionally
+    raises if any leaf stayed at its initialized value.
+    """
     import jax
     import torch
+    from enhax.utils.console import console
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
-    state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    try:
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        console.print(f"[convert] WARNING: {path} is not weights-only; "
+                      "falling back to full pickle load (trusted files only)")
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    state_dict = unwrap_state_dict(ckpt)
     if name_map is None:
         from enhax.convert.mappings import name_map_for
         name_map = name_map_for(model.name)
@@ -184,4 +234,12 @@ def load_torch_checkpoint(model, path, name_map: dict | None = None,
     template = model.init(jax.random.PRNGKey(0), dp)
     params, report = convert_state_dict(state_dict, template, name_map=name_map,
                                         verbose=verbose)
+    unmatched = [r for r in report if r.startswith("unmatched flax leaf")]
+    if unmatched:
+        console.print(f"[convert] WARNING: {len(unmatched)} flax leaves kept "
+                      f"initialized values (first: {unmatched[0]})")
+        if strict:
+            raise ValueError(
+                f"strict conversion failed: {len(unmatched)} unmatched leaves\n"
+                + "\n".join(unmatched[:20]))
     return params

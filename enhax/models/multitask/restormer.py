@@ -86,10 +86,12 @@ class RestormerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # reference default LayerNorm_type='WithBias' (restormer_arch.py:208):
+        # mean-subtracting LN with scale+bias, eps=1e-5
         x = x + MDTA(self.dim, self.num_heads, dtype=self.dtype,
-                     name="attn")(LayerNorm2d(use_bias=False, name="norm1")(x))
+                     name="attn")(LayerNorm2d(eps=1e-5, name="norm1")(x))
         x = x + GDFN(self.dim, self.expansion, dtype=self.dtype,
-                     name="ffn")(LayerNorm2d(use_bias=False, name="norm2")(x))
+                     name="ffn")(LayerNorm2d(eps=1e-5, name="norm2")(x))
         return x
 
 
@@ -123,17 +125,21 @@ class RestormerModule(nn.Module):
             y = RestormerBlock(d * 8, self.heads[3], self.expansion,
                                name=f"latent_{j}")(y)
 
-        # decoder
+        # decoder — reference restormer_arch.py:228-240: reduce_chan 1x1 convs
+        # exist at levels 3 and 2 only; level 1 runs decoder blocks directly on
+        # the 2d-wide concat ("NO 1x1 conv to reduce channels", :236)
         for lvl in reversed(range(3)):
-            y = nn.Conv(d * 2**(lvl + 1) * 2, (1, 1), use_bias=False, dtype=self.dtype,
+            # reference Upsample: 3x3 conv n->2n then PixelShuffle(2) => n/2
+            y = nn.Conv(d * 2**(lvl + 1) * 2, (3, 3), use_bias=False, dtype=self.dtype,
                         name=f"up{lvl}")(y)
             y = pixel_shuffle(y, 2)
             y = jnp.concatenate([y, skips[lvl]], axis=-1)
-            ch = d * 2**lvl if lvl == 0 else d * 2**lvl
-            # level-0 keeps concat width (2d) per the original arch
-            ch = d * 2 if lvl == 0 else d * 2**lvl
-            y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
-                        name=f"reduce{lvl}")(y)
+            if lvl == 0:
+                ch = d * 2  # concat width kept
+            else:
+                ch = d * 2**lvl
+                y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                            name=f"reduce{lvl}")(y)
             for j in range(self.num_blocks[lvl]):
                 y = RestormerBlock(ch, self.heads[lvl], self.expansion,
                                    name=f"dec{lvl}_{j}")(y)

@@ -1,0 +1,153 @@
+"""Ground-truth conversion parity vs the reference's OWN torch code.
+
+Round-1 parity tests used hand-written torch mirrors; these import the
+reference's actual model files (first-party via a stubbed-`mon` loader,
+vendored repos via sys.path isolation), run their forwards on random
+weights, convert the state_dict through enhax's converter, and assert the
+flax forward matches to <=1e-4. This makes every conversion claim grounded
+in reference-executed outputs.
+
+Reference anchors:
+  zero_dce   src/mon/vision/enhance/llie/zero_dce/zero_dce.py:86-191
+  zero_dcepp src/mon/vision/enhance/llie/zero_dce/zero_dcepp.py:87-200
+  hinet      src/mon/vision/enhance/multitask/hinet/hinet.py:206-360
+  nafnet     src/mon_extra/.../nafnet/basicsr/models/archs/NAFNet_arch.py:166
+  restormer  src/mon_extra/.../restormer/basicsr/models/archs/restormer_arch.py:198
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from enhax.constants import MODELS  # noqa: E402
+from enhax.convert import refload  # noqa: E402
+from enhax.convert.mappings import (  # noqa: E402
+    hinet_name_map, nafnet_name_map, restormer_name_map, zero_dce_name_map,
+    zero_dcepp_name_map,
+)
+from enhax.convert.torch_weights import convert_state_dict  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not refload.reference_available(), reason="reference tree not present")
+
+
+def _to_nhwc(t):
+    a = t.detach().cpu().numpy()
+    return a.transpose(0, 2, 3, 1) if a.ndim == 4 else a
+
+
+def _run_enhax(model_name, build_kwargs, state_dict, name_map, x_nhwc,
+               strict=True):
+    import jax
+    model = MODELS.build(model_name, **build_kwargs)
+    dp = {"image": x_nhwc}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(state_dict, template,
+                                        name_map=name_map, strict=strict)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    out = model.apply(params, dp)
+    return np.asarray(out["enhanced"])
+
+
+def _assert_close(ref, got, tol=1e-4, label=""):
+    assert ref.shape == got.shape, f"{label}: {ref.shape} vs {got.shape}"
+    err = float(np.max(np.abs(ref - got)))
+    assert err <= tol, f"{label}: max abs err {err:.2e} > {tol}"
+
+
+# ---------------------------------------------------------------------------
+# first-party models (stubbed-mon import)
+# ---------------------------------------------------------------------------
+
+def test_zero_dce_reference_parity():
+    mod = refload.load_first_party("vision/enhance/llie/zero_dce/zero_dce.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.ZeroDCE_RE(num_channels=8, num_iters=8)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    got = _run_enhax("zero_dce_re", dict(num_channels=8, num_iters=8),
+                     net.state_dict(), zero_dce_name_map(), _to_nhwc(x))
+    _assert_close(ref, got, 1e-5, "zero_dce")
+
+
+def test_zero_dcepp_reference_parity():
+    mod = refload.load_first_party("vision/enhance/llie/zero_dce/zero_dcepp.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.ZeroDCEpp_RE(num_channels=8, num_iters=8, scale_factor=1)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    got = _run_enhax("zero_dce++_re", dict(num_channels=8, num_iters=8),
+                     net.state_dict(), zero_dcepp_name_map(), _to_nhwc(x))
+    _assert_close(ref, got, 1e-5, "zero_dce++")
+
+
+def test_hinet_reference_parity():
+    # NOTE: the reference's *first-party* hinet.py:81 is broken upstream
+    # (`if enc and dec:` on multi-element tensors raises RuntimeError), so
+    # the runnable ground truth is the vendored hinet_arch.py it was ported
+    # from (identical parameter naming).
+    arch = refload.load_vendored("vision/enhance/multitask/hinet",
+                                 "basicsr.models.archs.hinet_arch")
+    torch.manual_seed(0)
+    net = arch.HINet(in_chn=3, wf=8, depth=3)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        out = net(x)
+    ref = _to_nhwc(out[-1])  # stage-2 output
+    got = _run_enhax("hinet_re", dict(num_channels=8, depth=3),
+                     net.state_dict(), hinet_name_map(depth=3), _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "hinet")
+
+
+# ---------------------------------------------------------------------------
+# vendored repos (sys.path isolated import)
+# ---------------------------------------------------------------------------
+
+def test_nafnet_reference_parity():
+    arch = refload.load_vendored("vision/enhance/multitask/nafnet",
+                                 "basicsr.models.archs.NAFNet_arch")
+    torch.manual_seed(0)
+    net = arch.NAFNet(img_channel=3, width=8, middle_blk_num=1,
+                      enc_blk_nums=[1, 1, 1, 1], dec_blk_nums=[1, 1, 1, 1])
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x))
+    got = _run_enhax(
+        "nafnet",
+        dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1, 1, 1),
+             dec_blk_nums=(1, 1, 1, 1)),
+        net.state_dict(),
+        nafnet_name_map(enc_blk_nums=(1, 1, 1, 1), middle_blk_num=1,
+                        dec_blk_nums=(1, 1, 1, 1)),
+        _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "nafnet")
+
+
+def test_restormer_reference_parity():
+    arch = refload.load_vendored("vision/enhance/multitask/restormer",
+                                 "basicsr.models.archs.restormer_arch")
+    torch.manual_seed(0)
+    net = arch.Restormer(dim=8, num_blocks=[1, 1, 1, 1],
+                         num_refinement_blocks=1, heads=[1, 2, 4, 8])
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x))
+    got = _run_enhax(
+        "restormer",
+        dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement=1,
+             heads=(1, 2, 4, 8)),
+        net.state_dict(),
+        restormer_name_map(num_blocks=(1, 1, 1, 1), num_refinement=1),
+        _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "restormer")
