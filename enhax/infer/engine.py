@@ -98,7 +98,9 @@ class Predictor:
                  bucket_sizes: tuple | None = None, mesh=None,
                  spatial: bool = False):
         self.model = model
-        self.variables = variables
+        self._instance_fn = None
+        self._vars_placed = False
+        self.variables = variables  # property: assignment resets caches
         self.image_size = image_size
         self.resize = resize
         self.tile = tile
@@ -117,8 +119,19 @@ class Predictor:
         if spatial and (mesh is None or "space" not in mesh.axis_names):
             raise ValueError('spatial=True needs a mesh with a "space" axis')
         self._jitted = jax.jit(self._forward)
-        self._instance_fn = None
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        # swapping weights on a live Predictor must invalidate the cached
+        # device placement and instance-mode closure, or inference silently
+        # keeps serving the previous weights (r1 ADVICE #4)
+        self._variables = value
         self._vars_placed = False
+        self._instance_fn = None
 
     def _forward(self, variables, datapoint):
         return self.model.apply(variables, datapoint)
@@ -132,8 +145,9 @@ class Predictor:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from enhax.parallel.mesh import replicated
         if not self._vars_placed:
-            self.variables = jax.device_put(self.variables,
-                                            replicated(self.mesh))
+            # bypass the invalidating setter: placement keeps the same weights
+            self._variables = jax.device_put(self.variables,
+                                             replicated(self.mesh))
             self._vars_placed = True
         nd = self.mesh.shape.get("data", 1)
         ns = self.mesh.shape.get("space", 1) if self.spatial else 1

@@ -93,10 +93,15 @@ def make_eval_step(model: Model, compute_ssim: bool = True):
             if compute_ssim:
                 metrics["ssim"] = ssim(pred, ref)
         if model.loss_fn is not None:
+            # trace-time failure (e.g. loss needs inputs absent from val
+            # batches) omits the metric but must not be silent: a broken val
+            # loss silently degrades best-checkpoint selection otherwise
             try:
                 metrics["loss"] = model.loss_fn(outputs, batch)
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                from enhax.utils.console import console
+                console.print(f"[trainer] val loss for {model.name} failed at "
+                              f"trace time; omitting from metrics: {e!r}")
         return metrics
 
     return jax.jit(step)

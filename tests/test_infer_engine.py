@@ -119,3 +119,17 @@ def test_predictor_spatial_requires_space_axis():
     m = build_model("zero_dce_re", num_channels=8)
     with pytest.raises(ValueError, match="space"):
         Predictor(m, spatial=True)
+
+
+def test_predictor_weight_swap_invalidates_caches(rng):
+    # assigning new variables must reset device placement + instance closure
+    # so the predictor doesn't silently serve stale weights (r1 ADVICE #4)
+    m = build_model("zero_dce_re", num_channels=8)
+    pred = Predictor(m)
+    dp = {"image": rng.uniform(0, 0.3, (32, 32, 3)).astype(np.float32)}
+    out1 = np.asarray(pred.infer(dp)["enhanced"])
+    scaled = jax.tree.map(lambda p: p * 2.0, pred.variables)
+    pred.variables = scaled
+    assert pred._vars_placed is False and pred._instance_fn is None
+    out2 = np.asarray(pred.infer(dp)["enhanced"])
+    assert not np.allclose(out1, out2)
