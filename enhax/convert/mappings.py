@@ -80,6 +80,64 @@ def restormer_name_map(num_blocks=(4, 6, 6, 8), num_refinement: int = 4) -> dict
     return m
 
 
+def retinexformer_name_map(stage: int = 1, level: int = 2,
+                           num_blocks=(1, 2, 2)) -> dict:
+    """RetinexFormer (RetinexFormer_arch.py:323-358) -> enhax module names."""
+    m = {}
+    for s in range(stage):
+        p = f"body.{s}."
+        q = f"stage{s}_"
+        m[p + "estimator."] = q + "estimator."
+        m[p + "denoiser.embedding."] = q + "denoiser.embedding."
+        m[p + "denoiser.bottleneck."] = q + "denoiser.bottleneck."
+        m[p + "denoiser.mapping."] = q + "denoiser.mapping."
+        for i in range(level):
+            m[p + f"denoiser.encoder_layers.{i}.0."] = q + f"denoiser.enc{i}_igab."
+            m[p + f"denoiser.encoder_layers.{i}.1."] = q + f"denoiser.enc{i}_down."
+            m[p + f"denoiser.encoder_layers.{i}.2."] = q + f"denoiser.enc{i}_illu_down."
+            m[p + f"denoiser.decoder_layers.{i}.0."] = q + f"denoiser.dec{i}_up."
+            m[p + f"denoiser.decoder_layers.{i}.1."] = q + f"denoiser.dec{i}_fusion."
+            m[p + f"denoiser.decoder_layers.{i}.2."] = q + f"denoiser.dec{i}_igab."
+    # IGAB internals: blocks.{j}.0 = IG_MSA, blocks.{j}.1 = PreNorm(FFN)
+    for j in range(max(num_blocks)):
+        m[f"*.blocks.{j}.1.norm."] = f".ffnorm{j}."
+        m[f"*.blocks.{j}.1.fn.net.0."] = f".ff{j}.fc1."
+        m[f"*.blocks.{j}.1.fn.net.2."] = f".ff{j}.dw."
+        m[f"*.blocks.{j}.1.fn.net.4."] = f".ff{j}.fc2."
+        m[f"*.blocks.{j}.0."] = f".attn{j}."
+    m["*.pos_emb.0."] = ".pos1."
+    m["*.pos_emb.2."] = ".pos2."
+    return m
+
+
+def sci_name_map(enhance_layers: int = 1, calibrate_layers: int = 3) -> dict:
+    """SCI (sci/model.py) -> enhax names. The torch ModuleList 'blocks' holds
+    the SAME module repeatedly (shared weights), so every duplicate maps onto
+    the one shared enhax block."""
+    m = {
+        "enhance.in_conv.0.": "enhance.in_conv.",
+        "enhance.conv.0.": "enhance.block.conv.",
+        "enhance.conv.1.": "enhance.block.bn.",
+        "enhance.out_conv.0.": "enhance.out_conv.",
+        "calibrate.in_conv.0.": "calibrate.in_conv.",
+        "calibrate.in_conv.1.": "calibrate.in_bn.",
+        "calibrate.convs.0.": "calibrate.block1.conv.",
+        "calibrate.convs.1.": "calibrate.block1.bn.",
+        "calibrate.convs.3.": "calibrate.block2.conv.",
+        "calibrate.convs.4.": "calibrate.block2.bn.",
+        "calibrate.out_conv.0.": "calibrate.out_conv.",
+    }
+    for i in range(enhance_layers):
+        m[f"enhance.blocks.{i}.0."] = "enhance.block.conv."
+        m[f"enhance.blocks.{i}.1."] = "enhance.block.bn."
+    for i in range(calibrate_layers):
+        m[f"calibrate.blocks.{i}.0."] = "calibrate.block1.conv."
+        m[f"calibrate.blocks.{i}.1."] = "calibrate.block1.bn."
+        m[f"calibrate.blocks.{i}.3."] = "calibrate.block2.conv."
+        m[f"calibrate.blocks.{i}.4."] = "calibrate.block2.bn."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -87,6 +145,8 @@ NAME_MAPS = {
     "nafnet": nafnet_name_map,
     "nafnet_local": nafnet_name_map,
     "restormer": restormer_name_map,
+    "retinexformer": retinexformer_name_map,
+    "sci": sci_name_map,
 }
 
 

@@ -33,14 +33,18 @@ def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple,
     if a.ndim == 2 and target_kind == "kernel":
         t = a.T
         return t if t.shape == tuple(target_shape) else None
-    if tuple(a.shape) == tuple(target_shape):
-        return a
-    if a.ndim == 4:
-        # conv OIHW -> HWIO
+    if a.ndim == 4 and target_kind == "kernel":
+        # conv OIHW -> HWIO (also depthwise (C,1,kh,kw) -> (kh,kw,1,C) and
+        # ConvTranspose (I,O,kh,kw) -> (kh,kw,O,I) w/ transpose_kernel=True).
+        # MUST run before the exact-shape shortcut: a square conv (e.g.
+        # 3->3ch 3x3) matches the target shape untransposed and would be
+        # silently copied in torch layout.
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(target_shape):
             return t
-        # depthwise torch (C,1,kh,kw) -> flax (kh,kw,1,C)
+    if tuple(a.shape) == tuple(target_shape):
+        return a
+    if a.ndim == 4:
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(target_shape):
             return t

@@ -12,3 +12,5 @@ from enhax.models.llie import rrdnet
 from enhax.models.llie import rsfnet
 from enhax.models.llie import zero_ig
 from enhax.models.llie import zero_mie
+from enhax.models.llie import retinexformer
+from enhax.models.llie import sci

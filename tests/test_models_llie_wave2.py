@@ -130,3 +130,13 @@ def test_psenet_pseudo_gt_includes_prev_output(rng):
     frac = float(jnp.mean(jnp.all(jnp.isclose(gt_with, prev, atol=1e-6), axis=-1)))
     assert frac > 0.5  # majority of pixels taken from prev_output
     assert not np.allclose(np.asarray(gt_with), np.asarray(gt_wo))
+
+
+def test_retinexformer(dp):
+    _smoke("retinexformer", dp, n_feat=8, num_blocks=(1, 1, 1))
+
+
+def test_sci(dp):
+    m, params, out = _smoke("sci", dp)
+    # enhanced = x / illu[stage 0], clipped
+    assert out["illu"].shape[0] == 3

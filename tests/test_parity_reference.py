@@ -151,3 +151,59 @@ def test_restormer_reference_parity():
         restormer_name_map(num_blocks=(1, 1, 1, 1), num_refinement=1),
         _to_nhwc(x))
     _assert_close(ref, got, 1e-4, "restormer")
+
+
+def test_retinexformer_reference_parity():
+    from enhax.convert.mappings import retinexformer_name_map
+    arch = refload.load_vendored(
+        "vision/enhance/llie/retinexformer",
+        "basicsr.models.archs.RetinexFormer_arch")
+    torch.manual_seed(0)
+    net = arch.RetinexFormer(stage=1, n_feat=8, num_blocks=[1, 1, 1])
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x))
+    got = _run_enhax(
+        "retinexformer", dict(n_feat=8, stage=1, num_blocks=(1, 1, 1)),
+        net.state_dict(),
+        retinexformer_name_map(stage=1, num_blocks=(1, 1, 1)),
+        _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "retinexformer")
+
+
+def test_sci_reference_parity():
+    from enhax.convert.mappings import sci_name_map
+    mod = refload.load_vendored("vision/enhance/llie/sci", "model")
+    torch.manual_seed(0)
+    net = mod.Network(stage=3)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.5 + 0.1
+    with torch.no_grad():
+        ilist, rlist, inlist, _ = net(x)
+    ref_enhanced = _to_nhwc(rlist[0])  # == Finetunemodel output (model.py:157)
+    got = _run_enhax("sci", dict(stage=3), net.state_dict(), sci_name_map(),
+                     _to_nhwc(x))
+    _assert_close(ref_enhanced, got, 1e-5, "sci")
+
+
+def test_sci_loss_reference_parity():
+    """Ground the 24-direction smooth loss in the reference's own loss.py
+    (its .cuda() calls are shimmed to stay on CPU)."""
+    import jax.numpy as jnp
+    from enhax.models.llie.sci import sci_smooth_loss
+
+    mod = refload.load_vendored("vision/enhance/llie/sci", "loss")
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(1)
+        img = torch.rand(1, 3, 16, 16)
+        illu = torch.rand(1, 3, 16, 16) * 0.9 + 0.05
+        with torch.no_grad():
+            ref = float(mod.SmoothLoss()(img, illu))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    got = float(sci_smooth_loss(jnp.asarray(_to_nhwc(img)),
+                                jnp.asarray(_to_nhwc(illu))))
+    assert abs(ref - got) <= 1e-4 * max(1.0, abs(ref)), (ref, got)
