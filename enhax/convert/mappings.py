@@ -138,6 +138,38 @@ def sci_name_map(enhance_layers: int = 1, calibrate_layers: int = 3) -> dict:
     return m
 
 
+def ruas_name_map(iem_nums: int = 3, nrm_nums: int = 3) -> dict:
+    """RUAS (ruas/model.py) -> enhax names. Handles both Network-level
+    prefixes (enhance_net./denoise_net.) and the bare EnhanceNetwork/
+    DenoiseNetwork state dicts the published enhance.pt/denoise.pt hold."""
+    m = {}
+    for i in range(iem_nums):
+        m[f"enhance_net.iems.{i}."] = f"enhance_iem{i}."
+        m[f"iems.{i}."] = f"enhance_iem{i}."
+    for i in range(nrm_nums):
+        m[f"denoise_net.nrms.{i}."] = f"denoise_nrm{i}."
+        m[f"nrms.{i}."] = f"denoise_nrm{i}."
+    m["denoise_net.stem."] = "denoise_stem."
+    m["stem."] = "denoise_stem."
+    m["denoise_net.activate.0."] = "denoise_out_conv."
+    m["activate.0."] = "denoise_out_conv."
+    # operations.py wraps each conv as .op
+    m["*.op."] = ".conv."
+    return m
+
+
+def uretinexnet_name_map() -> dict:
+    """URetinexNet (network/*.py) -> enhax names. Expects the caller to merge
+    the three released checkpoints' dicts under decom./model_r./model_l./
+    adjust. prefixes."""
+    m = {}
+    for seq_i, conv_j in ((0, 1), (2, 2), (4, 3), (6, 4)):
+        m[f"decom.decom.{seq_i}."] = f"decom.conv{conv_j}."
+    m["*.se_layer.fc.0."] = ".se.fc1."
+    m["*.se_layer.fc.2."] = ".se.fc2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -147,6 +179,8 @@ NAME_MAPS = {
     "restormer": restormer_name_map,
     "retinexformer": retinexformer_name_map,
     "sci": sci_name_map,
+    "ruas": ruas_name_map,
+    "uretinexnet": uretinexnet_name_map,
 }
 
 

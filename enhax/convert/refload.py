@@ -72,7 +72,7 @@ def _external_stubs() -> dict:
     return stubs
 
 
-def load_vendored(repo_rel: str, module_name: str):
+def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False):
     """Import ``module_name`` from a vendored repo under mon_extra.
 
     ``repo_rel``: path relative to ``src/mon_extra`` that is the repo root
@@ -91,6 +91,8 @@ def load_vendored(repo_rel: str, module_name: str):
     saved_path = list(sys.path)
     _purge(top)
     ext = _external_stubs()
+    if stub_mon:
+        ext.update(_build_stub_mon())
     saved_ext = {k: sys.modules.get(k) for k in ext}
     sys.modules.update(ext)
     sys.path.insert(0, str(root))
@@ -201,6 +203,7 @@ def _build_stub_mon():
         def __getattr__(self, name):
             return name
 
+    mon.ZOO_DIR = pathlib.Path("/tmp/zoo")
     gl.MODELS = _Registry()
     gl.DATASETS = _Registry()
     gl.LOSSES = _Registry()

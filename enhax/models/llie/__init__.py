@@ -14,3 +14,5 @@ from enhax.models.llie import zero_ig
 from enhax.models.llie import zero_mie
 from enhax.models.llie import retinexformer
 from enhax.models.llie import sci
+from enhax.models.llie import ruas
+from enhax.models.llie import uretinexnet

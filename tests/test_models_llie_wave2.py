@@ -140,3 +140,15 @@ def test_sci(dp):
     m, params, out = _smoke("sci", dp)
     # enhanced = x / illu[stage 0], clipped
     assert out["illu"].shape[0] == 3
+
+
+def test_ruas(dp):
+    _smoke("ruas", dp)
+
+
+def test_uretinexnet(dp):
+    m = build_model("uretinexnet")
+    params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+    out = m.apply(params, {"image": dp["image"]})
+    assert out["enhanced"].shape == dp["image"].shape
+    assert np.all(np.isfinite(np.asarray(out["enhanced"])))

@@ -207,3 +207,71 @@ def test_sci_loss_reference_parity():
     got = float(sci_smooth_loss(jnp.asarray(_to_nhwc(img)),
                                 jnp.asarray(_to_nhwc(illu))))
     assert abs(ref - got) <= 1e-4 * max(1.0, abs(ref)), (ref, got)
+
+
+def test_ruas_reference_parity():
+    from enhax.convert.mappings import ruas_name_map
+    mod = refload.load_vendored("vision/enhance/llie/ruas", "model",
+                                stub_mon=True)
+    import genotypes as _g  # noqa: F401 - loaded alongside by model.py
+    torch.manual_seed(0)
+    enh = mod.EnhanceNetwork(iteratioin=3, channel=3,
+                             genotype=mod.genotypes.IEM)
+    den = mod.DenoiseNetwork(layers=3, channel=6, genotype=mod.genotypes.NRM)
+    enh.eval(); den.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.5 + 0.05
+    with torch.no_grad():
+        u_list, t_list = enh(x)
+        u_d, _noise = den(u_list[-1])
+    sd = dict(enh.state_dict())
+    sd.update(den.state_dict())
+    got = _run_enhax("ruas", {}, sd, ruas_name_map(), _to_nhwc(x))
+    _assert_close(_to_nhwc(u_d), got, 1e-5, "ruas")
+
+
+def test_uretinexnet_reference_parity():
+    """Modules from the reference's network/*.py, composed per the
+    unfolding loop of my_predict.py:56-82 (round/gamma/lamda as cited)."""
+    import types as _types
+    from enhax.convert.mappings import uretinexnet_name_map
+    dec_m = refload.load_vendored("vision/enhance/llie/uretinexnet",
+                                  "network.decom")
+    res_m = refload.load_vendored("vision/enhance/llie/uretinexnet",
+                                  "network.restoration")
+    ill_m = refload.load_vendored("vision/enhance/llie/uretinexnet",
+                                  "network.illumination_enhance")
+    adj_m = refload.load_vendored("vision/enhance/llie/uretinexnet",
+                                  "network.illumination_adjustment")
+    opts = _types.SimpleNamespace(concat_L=True, norm_layer="batch")
+    torch.manual_seed(0)
+    decom = dec_m.Decom()
+    model_r = res_m.HalfDnCNNSE(opts)
+    model_l = ill_m.Illumination_Alone(opts)
+    adjust = adj_m.Adjust_naive(opts)
+    for m in (decom, model_r, model_l, adjust):
+        m.eval()
+    x = torch.rand(1, 3, 24, 24) * 0.4 + 0.05
+    rounds, gamma, lamda, roff, loff, ratio = 3, 0.2, 0.2, 0.1, 0.1, 5.0
+    with torch.no_grad():
+        P = Q = R = L = None
+        for t in range(rounds):
+            if t == 0:
+                out = decom.decom(x)
+                P, Q = out[:, 0:3], out[:, 3:4]
+            else:
+                w_p = gamma + roff * t
+                w_q = lamda + loff * t
+                P = (x * Q + w_p * R) / (w_p + Q * Q)
+                Q = ((x * P).sum(1, keepdim=True) + w_q * L) / \
+                    ((P * P).sum(1, keepdim=True) + w_q)
+            R = model_r(P, Q)
+            L = model_l(Q)
+        high_l = adjust(L, torch.ones_like(L) * ratio)
+        ref = _to_nhwc(high_l * R)
+    sd = {}
+    for prefix, mod in (("decom.", decom), ("model_r.", model_r),
+                        ("model_l.", model_l), ("adjust.", adjust)):
+        sd.update({prefix + k: v for k, v in mod.state_dict().items()})
+    got = _run_enhax("uretinexnet", dict(ratio=ratio), sd,
+                     uretinexnet_name_map(), _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "uretinexnet")
