@@ -170,6 +170,33 @@ def uretinexnet_name_map() -> dict:
     return m
 
 
+def pairlie_name_map() -> dict:
+    """PairLIE (net/net.py): Sequential conv indices 1,4,7,10,13."""
+    m = {}
+    for tname, fname in (("L_net", "l_net"), ("R_net", "r_net"),
+                         ("N_net", "n_net")):
+        for j, i in enumerate((1, 4, 7, 10, 13)):
+            m[f"{tname}.{tname}.{i}."] = f"{fname}.c{j}.conv."
+    return m
+
+
+def snr_name_map(front_rbs: int = 5, back_rbs: int = 10, light_rbs: int = 6,
+                 n_layers: int = 6) -> dict:
+    """SNR (low_light_transformer.py) -> enhax names."""
+    m = {"HRconv.": "hrconv."}
+    for i in range(front_rbs):
+        m[f"feature_extraction.{i}."] = f"feat_{i}."
+    for i in range(back_rbs):
+        m[f"recon_trunk.{i}."] = f"trunk_{i}."
+    for i in range(light_rbs):
+        m[f"recon_trunk_light.{i}."] = f"light_{i}."
+    for i in range(n_layers):
+        m[f"transformer.layer_stack.{i}.slf_attn."] = f"tl{i}_attn."
+        m[f"transformer.layer_stack.{i}.pos_ffn."] = f"tl{i}_ffn."
+    m["*.layer_norm."] = ".norm."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -181,6 +208,8 @@ NAME_MAPS = {
     "sci": sci_name_map,
     "ruas": ruas_name_map,
     "uretinexnet": uretinexnet_name_map,
+    "pairlie": pairlie_name_map,
+    "snr": snr_name_map,
 }
 
 

@@ -152,3 +152,12 @@ def test_uretinexnet(dp):
     out = m.apply(params, {"image": dp["image"]})
     assert out["enhanced"].shape == dp["image"].shape
     assert np.all(np.isfinite(np.asarray(out["enhanced"])))
+
+
+def test_pairlie(dp):
+    m, params, out = _smoke("pairlie", dp)
+    assert out["illumination"].shape[-1] == 1
+
+
+def test_snr(dp):
+    _smoke("snr", dp, nf=16, front_rbs=1, back_rbs=1, n_layers=1)

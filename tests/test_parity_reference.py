@@ -275,3 +275,59 @@ def test_uretinexnet_reference_parity():
     got = _run_enhax("uretinexnet", dict(ratio=ratio), sd,
                      uretinexnet_name_map(), _to_nhwc(x))
     _assert_close(ref, got, 1e-4, "uretinexnet")
+
+
+def test_pairlie_reference_parity():
+    from enhax.convert.mappings import pairlie_name_map
+    mod = refload.load_vendored("vision/enhance/llie/pairlie", "net.net")
+    torch.manual_seed(0)
+    net = mod.net()
+    net.eval()
+    x = torch.rand(1, 3, 24, 24) * 0.4 + 0.05
+    with torch.no_grad():
+        L, R, X = net(x)
+        ref = _to_nhwc(torch.pow(L, 0.2) * R)  # my_predict.py:84
+    got = _run_enhax("pairlie", {}, net.state_dict(), pairlie_name_map(),
+                     _to_nhwc(x))
+    _assert_close(ref, got, 1e-5, "pairlie")
+
+
+def test_snr_reference_parity():
+    import cv2
+    from enhax.convert.mappings import snr_name_map
+    arch = refload.load_vendored("vision/enhance/llie/snr",
+                                 "models.archs.low_light_transformer")
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self  # forward builds .cuda() coords
+    try:
+        torch.manual_seed(0)
+        # the vendored decoder widths are hard-coded for nf=64
+        net = arch.low_light_transformer(nf=64, front_RBs=1, back_RBs=1,
+                                         HR_in=True, w_TSA=True)
+        # 2 transformer layers for test speed
+        net.transformer = arch.Encoder_patch66(d_model=1024, d_inner=2048,
+                                               n_layers=2)
+        net.eval()
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0.05, 0.5, (32, 32, 3)).astype(np.float32)
+        # SNR mask exactly as Video_base_model4_m.py:146-161 (cv2 blur)
+        nf_img = cv2.blur(img, (5, 5))
+        x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+        nf_t = torch.from_numpy(nf_img.transpose(2, 0, 1))[None]
+        luma = lambda t: (t[:, 0:1] * 0.299 + t[:, 1:2] * 0.587  # noqa: E731
+                          + t[:, 2:3] * 0.114)
+        dark, light = luma(x), luma(nf_t)
+        noise = (dark - light).abs()
+        mask = light / (noise + 1e-4)
+        mask = mask / (mask.reshape(1, -1).max() + 1e-4)
+        mask = mask.clamp(0, 1)
+        with torch.no_grad():
+            ref = _to_nhwc(net(x, mask))
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    # transformer d_model must match 16*nf for the flax module
+    got = _run_enhax(
+        "snr", dict(nf=64, front_rbs=1, back_rbs=1, n_layers=2),
+        net.state_dict(), snr_name_map(front_rbs=1, back_rbs=1, n_layers=2),
+        img[None])
+    _assert_close(ref, got, 1e-4, "snr")
