@@ -19,4 +19,20 @@ fusion of the curve loop is already within ~15% of the hand kernel, so the
 XLA path remains the default.
 """
 
-from enhax.kernels.dce_curve import fused_curve_apply, fused_curve_upsample_apply
+import os
+
+
+def pallas_enabled() -> bool:
+    """Platform gate for the production fast paths: Pallas kernels run on
+    TPU backends only (XLA everywhere else). Set ENHAX_PALLAS=0 to force the
+    XLA path on TPU (A/B benchmarking, debugging)."""
+    if os.environ.get("ENHAX_PALLAS", "1") == "0":
+        return False
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend not initialized / no devices
+        return False
+
+
+from enhax.kernels.dce_curve import fused_curve_apply, fused_curve_upsample_apply  # noqa: E402

@@ -90,18 +90,39 @@ class ZeroDCE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from enhax.kernels import (fused_curve_apply,
+                                   fused_curve_upsample_apply, pallas_enabled)
         out_ch = self.in_channels if self.shared_curve \
             else self.in_channels * self.num_iters
+        sf = self.scale_factor
         x_down = x
-        if self.scale_factor != 1.0:
-            h = int(x.shape[-3] / self.scale_factor)
-            w = int(x.shape[-2] / self.scale_factor)
+        if sf != 1.0:
+            h = int(x.shape[-3] / sf)
+            w = int(x.shape[-2] / sf)
             x_down = resize(x, (h, w), method="bilinear")
-        curves = DCENet(self.num_channels, out_ch, self.conv_type,
-                        dtype=self.dtype, name="dce")(x_down)
-        if self.scale_factor != 1.0:
-            curves = resize(curves, (x.shape[-3], x.shape[-2]), method="bilinear")
-        y = apply_curves(x, curves, self.num_iters, self.shared_curve)
+        curves_lr = DCENet(self.num_channels, out_ch, self.conv_type,
+                           dtype=self.dtype, name="dce")(x_down)
+        curves = curves_lr
+        if sf != 1.0:
+            curves = resize(curves_lr, (x.shape[-3], x.shape[-2]),
+                            method="bilinear")
+        # platform-gated Pallas fast path (TPU): the curve loop runs
+        # VMEM-resident; with a downscaled shared curve the H-axis upsample
+        # happens in-tile so the full-res curve tensor never hits HBM. The
+        # "adjust" output below still describes the full-res curves — XLA
+        # dead-code-eliminates its resize when the caller only consumes
+        # "enhanced" (inference/bench), and training losses that need it
+        # keep the XLA resize alive.
+        fused_up_ok = (self.shared_curve and sf == float(int(sf)) and sf > 1
+                       and x.shape[-3] % int(sf) == 0
+                       and x.shape[-2] % int(sf) == 0)
+        if pallas_enabled() and fused_up_ok:
+            y = fused_curve_upsample_apply(x, curves_lr, self.num_iters,
+                                           int(sf))
+        elif pallas_enabled():
+            y = fused_curve_apply(x, curves, self.num_iters, self.shared_curve)
+        else:
+            y = apply_curves(x, curves, self.num_iters, self.shared_curve)
         return {"adjust": curves, "enhanced": y}
 
 

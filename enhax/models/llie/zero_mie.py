@@ -27,7 +27,7 @@ from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.nn.inr import INRNet, context_window_features, coordinate_grid
 from enhax.nn.layers import boundary_aware_prior
-from enhax.ops.color import rgb_to_grayscale
+from enhax.ops.color import hsv_to_rgb, rgb_to_grayscale, rgb_to_hsv
 from enhax.ops.filtering import fast_guided_filter
 from enhax.ops.resize import resize
 
@@ -38,12 +38,39 @@ class FiLM(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond):
-        gamma = nn.Dense(self.features, name="gamma")(cond)
-        beta = nn.Dense(self.features, name="beta")(cond)
-        return x * (1.0 + gamma) + beta
+        # reference zero_mie.py:195: x * scale + shift (no identity offset)
+        scale = nn.Dense(self.features, name="fc_scale")(cond)
+        shift = nn.Dense(self.features, name="fc_shift")(cond)
+        return x * scale + shift
+
+
+class CrossAttentionLayer(nn.Module):
+    """zero_mie.py:201-214: MultiheadAttention(query=value, key=edge,
+    value=depth). Defined by the reference but commented out at its use
+    sites (:533-534); exposed behind ``use_cross_attn`` for the ablation."""
+    dim: int
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            out_features=self.dim, name="attn")(query, key, value)
 
 
 class ZeroMIEModule(nn.Module):
+    """Faithful MLP_{RGB,RGB_D,HSV,HSV_D} switch (zero_mie.py:257-556).
+
+    ``color_space``:
+      rgb    — context INR over channel 0 of the low-res RGB; 3-ch residual.
+      rgb_d  — separate value/depth/edge context encoders (mid = hidden/4),
+               concat order [value, depth, edge, coords] (:299-301).
+      hsv    — INR on the HSV value channel; 1-ch residual replaces V
+               (:444-461), then HSV->RGB.
+      hsv_d  — hsv + depth/edge encoders, concat order
+               [value, edge, depth, coords] (:535).
+    """
+    color_space: str = "rgb"
     window_size: int = 7
     hidden_channels: int = 256
     down_size: int = 256
@@ -54,30 +81,45 @@ class ZeroMIEModule(nn.Module):
     nonlinear: str = "sine"
     dba_eps: float = 0.05
     gf_radius: int = 3
-    use_depth: bool = False
+    use_film: bool = False        # FiLM(value, depth) — ref :532 (commented)
+    use_cross_attn: bool = False  # CrossAttention — ref :533-534 (commented)
+
+    def _encoder(self, x_lr, n, name):
+        """ContextImplicitFeatureEncoder (inr.py:752-828): channel-0 context
+        windows -> INR features. Returns (n, ds*ds, mid)."""
+        ds = self.down_size
+        mid = self.hidden_channels // (4 if self.color_space.endswith("_d") else 2)
+        ctx = context_window_features(x_lr[..., 0:1], window=self.window_size // 2)
+        ctx = ctx.reshape(n, ds * ds, -1)
+        return INRNet(hidden_features=mid, hidden_layers=self.hidden_layers,
+                      out_features=mid, layer_type=self.nonlinear,
+                      omega_0=self.omega_0,
+                      first_bias_scale=self.first_bias_scale, name=name)(ctx)
 
     @nn.compact
     def __call__(self, image, depth=None):
+        cs = self.color_space
         ds = self.down_size
-        mid = self.hidden_channels // 2
+        n = image.shape[0]
+        multimodal = cs.endswith("_d")
+        mid = self.hidden_channels // (4 if multimodal else 2)
         if depth is None:
             depth = rgb_to_grayscale(image)
         edge = boundary_aware_prior(depth, eps=self.dba_eps, normalized=False)
 
-        image_lr = resize(image, (ds, ds), method="bicubic")
+        if cs.startswith("hsv"):
+            image_hsv = rgb_to_hsv(image)
+            base = image_hsv[..., 2:3]  # V = max(R,G,B)
+            out_ch = 1
+        else:
+            base = image
+            out_ch = 3
+
+        base_lr = resize(base, (ds, ds), method="bicubic")
         depth_lr = resize(depth, (ds, ds), method="bicubic")
-        n = image.shape[0]
+        edge_lr = resize(edge, (ds, ds), method="bicubic")
 
-        # context branch over the gray low-res image
-        gray_lr = rgb_to_grayscale(image_lr)
-        ctx = context_window_features(gray_lr, window=self.window_size // 2)
-        ctx = ctx.reshape(n, ds * ds, -1)
-        value_inr = INRNet(hidden_features=mid, hidden_layers=self.hidden_layers,
-                           out_features=mid, layer_type=self.nonlinear,
-                           omega_0=self.omega_0,
-                           first_bias_scale=self.first_bias_scale,
-                           name="value_net")(ctx)
-
+        value_inr = self._encoder(base_lr, n, "value_net")
         coords = jnp.broadcast_to(coordinate_grid(ds, ds)[None], (n, ds * ds, 2))
         coords_inr = INRNet(hidden_features=mid, hidden_layers=self.hidden_layers,
                             out_features=mid, layer_type=self.nonlinear,
@@ -85,26 +127,44 @@ class ZeroMIEModule(nn.Module):
                             first_bias_scale=self.first_bias_scale,
                             name="coords_net")(coords)
 
-        joint = jnp.concatenate([value_inr, coords_inr], axis=-1)
-        if self.use_depth:
-            dflat = depth_lr.reshape(n, ds * ds, 1)
-            joint = FiLM(joint.shape[-1], name="film")(joint, dflat)
+        if multimodal:
+            depth_inr = self._encoder(depth_lr, n, "depth_net")
+            edge_inr = self._encoder(edge_lr, n, "edge_net")
+            if self.use_film:
+                dflat = depth_lr.reshape(n, ds * ds, 1)
+                value_inr = FiLM(mid, name="film")(value_inr, dflat)
+            if self.use_cross_attn:
+                value_inr = CrossAttentionLayer(mid, name="cross_attn")(
+                    value_inr, edge_inr, depth_inr)
+            if cs == "hsv_d":   # :535 order
+                feats = [value_inr, edge_inr, depth_inr, coords_inr]
+            else:               # rgb_d, :299 order
+                feats = [value_inr, depth_inr, edge_inr, coords_inr]
+        else:
+            feats = [value_inr, coords_inr]
 
+        joint = jnp.concatenate(feats, axis=-1)
         illu_res = INRNet(hidden_features=self.hidden_channels,
-                          hidden_layers=self.out_layers - 1, out_features=3,
+                          hidden_layers=self.out_layers - 1, out_features=out_ch,
                           layer_type=self.nonlinear, omega_0=self.omega_0,
                           name="output_net")(joint)
-        illu_res_lr = illu_res.reshape(n, ds, ds, 3)
+        illu_res_lr = illu_res.reshape(n, ds, ds, out_ch)
 
-        illu_lr = illu_res_lr + image_lr
-        enhanced_lr = image_lr / (illu_lr + 1e-8)
-        enhanced = fast_guided_filter(enhanced_lr, image_lr, image,
-                                      radius=self.gf_radius)
-        enhanced = jnp.clip(enhanced, 0, 1)
+        illu_lr = illu_res_lr + base_lr
+        enhanced_lr = base_lr / (illu_lr + 1e-8)
+        enhanced_base = fast_guided_filter(enhanced_lr, base_lr, base,
+                                           radius=self.gf_radius)
+        enhanced_base = jnp.clip(enhanced_base, 0, 1)
+        if cs.startswith("hsv"):
+            # replace_v_component (:240-244) + hsv_to_rgb
+            enhanced = hsv_to_rgb(jnp.concatenate(
+                [image_hsv[..., 0:2], enhanced_base], axis=-1))
+        else:
+            enhanced = enhanced_base
         enhanced = enhanced / jnp.maximum(jnp.max(enhanced), 1e-8)
         return {"enhanced": enhanced, "illu_lr": illu_lr,
-                "image_lr": image_lr, "enhanced_lr": enhanced_lr,
-                "depth_lr": depth_lr, "edge": edge}
+                "image_lr": base_lr, "enhanced_lr": enhanced_lr,
+                "depth_lr": depth_lr, "edge_lr": edge_lr, "edge": edge}
 
 
 def zero_mie_loss(exp_mean: float = 0.6, exp_weight: float = 10.0,
@@ -130,18 +190,56 @@ def zero_mie_loss(exp_mean: float = 0.6, exp_weight: float = 10.0,
     return fn
 
 
-def _make(name, nonlinear="sine", use_depth=False, **kw):
-    inputs = ("image", "depth") if use_depth and kw.get("require_depth") else ("image",)
+def zero_mie_hsv_loss(exp_mean: float = 0.6, exp_weight: float = 8.0,
+                      spa_weight: float = 1.0, tv_weight: float = 20.0,
+                      spar_weight: float = 5.0, color_weight: float = 5.0,
+                      depth_weight: float = 1.0, edge_weight: float = 1.0):
+    """LossHSV (zero_mie.py:101-170): exposure-value on the low-res
+    illumination (E = 1 - exp_mean, :646), squared spatial consistency,
+    TV on illumination, sparsity = mean(enhanced), color constancy, and
+    optional depth/edge terms. The reference's MultiscaleDepthConsistencyLoss
+    symbol does not exist in mon.nn (upstream bug); depth-weighted
+    smoothness stands in for it."""
+    exp = LOSSES.build("exposure_value_control_loss", patch_size=16,
+                       mean_val=1.0 - exp_mean)
+    tv = LOSSES.build("total_variation_loss")
+    col = LOSSES.build("color_constancy_loss")
+    dws = LOSSES.build("depth_weighted_smoothness_loss")
+    edc = LOSSES.build("edge_aware_depth_consistency_loss")
+
+    def fn(outputs, datapoint):
+        illu_lr = outputs["illu_lr"]
+        image_lr = outputs["image_lr"]
+        enhanced = outputs["enhanced"]
+        enhanced_lr = outputs["enhanced_lr"]
+        loss = (exp_weight * exp(illu_lr)
+                + spa_weight * jnp.mean((illu_lr - image_lr) ** 2)
+                + tv_weight * tv(illu_lr)
+                + spar_weight * jnp.mean(enhanced)
+                + color_weight * col(enhanced))
+        depth = datapoint.get("depth") if hasattr(datapoint, "get") else None
+        if depth is not None:
+            depth_lr = outputs["depth_lr"]
+            loss = loss + depth_weight * dws(enhanced_lr, depth_lr)
+            loss = loss + edge_weight * edc(enhanced_lr, depth_lr)
+        return loss
+    return fn
+
+
+def _make(name, nonlinear="sine", color_space="rgb", **kw):
+    hsv = color_space.startswith("hsv")
     return Model(
         name=name, arch="zero_mie",
-        module=ZeroMIEModule(nonlinear=nonlinear, use_depth=use_depth,
+        module=ZeroMIEModule(color_space=color_space, nonlinear=nonlinear,
                              window_size=kw.get("window_size", 7),
                              down_size=kw.get("down_size", 256),
-                             hidden_channels=kw.get("hidden_channels", 256)),
+                             hidden_channels=kw.get("hidden_channels", 256),
+                             use_film=kw.get("use_film", False),
+                             use_cross_attn=kw.get("use_cross_attn", False)),
         tasks=(Task.LLIE,), schemes=(Scheme.ZERO_REFERENCE, Scheme.INSTANCE,
                                      Scheme.ZERO_SHOT),
-        loss_fn=zero_mie_loss(),
-        required_inputs=inputs,
+        loss_fn=zero_mie_hsv_loss() if hsv else zero_mie_loss(),
+        required_inputs=("image",),
         instance_steps=kw.get("instance_steps", 300),
         instance_lr=kw.get("instance_lr", 1e-5),
     )
@@ -150,13 +248,28 @@ def _make(name, nonlinear="sine", use_depth=False, **kw):
 @MODELS.register(name="zero_mie", arch="zero_mie",
                  tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
 def zero_mie(**kwargs) -> Model:
-    return _make("zero_mie", **kwargs)
+    return _make("zero_mie", color_space="rgb", **kwargs)
 
 
-@MODELS.register(name="zero_mie_ms", arch="zero_mie",
+@MODELS.register(name="zero_mie_ms", arch="zero_mie", aliases=["zero_mie_rgb_d"],
                  tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
 def zero_mie_ms(**kwargs) -> Model:
-    return _make("zero_mie_ms", use_depth=True, **kwargs)
+    """Multimodal rgb_d variant (value/depth/edge encoders, :325-401)."""
+    return _make("zero_mie_ms", color_space="rgb_d", **kwargs)
+
+
+@MODELS.register(name="zero_mie_hsv", arch="zero_mie",
+                 tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
+def zero_mie_hsv(**kwargs) -> Model:
+    """HSV value-channel variant with LossHSV (:399-474, :646)."""
+    return _make("zero_mie_hsv", color_space="hsv", **kwargs)
+
+
+@MODELS.register(name="zero_mie_hsv_d", arch="zero_mie",
+                 tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
+def zero_mie_hsv_d(**kwargs) -> Model:
+    """Multimodal HSV variant (:477-556)."""
+    return _make("zero_mie_hsv_d", color_space="hsv_d", **kwargs)
 
 
 for _nl in ("finer", "gauss", "relu"):

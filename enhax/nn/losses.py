@@ -180,6 +180,39 @@ def exposure_control_loss(
     return fn
 
 
+@LOSSES.register(name="exposure_value_control_loss")
+def exposure_value_control_loss(
+    patch_size: int = 16,
+    mean_val: float = 0.6,
+    loss_weight: float = 1.0,
+    reduction: str = "mean",
+):
+    """L_exp variant on sqrt of pooled intensity (image.py:572-603):
+    (sqrt(avgpool(mean_c(x))) - E)^2 — used by Zero-MIE's LossHSV on the
+    low-res illumination."""
+    def fn(input, target=None, **_):
+        x = jnp.mean(input, axis=-1, keepdims=True)
+        mean = jnp.sqrt(jnp.maximum(_avg_pool(x, patch_size), 0.0))
+        return loss_weight * reduce_loss((mean - mean_val) ** 2, reduction)
+    return fn
+
+
+@LOSSES.register(name="edge_aware_depth_consistency_loss")
+def edge_aware_depth_consistency_loss(tau: float = 0.1, loss_weight: float = 1.0,
+                                      reduction: str = "mean"):
+    """Penalize image gradients where depth has strong (sobel) edges
+    (image.py:367-400): mask = |sobel(depth)| > tau; mean(mask * |grad(x)|^2)."""
+    from enhax.ops.filtering import sobel_filter
+
+    def fn(input, depth, **_):
+        d_mag = sobel_filter(depth, normalized=False)
+        mask = (d_mag > tau).astype(input.dtype)
+        g_mag = sobel_filter(input, normalized=False)
+        # gx^2 + gy^2 == magnitude^2 (up to the stabilizing eps)
+        return loss_weight * jnp.mean(mask * g_mag ** 2)
+    return fn
+
+
 @LOSSES.register(name="color_constancy_loss")
 def color_constancy_loss(loss_weight: float = 1.0, reduction: str = "mean"):
     """L_col: gray-world channel-mean consistency (image.py:192)."""

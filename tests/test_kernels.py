@@ -38,10 +38,9 @@ def test_fused_curve_upsample_matches_resize_path(rng):
     ref = apply_curves(img, curves_hr, num_iters=8, shared=True)
     out = fused_curve_upsample_apply(img, curves_lr, num_iters=8, scale=scale,
                                      interpret=True)
-    # Interior must match exactly; tile-local upsample clamps at tile borders
-    # (the reference resize interpolates across them), so compare interior.
-    np.testing.assert_allclose(np.asarray(out)[:, 2:-2, 2:-2],
-                               np.asarray(ref)[:, 2:-2, 2:-2], atol=1e-5)
+    # the kernel's H-phase interpolation reads image-level edge-clamped
+    # prev/next row views, so the whole array (borders included) must match
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_fused_curve_jit_compatible(img, rng):

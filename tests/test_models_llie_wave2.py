@@ -161,3 +161,22 @@ def test_pairlie(dp):
 
 def test_snr(dp):
     _smoke("snr", dp, nf=16, front_rbs=1, back_rbs=1, n_layers=1)
+
+
+def test_zero_mie_hsv(dp):
+    m, params, out = _smoke("zero_mie_hsv", dp, down_size=32)
+    assert out["illu_lr"].shape[-1] == 1  # V-channel residual
+
+
+def test_zero_mie_hsv_d(dp):
+    _smoke("zero_mie_hsv_d", dp, down_size=32)
+
+
+def test_zero_mie_hsv_roundtrip_identity(dp):
+    # with a zero residual the HSV round trip must reproduce the input
+    # (up to the guided-filter smoothing + max-normalization)
+    import enhax.ops.color as color
+    img = np.asarray(dp["image"])
+    hsv = color.rgb_to_hsv(jnp.asarray(img))
+    back = color.hsv_to_rgb(hsv)
+    np.testing.assert_allclose(np.asarray(back), img, atol=1e-5)
