@@ -1,0 +1,79 @@
+"""Secondary benchmarks: BASELINE.md configs 1-4 on one TPU chip.
+
+Prints one JSON line per config (bench.py remains the single-line headline
+for the driver). Configs (BASELINE.md:23-27):
+
+  1. zero_dce      — 256x256 single-image enhance (CPU-reference config,
+                     run here on TPU at batch 64)
+  2. zero_dce++    — handled by bench.py (headline)
+  3a. hinet        — GoPro-shaped 1280x736, batch 4
+  3b. nafnet TLC   — SIDD denoising at 1280x736, batch 4, TLC local stats
+  4. restormer     — 1080p deraining via overlap-tiled 256-tiles (the
+                     reference tests Restormer tiled, my_predict.py:157-167)
+
+Timing: hard host sync per run (axon relay; see bench.py notes).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(f, *args, runs=5):
+    s = float(f(*args).sum())
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        s = float(f(*args).sum())
+    return (time.perf_counter() - t0) / runs
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from enhax.infer.tiling import tiled_apply
+    from enhax.models.base import build_model
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    def run(metric, model_name, batch, h, w, runs=5, tile=None, **kw):
+        try:
+            model = build_model(model_name, **kw)
+            x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
+            v = model.init(jax.random.PRNGKey(0), {"image": x})
+            if tile:
+                fn = jax.jit(lambda vv, img: tiled_apply(
+                    lambda t: model.apply(vv, {"image": t})["enhanced"],
+                    img, tile=(tile[0], tile[0]), overlap=tile[1]))
+                f = lambda: fn(v, x)  # noqa: E731
+            else:
+                fwd = jax.jit(lambda vv, d: model.apply(vv, d)["enhanced"])
+                f = lambda: fwd(v, {"image": x})  # noqa: E731
+            dt = _timeit(lambda: f(), runs=runs)
+            mps = batch * h * w / 1e6 / dt
+            row = {"metric": metric, "value": round(mps, 2),
+                   "unit": "megapixels/sec/chip",
+                   "vs_baseline": round(mps / 100.0, 3)}
+        except Exception as e:  # noqa: BLE001
+            row = {"metric": metric, "value": None,
+                   "unit": "megapixels/sec/chip",
+                   "error": f"{type(e).__name__}: {str(e)[:120]}"}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    run("zero_dce_256_batch64", "zero_dce_re", 64, 256, 256)
+    run("hinet_gopro_1280x736", "hinet_re", 2, 736, 1280)
+    run("nafnet_tlc_sidd_1280x736", "nafnet_local", 2, 736, 1280)
+    run("restormer_1080p_tiled384", "restormer", 1, 1088, 1920,
+        runs=3, tile=(384, 32))
+
+
+if __name__ == "__main__":
+    main()

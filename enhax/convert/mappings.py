@@ -197,6 +197,22 @@ def snr_name_map(front_rbs: int = 5, back_rbs: int = 10, light_rbs: int = 6,
     return m
 
 
+def yolov8_name_map() -> dict:
+    """ultralytics DetectionModel state dicts (model.{i}. indices per
+    models/v8/yolov8.yaml) -> enhax m{i} names."""
+    m = {}
+    for i in range(23):
+        m[f"model.{i}."] = f"m{i}."
+        m[f"{i}."] = f"m{i}."  # bare-ModuleList exports
+    for i in range(3):
+        for j in range(3):
+            m[f"*.cv2.{i}.{j}."] = f".cv2_{i}_{j}."
+            m[f"*.cv3.{i}.{j}."] = f".cv3_{i}_{j}."
+    for k in range(9):  # C2f bottleneck lists (yolov8x: up to 9 repeats)
+        m[f"*.m.{k}."] = f".m{k}."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -210,6 +226,11 @@ NAME_MAPS = {
     "uretinexnet": uretinexnet_name_map,
     "pairlie": pairlie_name_map,
     "snr": snr_name_map,
+    "yolov8n": yolov8_name_map,
+    "yolov8s": yolov8_name_map,
+    "yolov8m": yolov8_name_map,
+    "yolov8l": yolov8_name_map,
+    "yolov8x": yolov8_name_map,
 }
 
 

@@ -72,7 +72,46 @@ def _external_stubs() -> dict:
     return stubs
 
 
-def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False):
+def make_ultralytics_tal_stub():
+    """Behavioral stub of ultralytics.yolo.utils.tal (tal.py:246-270) — the
+    vendored chain's real __init__ needs matplotlib (absent here); these two
+    functions are all the Detect head imports."""
+    import torch
+
+    tal = types.ModuleType("ultralytics.yolo.utils.tal")
+
+    def make_anchors(feats, strides, grid_cell_offset=0.5):
+        anchor_points, stride_tensor = [], []
+        dtype = feats[0].dtype
+        for i, stride in enumerate(strides):
+            _, _, h, w = feats[i].shape
+            sx = torch.arange(end=w, dtype=dtype) + grid_cell_offset
+            sy = torch.arange(end=h, dtype=dtype) + grid_cell_offset
+            sy, sx = torch.meshgrid(sy, sx, indexing="ij")
+            anchor_points.append(torch.stack((sx, sy), -1).view(-1, 2))
+            stride_tensor.append(torch.full((h * w, 1), stride, dtype=dtype))
+        return torch.cat(anchor_points), torch.cat(stride_tensor)
+
+    def dist2bbox(distance, anchor_points, xywh=True, dim=-1):
+        lt, rb = distance.chunk(2, dim)
+        x1y1 = anchor_points - lt
+        x2y2 = anchor_points + rb
+        if xywh:
+            return torch.cat(((x1y1 + x2y2) / 2, x2y2 - x1y1), dim)
+        return torch.cat((x1y1, x2y2), dim)
+
+    tal.make_anchors = make_anchors
+    tal.dist2bbox = dist2bbox
+    utils_pkg = types.ModuleType("ultralytics.yolo.utils")
+    utils_pkg.tal = tal
+    yolo_pkg = types.ModuleType("ultralytics.yolo")
+    yolo_pkg.utils = utils_pkg
+    return {"ultralytics.yolo": yolo_pkg, "ultralytics.yolo.utils": utils_pkg,
+            "ultralytics.yolo.utils.tal": tal}
+
+
+def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False,
+                  extra_stubs: dict | None = None):
     """Import ``module_name`` from a vendored repo under mon_extra.
 
     ``repo_rel``: path relative to ``src/mon_extra`` that is the repo root
@@ -93,6 +132,8 @@ def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False):
     ext = _external_stubs()
     if stub_mon:
         ext.update(_build_stub_mon())
+    if extra_stubs:
+        ext.update(extra_stubs)
     saved_ext = {k: sys.modules.get(k) for k in ext}
     sys.modules.update(ext)
     sys.path.insert(0, str(root))

@@ -9,3 +9,4 @@ a first-party source of detections.
 
 from enhax.models.detect.base import Detector, Detection, CenterNetLite
 from enhax.models.detect import yolo
+from enhax.models.detect import yolov8

@@ -18,6 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: re-runs of the suite skip XLA:CPU compiles (the
+# suite is compile-dominated on this 1-core host)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -31,3 +36,80 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# Fast-default selection: compile-heavy tests (>=9s on the 1-core CI host,
+# measured via --durations) are marked slow and excluded by pytest.ini's
+# `-m "not slow"`. Full suite: `pytest tests/ -m ""`.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "test_convert_hinet.py::test_full_hinet_conversion_parity",
+    "test_hooks.py::test_preemption_checkpoint",
+    "test_hooks.py::test_tensorboard_hook",
+    "test_losses.py::test_bilateral_smooth_loss_grad",
+    "test_metrics.py::test_lpips_architecture_and_ordering",
+    "test_metrics.py::test_ms_ssim_identical_is_one",
+    "test_mixed_precision.py::test_nafnet_bf16_runs",
+    "test_models_llie.py::test_zero_dce_loss_and_grads",
+    "test_models_llie_wave2.py::test_colie",
+    "test_models_llie_wave2.py::test_hvi_cidnet",
+    "test_models_llie_wave2.py::test_psenet",
+    "test_models_llie_wave2.py::test_retinexformer",
+    "test_models_llie_wave2.py::test_rrdnet",
+    "test_models_llie_wave2.py::test_rsfnet",
+    "test_models_llie_wave2.py::test_ruas",
+    "test_models_llie_wave2.py::test_snr",
+    "test_models_llie_wave2.py::test_uretinexnet",
+    "test_models_llie_wave2.py::test_zero_ig",
+    "test_models_llie_wave2.py::test_zid",
+    "test_models_llie_wave2.py::test_zero_mie_hsv_d",
+    "test_models_multitask.py::test_restormer_forward_and_loss",
+    "test_models_multitask.py::test_uformer_forward",
+    "test_models_zoo3.py::test_classifier_forward[convnext_tiny]",
+    "test_models_zoo3.py::test_classifier_forward[efficientnet_b0]",
+    "test_models_zoo3.py::test_classifier_forward[efficientnet_v2_s]",
+    "test_models_zoo3.py::test_classifier_forward[mnasnet0_5]",
+    "test_models_zoo3.py::test_classifier_forward[mobilenet_v2]",
+    "test_models_zoo3.py::test_classifier_forward[regnet_y_400mf]",
+    "test_models_zoo3.py::test_classifier_forward[shufflenet_v2_x1_0]",
+    "test_models_zoo3.py::test_classifier_forward[squeezenet1_0]",
+    "test_models_zoo3.py::test_deeplabv3",
+    "test_models_zoo3.py::test_sam_lite_promptable_segmentation",
+    "test_models_zoo3.py::test_srno",
+    "test_models_zoo3.py::test_swin_forward",
+    "test_models_zoo3.py::test_vit_forward",
+    "test_models_zoo3.py::test_yolo_lite_detect_and_decode",
+    "test_parallel.py::test_halo_exchange_conv_safe",
+    "test_parity_reference.py::test_nafnet_reference_parity",
+    "test_parity_reference.py::test_retinexformer_reference_parity",
+    "test_parity_reference.py::test_snr_reference_parity",
+    "test_train_quality.py::test_supervised_training_improves_psnr",
+    "test_train_quality.py::test_zero_dce_training_improves_psnr",
+    "test_video_and_inpaint.py::test_lama_inpainting",
+    "test_cli.py::test_predict_iter_batches",
+    "test_models_multitask.py::test_zero_restore_forward_and_loss",
+    "test_models_llie_wave2.py::test_lyt_net",
+    "test_models_multitask.py::test_mprnet_forward_and_loss",
+    "test_models_llie_wave2.py::test_llunetpp",
+    "test_models_zoo3.py::test_depth_anything_arch",
+    "test_models_multitask.py::test_nafnet_tlc_differs_from_global",
+    "test_convert_nafnet.py::test_full_nafnet_conversion_parity",
+    "test_hooks.py::test_debug_image_hook",
+    "test_infer_engine.py::test_instance_fit_reduces_loss",
+    "test_mixed_precision.py::test_zero_dce_bf16_quality_parity",
+    "test_models_llie.py::test_gcenet_forward",
+    "test_models_llie.py::test_zsn2n_forward_and_loss",
+    "test_parity_reference.py::test_uretinexnet_reference_parity",
+    "test_niqe.py::test_distortion_ranks_worse",
+    "test_niqe.py::test_features_shape",
+    "test_parity_reference.py::test_yolov8_reference_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -190,3 +190,38 @@ def test_regnet_y_has_se(img):
     flat_x = jax.tree_util.tree_flatten_with_path(px)[0]
     has = lambda flat: any("_se1" in "/".join(map(str, p)) for p, _ in flat)
     assert has(flat_y) and not has(flat_x)
+
+
+@pytest.mark.slow
+def test_yolov8_param_counts_match_published():
+    """Published table (models/v8/yolov8.yaml:8-9): gradient counts; the
+    +16 'parameters' delta is ultralytics' frozen DFL arange buffer, which
+    enhax computes functionally."""
+    import jax
+    from enhax.models.base import build_model
+    for scale, published_grads in (("n", 3157184), ("s", 11166544)):
+        m = build_model(f"yolov8{scale}")
+        v = m.init(jax.random.PRNGKey(0),
+                   {"image": np.zeros((1, 64, 64, 3), np.float32)})
+        cnt = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert cnt == published_grads, (scale, cnt, published_grads)
+
+
+@pytest.mark.slow
+def test_yolov8_detect_track_pipeline():
+    """yolov8n forward -> decode -> SORT across 2 frames (pipeline wiring)."""
+    import jax
+    from enhax.models.base import build_model
+    from enhax.models.detect.yolov8 import decode_yolov8
+    from enhax.track.sort import SORT
+
+    m = build_model("yolov8n")
+    rng_l = np.random.default_rng(0)
+    x = rng_l.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), {"image": x})
+    tracker = SORT()
+    for _ in range(2):
+        out = m.apply(v, {"image": x})
+        dets = decode_yolov8(out, score_thresh=0.0, max_dets=5)
+        tracks = tracker.update(dets[:, :5])
+        assert tracks.shape[1] >= 5

@@ -331,3 +331,99 @@ def test_snr_reference_parity():
         net.state_dict(), snr_name_map(front_rbs=1, back_rbs=1, n_layers=2),
         img[None])
     _assert_close(ref, got, 1e-4, "snr")
+
+
+def test_yolov8_reference_parity():
+    """Compose the vendored ultralytics modules per models/v8/yolov8.yaml
+    (n-scale) and assert decoded outputs match the enhax YOLOv8.
+
+    NOTE the vendored Detect (MobileSAMv2 copy) hard-codes reg_max=26
+    (head.py:34); the enhax model takes reg_max as an arg.
+    """
+    import math as _math
+    from enhax.convert.mappings import yolov8_name_map
+    base = "vision/segment/mobile_sam/MobileSAMv2"
+    tal_stubs = refload.make_ultralytics_tal_stub()
+    conv_m = refload.load_vendored(base, "ultralytics.nn.modules.conv",
+                                   extra_stubs=tal_stubs)
+    block_m = refload.load_vendored(base, "ultralytics.nn.modules.block",
+                                    extra_stubs=tal_stubs)
+    head_m = refload.load_vendored(base, "ultralytics.nn.modules.head",
+                                   extra_stubs=tal_stubs)
+    Conv, C2f, SPPF = conv_m.Conv, block_m.C2f, block_m.SPPF
+    Detect = head_m.Detect
+
+    wsc, dep, mc = 0.25, 0.34, 1024  # n-scale
+
+    def W(c):
+        return int(_math.ceil(min(c, mc) * wsc / 8) * 8)
+
+    def D(n):
+        return max(round(n * dep), 1)
+
+    torch.manual_seed(0)
+    layers = [
+        Conv(3, W(64), 3, 2),                    # 0
+        Conv(W(64), W(128), 3, 2),               # 1
+        C2f(W(128), W(128), D(3), True),         # 2
+        Conv(W(128), W(256), 3, 2),              # 3
+        C2f(W(256), W(256), D(6), True),         # 4
+        Conv(W(256), W(512), 3, 2),              # 5
+        C2f(W(512), W(512), D(6), True),         # 6
+        Conv(W(512), W(1024), 3, 2),             # 7
+        C2f(W(1024), W(1024), D(3), True),       # 8
+        SPPF(W(1024), W(1024), 5),               # 9
+        torch.nn.Upsample(scale_factor=2, mode="nearest"),        # 10
+        torch.nn.Identity(),                                      # 11 concat
+        C2f(W(1024) + W(512), W(512), D(3), False),               # 12
+        torch.nn.Upsample(scale_factor=2, mode="nearest"),        # 13
+        torch.nn.Identity(),                                      # 14 concat
+        C2f(W(512) + W(256), W(256), D(3), False),                # 15
+        Conv(W(256), W(256), 3, 2),                               # 16
+        torch.nn.Identity(),                                      # 17 concat
+        C2f(W(256) + W(512), W(512), D(3), False),                # 18
+        Conv(W(512), W(512), 3, 2),                               # 19
+        torch.nn.Identity(),                                      # 20 concat
+        C2f(W(512) + W(1024), W(1024), D(3), False),              # 21
+        Detect(nc=80, ch=(W(256), W(512), W(1024))),              # 22
+    ]
+    net = torch.nn.Module()
+    net.model = torch.nn.ModuleList(layers)
+    det = net.model[22]
+    det.stride = torch.tensor([8.0, 16.0, 32.0])
+    for m in net.model:
+        m.eval()
+
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        y0 = net.model[0](x)
+        y1 = net.model[1](y0)
+        y2 = net.model[2](y1)
+        y3 = net.model[3](y2)
+        y4 = net.model[4](y3)
+        y5 = net.model[5](y4)
+        y6 = net.model[6](y5)
+        y7 = net.model[7](y6)
+        y8 = net.model[8](y7)
+        y9 = net.model[9](y8)
+        y12 = net.model[12](torch.cat([net.model[10](y9), y6], 1))
+        y15 = net.model[15](torch.cat([net.model[13](y12), y4], 1))
+        y18 = net.model[18](torch.cat([net.model[16](y15), y12], 1))
+        y21 = net.model[21](torch.cat([net.model[19](y18), y9], 1))
+        y_dec, _raw = det([y15, y18, y21])
+    ref = y_dec[0].numpy().T  # (anchors, 4+nc): xywh*stride + sigmoid cls
+
+    import jax
+    model = MODELS.build("yolov8n", reg_max=int(det.reg_max))
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=yolov8_name_map(), strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    out = model.apply(params, dp)
+    got = np.asarray(out["preds"])[0]
+    got = np.concatenate([got[:, :4], 1 / (1 + np.exp(-got[:, 4:]))], axis=-1)
+    assert ref.shape == got.shape, (ref.shape, got.shape)
+    err = float(np.max(np.abs(ref - got)))
+    assert err <= 2e-3, f"yolov8 decode max err {err:.2e}"
