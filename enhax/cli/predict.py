@@ -136,8 +136,11 @@ def predict(args: dict):
 
 
 def _load_weights(model, path):
-    """Load .npz (flat pytree) or torch checkpoint via the converter."""
+    """Load .npz (flat pytree), torch checkpoint, or ``zoo:<key>``."""
     from enhax.utils.pathlib import Path
+    if isinstance(path, str) and path.startswith("zoo:"):
+        from enhax.zoo import load_zoo_weights
+        return load_zoo_weights(model, path[4:])
     p = Path(path)
     if p.suffix == ".npz":
         import jax

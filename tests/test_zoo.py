@@ -1,0 +1,52 @@
+"""Zoo table: key resolution, guidance errors, and end-to-end zoo load."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from enhax.models.base import build_model  # noqa: E402
+from enhax import zoo  # noqa: E402
+
+
+def test_zoo_keys_listed():
+    assert "sice" in zoo.zoo_keys("zero_dce_re")
+    assert zoo.zoo_keys("nonexistent_model") == []
+
+
+def test_missing_file_raises_with_guidance(monkeypatch, tmp_path):
+    monkeypatch.setenv("ENHAX_ZOO_DIR", str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="download from"):
+        zoo.resolve_zoo("zero_dce_re", "sice")
+    with pytest.raises(KeyError, match="available"):
+        zoo.resolve_zoo("zero_dce_re", "nope")
+
+
+def test_zoo_load_end_to_end(monkeypatch, tmp_path):
+    """Drop a synthetic checkpoint at the expected zoo path and load it
+    through build_model + load_zoo_weights (converter + name map)."""
+    monkeypatch.setenv("ENHAX_ZOO_DIR", str(tmp_path))
+    torch.manual_seed(0)
+    sd = {}
+    chans = [(3, 32), (32, 32), (32, 32), (32, 32), (64, 32), (64, 32), (64, 24)]
+    for i, (cin, cout) in enumerate(chans, start=1):
+        sd[f"e_conv{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.02
+        sd[f"e_conv{i}.bias"] = torch.zeros(cout)
+    path = tmp_path / "zero_dce_re"
+    path.mkdir(parents=True)
+    torch.save(sd, str(path / "zero_dce_sice.pth"))
+
+    model = build_model("zero_dce_re")
+    params = zoo.load_zoo_weights(model, "sice", strict=True)
+    import jax
+    x = {"image": np.random.default_rng(0).uniform(0, 0.3, (1, 32, 32, 3)).astype(np.float32)}
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out["enhanced"])).all()
+
+
+def test_predict_cli_weights_zoo_scheme(monkeypatch, tmp_path):
+    from enhax.cli.predict import _load_weights
+    monkeypatch.setenv("ENHAX_ZOO_DIR", str(tmp_path))
+    model = build_model("zero_dce_re")
+    with pytest.raises(FileNotFoundError):
+        _load_weights(model, "zoo:sice")
