@@ -3,3 +3,4 @@
 from enhax.models.segment import unet
 from enhax.models.segment import deeplabv3
 from enhax.models.segment import sam
+from enhax.models.segment import sam2

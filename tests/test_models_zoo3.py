@@ -225,3 +225,35 @@ def test_yolov8_detect_track_pipeline():
         dets = decode_yolov8(out, score_thresh=0.0, max_dets=5)
         tracks = tracker.update(dets[:, :5])
         assert tracks.shape[1] >= 5
+
+
+@pytest.mark.slow
+def test_sam2_lite_video_propagation():
+    """Prompt frame 0, propagate a moving square across 3 frames via the
+    scanned memory bank; masks must stay finite and frame-shaped, and the
+    CCL post-proc must clean them."""
+    import jax
+    from enhax.models.base import build_model
+    from enhax.models.segment.sam import sam_postprocess
+    from enhax.models.segment.sam2 import (init_video_variables,
+                                           make_video_propagator)
+
+    m = build_model("sam2_lite", dim=64, mem_dim=32, depth=1, num_maskmem=2)
+    rng_l = np.random.default_rng(0)
+    frames = np.zeros((3, 64, 64, 3), np.float32)
+    for t in range(3):
+        frames[t, 20 + 4 * t:40 + 4 * t, 20:40, :] = 1.0
+    frames += rng_l.uniform(0, 0.05, frames.shape).astype(np.float32)
+    points = np.array([[[0.45, 0.45]]], np.float32)  # normalized (y, x)
+    labels = np.array([[1]], np.int32)
+
+    variables = init_video_variables(m, jax.random.PRNGKey(0),
+                                     jnp.asarray(frames[0:1]),
+                                     jnp.asarray(points), jnp.asarray(labels))
+    prop = jax.jit(make_video_propagator(m))
+    masks = prop(variables, jnp.asarray(frames), jnp.asarray(points),
+                 jnp.asarray(labels))
+    assert masks.shape == (3, 64, 64)
+    assert np.isfinite(np.asarray(masks)).all()
+    cleaned = sam_postprocess(np.asarray(masks[2]), area_thresh=10)
+    assert cleaned.shape == (64, 64)
