@@ -37,7 +37,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from enhax.infer.tiling import tiled_apply
+    from enhax.infer.tiling import tiled_apply_batched
     from enhax.models.base import build_model
 
     rng = np.random.default_rng(0)
@@ -49,9 +49,11 @@ def main():
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
             v = model.init(jax.random.PRNGKey(0), {"image": x})
             if tile:
-                fn = jax.jit(lambda vv, img: tiled_apply(
+                # tiles batched through one model call (tiled_apply_batched)
+                # — unrolled per-tile calls OOM'd the 16 GB chip at 1080p
+                fn = jax.jit(lambda vv, img: tiled_apply_batched(
                     lambda t: model.apply(vv, {"image": t})["enhanced"],
-                    img, tile=(tile[0], tile[0]), overlap=tile[1]))
+                    img, tile=(tile[0], tile[0]), overlap=tile[1], chunk=8))
                 f = lambda: fn(v, x)  # noqa: E731
             else:
                 fwd = jax.jit(lambda vv, d: model.apply(vv, d)["enhanced"])
@@ -68,11 +70,11 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    run("zero_dce_256_batch64", "zero_dce_re", 64, 256, 256)
+    run("zero_dce_256_batch128", "zero_dce_re", 128, 256, 256)
     run("hinet_gopro_1280x736", "hinet_re", 2, 736, 1280)
     run("nafnet_tlc_sidd_1280x736", "nafnet_local", 2, 736, 1280)
-    run("restormer_1080p_tiled384", "restormer", 1, 1088, 1920,
-        runs=3, tile=(384, 32))
+    run("restormer_1080p_tiled256", "restormer", 1, 1088, 1920,
+        runs=3, tile=(256, 32))
 
 
 if __name__ == "__main__":

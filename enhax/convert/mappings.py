@@ -213,6 +213,30 @@ def yolov8_name_map() -> dict:
     return m
 
 
+def llflow_name_map(nb: int = 24, n_layers: int = 45) -> dict:
+    """LLFlow (LLFlow_arch.py + FlowUpsamplerNet.py) -> enhax names."""
+    m = {}
+    for i in range(nb):
+        m[f"RRDB.RRDB_trunk.{i}."] = f"rrdb.rrdb{i}."
+    m["RRDB."] = "rrdb."
+    for i in range(n_layers):
+        m[f"flowUpsamplerNet.layers.{i}."] = f"step{i}."
+    # coupling F nets: Sequential(Conv2d+actnorm, ReLU, Conv2d+actnorm,
+    # ReLU, Conv2dZeros) -> c0/c0_an, c1/c1_an, czero(+czero_logs)
+    for tname, fname in (("fAffine", "f_affine"), ("fFeatures", "f_features")):
+        m[f"*.{tname}.0.actnorm."] = f".{fname}.c0_an."
+        m[f"*.{tname}.0."] = f".{fname}.c0."
+        m[f"*.{tname}.2.actnorm."] = f".{fname}.c1_an."
+        m[f"*.{tname}.2."] = f".{fname}.c1."
+        m[f"*.{tname}.4.logs"] = f".{fname}.czero_logs"
+        m[f"*.{tname}.4."] = f".{fname}.czero."
+    m["*.RDB1."] = ".rdb1."
+    m["*.RDB2."] = ".rdb2."
+    m["*.RDB3."] = ".rdb3."
+    m["*.fine_tune_color_map.0."] = ".fine_tune_color_map."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -226,6 +250,7 @@ NAME_MAPS = {
     "uretinexnet": uretinexnet_name_map,
     "pairlie": pairlie_name_map,
     "snr": snr_name_map,
+    "llflow": llflow_name_map,
     "yolov8n": yolov8_name_map,
     "yolov8s": yolov8_name_map,
     "yolov8m": yolov8_name_map,

@@ -51,6 +51,7 @@ def _external_stubs() -> dict:
         tv.__path__ = []
         utils = types.ModuleType("torchvision.utils")
         utils.make_grid = lambda *a, **k: None
+        utils.save_image = lambda *a, **k: None
         models = types.ModuleType("torchvision.models")
         models.__getattr__ = lambda name: None
         transforms = types.ModuleType("torchvision.transforms")
@@ -61,12 +62,14 @@ def _external_stubs() -> dict:
         stubs.update({"torchvision": tv, "torchvision.utils": utils,
                       "torchvision.models": models,
                       "torchvision.transforms": transforms})
-    # small leaf deps imported at module scope by basicsr's utils chain
-    for name in ("lmdb",):
+    # small leaf deps imported at module scope by vendored utils chains
+    for name in ("lmdb", "natsort"):
         try:
             importlib.import_module(name)
         except ImportError:
             m = types.ModuleType(name)
+            if name == "natsort":
+                m.natsorted = sorted
             m.__getattr__ = lambda attr: None
             stubs[name] = m
     return stubs
@@ -140,6 +143,7 @@ def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False,
     try:
         # stub ancestor packages: basicsr, basicsr.models, basicsr.models.archs
         pkg_dir = root
+        parent = None
         for i, part in enumerate(parts[:-1]):
             pkg_dir = pkg_dir / part
             pkg_name = ".".join(parts[: i + 1])
@@ -147,6 +151,11 @@ def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False,
             stub.__path__ = [str(pkg_dir)]
             stub.__package__ = pkg_name
             sys.modules[pkg_name] = stub
+            if parent is not None:
+                # pre-stubbed children never get attribute-bound by the
+                # import system; link them so `pkg.sub.attr` access works
+                setattr(parent, part, stub)
+            parent = stub
         mod = importlib.import_module(module_name)
     finally:
         sys.path[:] = saved_path

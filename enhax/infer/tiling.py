@@ -63,3 +63,45 @@ def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32
                 acc, jax.lax.dynamic_slice(acc, (0, y, x, 0), (1, th, tw, 1))
                 + win, (0, y, x, 0))
     return out / acc
+
+
+def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
+                        overlap: int = 32, chunk: int = 8):
+    """Overlap-tiled apply with tiles BATCHED through ``fn``.
+
+    TPU-friendly variant of :func:`tiled_apply`: instead of unrolling one
+    model call per tile (which multiplies live buffers and compile time),
+    all tiles are stacked into a batch and run through ``fn`` in chunks of
+    ``chunk``, then Hann-blended back. ``fn`` maps (B, th, tw, C) ->
+    (B, th, tw, C). Same contract as Restormer's tiled test path
+    (my_predict.py:157-167).
+    """
+    n, h, w, c = image.shape
+    assert n == 1, "batched tiling operates on a single image"
+    th = min(tile[0], h)
+    tw = min(tile[1], w)
+    stride_h = max(th - overlap, 1)
+    stride_w = max(tw - overlap, 1)
+    ys = _tile_starts(h, th, stride_h)
+    xs = _tile_starts(w, tw, stride_w)
+    coords = [(y, x) for y in ys for x in xs]
+
+    patches = jnp.stack([
+        jax.lax.dynamic_slice(image, (0, y, x, 0), (1, th, tw, c))[0]
+        for y, x in coords])
+    preds = []
+    for i in range(0, len(coords), chunk):
+        preds.append(fn(patches[i : i + chunk]))
+    preds = jnp.concatenate(preds, axis=0)
+
+    win = _hann_window(th, tw)
+    out = jnp.zeros_like(image)
+    acc = jnp.zeros((1, h, w, 1), image.dtype)
+    for k, (y, x) in enumerate(coords):
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, y, x, 0), (1, th, tw, c))
+            + preds[k][None] * win, (0, y, x, 0))
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (0, y, x, 0), (1, th, tw, 1))
+            + win, (0, y, x, 0))
+    return out / jnp.maximum(acc, 1e-8)

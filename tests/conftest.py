@@ -105,6 +105,11 @@ _SLOW_TESTS = {
     "test_niqe.py::test_distortion_ranks_worse",
     "test_niqe.py::test_features_shape",
     "test_parity_reference.py::test_yolov8_reference_parity",
+    "test_parity_reference.py::test_llflow_reference_parity",
+    "test_models_zoo3.py::test_sam2_lite_video_propagation",
+    "test_models_zoo3.py::test_yolov8_param_counts_match_published",
+    "test_models_zoo3.py::test_yolov8_detect_track_pipeline",
+    "test_models_llie_wave2.py::test_llflow",
 }
 
 

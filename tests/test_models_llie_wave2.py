@@ -180,3 +180,22 @@ def test_zero_mie_hsv_roundtrip_identity(dp):
     hsv = color.rgb_to_hsv(jnp.asarray(img))
     back = color.hsv_to_rgb(hsv)
     np.testing.assert_allclose(np.asarray(back), img, atol=1e-5)
+
+
+def test_llflow(dp):
+    # tiny config; forward (reverse flow) + NLL both finite
+    m = build_model("llflow", nf=8, nb=1, gc=4, K=1)
+    img = dp["image"][:, :32, :32]
+    params = m.init(jax.random.PRNGKey(0), {"image": img})
+    out = m.apply(params, {"image": img})
+    assert out["enhanced"].shape == img.shape
+    assert np.isfinite(np.asarray(out["enhanced"])).all()
+    loss, _ = m.forward_loss(params, {"image": img, "ref_image": img})
+    assert np.isfinite(float(loss))
+
+
+def test_llflow_squeeze_roundtrip():
+    from enhax.models.llie.llflow import squeeze2d, unsqueeze2d
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(unsqueeze2d(squeeze2d(x, 2), 2)),
+                               np.asarray(x))

@@ -427,3 +427,80 @@ def test_yolov8_reference_parity():
     assert ref.shape == got.shape, (ref.shape, got.shape)
     err = float(np.max(np.abs(ref - got)))
     assert err <= 2e-3, f"yolov8 decode max err {err:.2e}"
+
+
+class _NoneDict(dict):
+    def __missing__(self, key):
+        return None
+
+
+def _llflow_opt(gt_size=32, nb=2, K=2, cond_dim=32):
+    flow = _NoneDict({
+        "K": K, "L": 3, "noInitialInj": True,
+        "coupling": "CondAffineSeparatedAndCond",
+        "additionalFlowNoAffine": 2,
+        "split": _NoneDict({"enable": False}),
+        "fea_up0": True, "conditionInFeaDim": cond_dim,
+        "stackRRDB": _NoneDict({"blocks": [1], "concat": True}),
+    })
+    return _NoneDict({
+        "datasets": _NoneDict({"train": _NoneDict({"GT_size": gt_size,
+                                                   "quant": 32})}),
+        "cond_encoder": "ConEncoder1",
+        "scale": 1, "concat_histeq": True, "train_gt_ratio": 0.2,
+        "align_maxpool": False, "encode_color_map": False, "to_yuv": False,
+        "network_G": _NoneDict({"flow": flow, "nb": nb}),
+    })
+
+
+@pytest.mark.slow
+def test_llflow_reference_parity():
+    """Vendored LLFlow (lol_v1 layout, shrunk: nf=16, nb=2, K=2, stack [1])
+    vs enhax reverse flow on the same 6-channel preprocessed input."""
+    import jax.numpy as jnp
+    from enhax.convert.mappings import llflow_name_map
+    from enhax.models.llie.llflow import llflow_preprocess
+
+    arch = refload.load_vendored("vision/enhance/llie/llflow",
+                                 "models.modules.LLFlow_arch", stub_mon=True)
+    opt = _llflow_opt()
+    torch.manual_seed(0)
+    net = arch.LLFlow(in_nc=3, out_nc=3, nf=16, nb=2, gc=8, scale=1, K=2,
+                      opt=opt)
+    net.eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.02, 0.5, (1, 32, 32, 3)).astype(np.float32)
+    lr6 = np.asarray(llflow_preprocess(jnp.asarray(img)))
+    lr6_t = torch.from_numpy(lr6.transpose(0, 3, 1, 2))
+    z_dummy = torch.zeros(1, 192, 4, 4)
+    with torch.no_grad():
+        net(lr=lr6_t, z=z_dummy, reverse=True)     # data-init actnorms
+        ref, _ = net(lr=lr6_t, z=z_dummy, reverse=True)
+    ref = np.clip(_to_nhwc(ref), 0, 1)
+
+    import jax
+    model = MODELS.build("llflow", nf=16, nb=2, gc=8, K=2)
+    dp = {"image": lr6}  # 6-channel: module skips its own preprocessing
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=llflow_name_map(nb=2),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "llflow")
+
+
+def test_llflow_histeq_matches_cv2():
+    import cv2
+    import jax.numpy as jnp
+    from enhax.models.llie.llflow import hist_equalize
+
+    rng = np.random.default_rng(1)
+    img_u8 = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    ref = np.stack([cv2.equalizeHist(img_u8[..., c]) for c in range(3)],
+                   axis=-1).astype(np.float32) / 255.0
+    got = np.asarray(hist_equalize(
+        jnp.asarray(img_u8[None].astype(np.float32) / 255.0)))[0]
+    np.testing.assert_allclose(got, ref, atol=1 / 255.0 + 1e-6)
