@@ -68,3 +68,13 @@ def test_predict_iter_batches(image_dir):
     out0, metas0 = results[0]
     assert out0["enhanced"].shape[0] == 2
     assert len(metas0) == 2 and "name" in metas0[0]
+
+
+def test_plot_cli_diff_and_zoom(image_dir, tmp_path):
+    from enhax.cli.plot import plot
+    out = plot({"input": str(image_dir), "results": [str(image_dir)],
+                "target": str(image_dir), "save_dir": str(tmp_path / "pd"),
+                "label": True, "mode": "diff", "ref": "GT", "num_cols": 2,
+                "zoom": [0.25, 0.25, 0.3, 0.3]})
+    files = list(out.glob("*-diff.png"))
+    assert len(files) == 3
