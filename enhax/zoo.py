@@ -113,6 +113,11 @@ ZOO: dict[str, dict[str, ZooEntry]] = {
             note="merge the three released ckpts under decom./model_r./"
                  "model_l./adjust. prefixes"),
     },
+    "enlightengan": {
+        "default": ZooEntry("enlightengan.pth",
+                            "github.com/VITA-Group/EnlightenGAN",
+                            None),
+    },
     "pairlie": {
         "default": ZooEntry("pairlie.pth", "github.com/zhenqifu/PairLIE",
                             _maps.pairlie_name_map),

@@ -110,6 +110,8 @@ _SLOW_TESTS = {
     "test_models_zoo3.py::test_yolov8_param_counts_match_published",
     "test_models_zoo3.py::test_yolov8_detect_track_pipeline",
     "test_models_llie_wave2.py::test_llflow",
+    "test_parity_reference.py::test_enlightengan_reference_parity",
+    "test_models_llie_wave2.py::test_enlightengan",
 }
 
 

@@ -199,3 +199,11 @@ def test_llflow_squeeze_roundtrip():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(unsqueeze2d(squeeze2d(x, 2), 2)),
                                np.asarray(x))
+
+
+def test_enlightengan(dp):
+    m = build_model("enlightengan")
+    params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+    out = m.apply(params, {"image": dp["image"]})
+    assert out["enhanced"].shape == dp["image"].shape
+    assert np.isfinite(np.asarray(out["enhanced"])).all()

@@ -504,3 +504,30 @@ def test_llflow_histeq_matches_cv2():
     got = np.asarray(hist_equalize(
         jnp.asarray(img_u8[None].astype(np.float32) / 255.0)))[0]
     np.testing.assert_allclose(got, ref, atol=1 / 255.0 + 1e-6)
+
+
+def test_enlightengan_reference_parity():
+    """Vendored Unet_resize_conv (self_attention + BN + times_residual +
+    skip=1 — the released generator config) vs enhax."""
+    import types as _types
+    net_m = refload.load_vendored("vision/enhance/llie/enlightengan/master",
+                                  "models.networks")
+    opt = _types.SimpleNamespace(
+        self_attention=True, use_norm=1, syn_norm=False, use_avgpool=0,
+        tanh=False, times_residual=True, linear_add=False, linear=False,
+        latent_threshold=False, latent_norm=False, skip=1.0)
+    torch.manual_seed(0)
+    net = net_m.Unet_resize_conv(opt, skip=1.0)
+    net.eval()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.02, 0.6, (1, 32, 32, 3)).astype(np.float32)
+    x = torch.from_numpy((img * 2 - 1).transpose(0, 3, 1, 2).copy())
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    gray = torch.from_numpy((1.0 - luma)[:, None].copy())
+    with torch.no_grad():
+        out = net(x, gray)
+    if isinstance(out, tuple):  # (output, latent)
+        out = out[0]
+    ref = np.clip((_to_nhwc(out) + 1.0) / 2.0, 0, 1)
+    got = _run_enhax("enlightengan", {}, net.state_dict(), None, img)
+    _assert_close(ref, got, 1e-4, "enlightengan")
