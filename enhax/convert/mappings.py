@@ -237,6 +237,24 @@ def llflow_name_map(nb: int = 24, n_layers: int = 45) -> dict:
     return m
 
 
+def retinexnet_name_map() -> dict:
+    """RetinexNet (retinexnet/model.py) -> enhax names (replicate-pad conv
+    wrappers expose the inner conv as `.conv`)."""
+    mm = {
+        "decom.net1_conv0.": "decom.conv0.conv.",
+        "decom.net1_recon.": "decom.recon.conv.",
+        "relight.net2_conv0_1.": "relight.conv0_1.conv.",
+        "relight.net2_fusion.": "relight.fusion.conv.",
+        "relight.net2_output.": "relight.output.",
+    }
+    for j, i in enumerate((0, 2, 4, 6, 8)):
+        mm[f"decom.net1_convs.{i}."] = f"decom.c{j}.conv."
+    for i in (1, 2, 3):
+        mm[f"relight.net2_conv1_{i}."] = f"relight.conv1_{i}.conv."
+        mm[f"relight.net2_deconv1_{i}."] = f"relight.deconv1_{i}.conv."
+    return mm
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
@@ -251,6 +269,7 @@ NAME_MAPS = {
     "pairlie": pairlie_name_map,
     "snr": snr_name_map,
     "llflow": llflow_name_map,
+    "retinexnet": retinexnet_name_map,
     "yolov8n": yolov8_name_map,
     "yolov8s": yolov8_name_map,
     "yolov8m": yolov8_name_map,

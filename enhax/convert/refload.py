@@ -63,7 +63,7 @@ def _external_stubs() -> dict:
                       "torchvision.models": models,
                       "torchvision.transforms": transforms})
     # small leaf deps imported at module scope by vendored utils chains
-    for name in ("lmdb", "natsort"):
+    for name in ("lmdb", "natsort", "thop"):
         try:
             importlib.import_module(name)
         except ImportError:
@@ -204,6 +204,9 @@ def _build_stub_mon():
 
     core.console = _Console()
     mon.core = core
+    mon.console = core.console
+    mon.Path = pathlib.Path
+    mon.get_image_size = lambda s: (s, s) if isinstance(s, int) else tuple(s)[:2]
 
     nn_mod = types.ModuleType("mon.nn")
 

@@ -112,6 +112,8 @@ _SLOW_TESTS = {
     "test_models_llie_wave2.py::test_llflow",
     "test_parity_reference.py::test_enlightengan_reference_parity",
     "test_models_llie_wave2.py::test_enlightengan",
+    "test_models_llie_wave2.py::test_retinexnet",
+    "test_parity_reference.py::test_retinexnet_reference_parity",
 }
 
 

@@ -207,3 +207,11 @@ def test_enlightengan(dp):
     out = m.apply(params, {"image": dp["image"]})
     assert out["enhanced"].shape == dp["image"].shape
     assert np.isfinite(np.asarray(out["enhanced"])).all()
+
+
+def test_retinexnet(dp):
+    _smoke("retinexnet", dp, needs_ref=True)
+
+
+def test_zero_didce(dp):
+    _smoke("zero_didce", dp)

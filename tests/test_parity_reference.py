@@ -531,3 +531,41 @@ def test_enlightengan_reference_parity():
     ref = np.clip((_to_nhwc(out) + 1.0) / 2.0, 0, 1)
     got = _run_enhax("enlightengan", {}, net.state_dict(), None, img)
     _assert_close(ref, got, 1e-4, "enlightengan")
+
+
+def test_retinexnet_reference_parity():
+    mod = refload.load_vendored("vision/enhance/llie/retinexnet", "model",
+                                stub_mon=True)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(0)
+        decom = mod.DecomNet()
+        relight = mod.RelightNet()
+        decom.eval(); relight.eval()
+        x = torch.rand(1, 3, 32, 32) * 0.5
+        with torch.no_grad():
+            r_low, i_low = decom(x)
+            i_delta = relight(i_low, r_low)
+            ref = np.clip(_to_nhwc(r_low * i_delta), 0, 1)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    sd = {}
+    sd.update({"decom." + k: v for k, v in decom.state_dict().items()})
+    sd.update({"relight." + k: v for k, v in relight.state_dict().items()})
+    from enhax.convert.mappings import retinexnet_name_map
+    got = _run_enhax("retinexnet", {}, sd, retinexnet_name_map(), _to_nhwc(x))
+    _assert_close(ref, got, 1e-5, "retinexnet")
+
+
+def test_zero_didce_reference_parity():
+    mod = refload.load_vendored("vision/enhance/llie/zero_didce", "model")
+    torch.manual_seed(0)
+    net = mod.enhance_net_nopool()
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.4 + 0.02
+    with torch.no_grad():
+        enhanced, _xr = net(x)
+    ref = _to_nhwc(enhanced)
+    got = _run_enhax("zero_didce", {}, net.state_dict(), None, _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "zero_didce")
