@@ -215,3 +215,14 @@ def test_retinexnet(dp):
 
 def test_zero_didce(dp):
     _smoke("zero_didce", dp)
+
+
+def test_lime_and_pie(dp):
+    for name in ("lime", "pie"):
+        m = build_model(name)
+        params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+        out = m.apply(params, {"image": dp["image"]})
+        e = np.asarray(out["enhanced"])
+        assert e.shape == dp["image"].shape and np.isfinite(e).all(), name
+        # classical enhancers must brighten a dark input
+        assert e.mean() > np.asarray(dp["image"]).mean(), name
