@@ -255,8 +255,15 @@ def retinexnet_name_map() -> dict:
     return mm
 
 
+def sgz_name_map() -> dict:
+    """SGZ checkpoints (sgz/modeling/model.py DSC depth_conv/point_conv;
+    e_convN live at the module top level, unlike enhax zero_dce's dce.*)."""
+    return {"*.depth_conv.": ".depthwise.", "*.point_conv.": ".pointwise."}
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
+    "sgz": sgz_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
     "hinet_re": hinet_name_map,
     "nafnet": nafnet_name_map,

@@ -80,3 +80,36 @@ def resize(
 def resize_divisible(image, divisor: int = 32, method: str = "bilinear"):
     """Resize so H and W are multiples of ``divisor`` (vision/model.py:101)."""
     return resize(image, size=None, divisible_by=divisor, method=method)
+
+
+def resize_align_corners(image, size):
+    """Bilinear resize with torch ``align_corners=True`` semantics.
+
+    ``jax.image.resize`` only offers half-pixel alignment; some reference
+    models (SGZ's ``nn.UpsamplingBilinear2d``, sgz/modeling/model.py:60)
+    use corner-aligned sampling, which this reproduces exactly via two
+    1-D gathers + lerps (cheap, fully fusable).
+    """
+    x = jnp.asarray(image)
+    h, w = x.shape[-3], x.shape[-2]
+    nh, nw = int(size[0]), int(size[1])
+    if (nh, nw) == (h, w):
+        return x
+
+    def grid(n_in: int, n_out: int):
+        if n_out == 1 or n_in == 1:
+            return jnp.zeros((n_out,), x.dtype)
+        return jnp.linspace(0.0, n_in - 1.0, n_out, dtype=x.dtype)
+
+    ys, xs = grid(h, nh), grid(w, nw)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wy = (ys - y0.astype(x.dtype)).reshape((nh, 1, 1))
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wx = (xs - x0.astype(x.dtype)).reshape((nw, 1))
+
+    rows = (jnp.take(x, y0, axis=-3) * (1 - wy)
+            + jnp.take(x, y1, axis=-3) * wy)
+    return (jnp.take(rows, x0, axis=-2) * (1 - wx)
+            + jnp.take(rows, x1, axis=-2) * wx)

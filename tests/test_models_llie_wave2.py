@@ -217,6 +217,10 @@ def test_zero_didce(dp):
     _smoke("zero_didce", dp)
 
 
+def test_sgz(dp):
+    _smoke("sgz", dp, scale_factor=4)
+
+
 def test_lime_and_pie(dp):
     for name in ("lime", "pie"):
         m = build_model(name)

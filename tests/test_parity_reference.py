@@ -602,6 +602,23 @@ def test_lime_refinement_reference_parity():
 
 
 
+def test_sgz_reference_parity():
+    """Vendored SGZ enhance_net_nopool (dsc convs, scale_factor downsample,
+    UpsamplingBilinear2d align_corners=True upsample) vs enhax."""
+    from enhax.convert.mappings import sgz_name_map
+    mod = refload.load_vendored("vision/enhance/llie/sgz", "modeling.model")
+    torch.manual_seed(0)
+    net = mod.enhance_net_nopool(scale_factor=4, conv_type="dsc")
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.5 + 0.02
+    with torch.no_grad():
+        enhanced, _xr = net(x)
+    ref = _to_nhwc(enhanced)
+    got = _run_enhax("sgz", dict(scale_factor=4), net.state_dict(),
+                     sgz_name_map(), _to_nhwc(x))
+    _assert_close(ref, got, 1e-5, "sgz")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
