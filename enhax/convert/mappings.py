@@ -261,9 +261,32 @@ def sgz_name_map() -> dict:
     return {"*.depth_conv.": ".depthwise.", "*.point_conv.": ".pointwise."}
 
 
+def dccnet_name_map() -> dict:
+    """DCCNet (dccnet/src/model.py): flatten BasicConv Sequentials and the
+    Encoder/Decoder/middle ModuleList indices into enhax's flat names."""
+    m = {}
+    for net in ("g_net", "r_net"):
+        for i in range(9):
+            m[f"{net}.Encoder.{i}."] = \
+                f"{net}.enc{i}" + ("_" if i % 3 == 1 else ".")
+        for i in range(9):
+            m[f"{net}.Decoder.{i}."] = \
+                f"{net}.dec{i}" + ("_" if i % 3 == 2 else ".")
+        m[f"{net}.middle."] = f"{net}.mid"
+    for i in range(8):
+        m[f"c_net.Encoder.{i}."] = \
+            f"c_net.enc{i}" + ("_" if i % 3 == 1 else ".")
+    m["r_net.pce."] = "r_net."
+    m["*.main.main.0."] = ".conv."   # Down_scale/Up_scale BasicConv
+    m["*.main.0."] = ".conv."        # plain BasicConv
+    m["*.conv.0."] = ".conv."        # cma Sequential conv
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "sgz": sgz_name_map,
+    "dccnet": dccnet_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
     "hinet_re": hinet_name_map,
     "nafnet": nafnet_name_map,

@@ -221,6 +221,10 @@ def test_sgz(dp):
     _smoke("sgz", dp, scale_factor=4)
 
 
+def test_dccnet(dp):
+    _smoke("dccnet", dp, base=8, needs_ref=True)
+
+
 def test_lime_and_pie(dp):
     for name in ("lime", "pie"):
         m = build_model(name)

@@ -619,6 +619,21 @@ def test_sgz_reference_parity():
     _assert_close(ref, got, 1e-5, "sgz")
 
 
+def test_dccnet_reference_parity():
+    """Vendored DCCNet color_net (g_net/c_net/r_net + pce) vs enhax."""
+    from enhax.convert.mappings import dccnet_name_map
+    mod = refload.load_vendored("vision/enhance/llie/dccnet", "src.model")
+    torch.manual_seed(0)
+    net = mod.color_net(d_hist=64)
+    net.eval()
+    x = torch.rand(1, 3, 24, 24) * 0.5 + 0.02
+    with torch.no_grad():
+        gray, color_hist, ref = net(x)
+    got = _run_enhax("dccnet", {}, net.state_dict(), dccnet_name_map(),
+                     _to_nhwc(x))
+    _assert_close(_to_nhwc(ref), got, 1e-4, "dccnet")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
