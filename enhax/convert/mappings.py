@@ -283,10 +283,35 @@ def dccnet_name_map() -> dict:
     return m
 
 
+def utvnet_name_map() -> dict:
+    """UTVNet (utvnet/models/network.py composition)."""
+    m = {}
+    for i, j in enumerate(range(0, 13, 2)):
+        m[f"noiselevel.model.{j}."] = f"noiselevel.conv{i}."
+        m[f"LIGHT.model.{j}."] = f"light.conv{i}."
+    for i, j in enumerate((0, 2, 4)):
+        m[f"a.hyp.mlp.{j}."] = f"a_hyp.c{i}."
+    for seq, n in (("inc", 3), ("conv1", 2), ("conv2", 2), ("conv3", 2),
+                   ("conv4", 2), ("convglo", 3), ("convglo1", 2),
+                   ("convup1", 2), ("convup2", 2), ("convup3", 2),
+                   ("convup4", 2)):
+        for i in range(n):
+            m[f"denoise.{seq}.{i}."] = f"denoise.{seq}_{i}."
+    for g in ("glo", "glo1"):
+        m[f"denoise.{g}.global_feature.0."] = f"denoise.{g}.fc1."
+        m[f"denoise.{g}.global_feature_1.0."] = f"denoise.{g}.fc2."
+    for i in range(1, 5):
+        m[f"denoise.up{i}.up."] = f"denoise.up{i}."
+    m["denoise.outc.conv."] = "denoise.outc."
+    m["*.conv.0."] = "."  # single_conv Sequential flattening
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "sgz": sgz_name_map,
     "dccnet": dccnet_name_map,
+    "utvnet": utvnet_name_map,
     "zero_dce++_re": zero_dcepp_name_map,
     "hinet_re": hinet_name_map,
     "nafnet": nafnet_name_map,

@@ -225,6 +225,10 @@ def test_dccnet(dp):
     _smoke("dccnet", dp, base=8, needs_ref=True)
 
 
+def test_utvnet(dp):
+    _smoke("utvnet", dp, needs_ref=True)
+
+
 def test_lime_and_pie(dp):
     for name in ("lime", "pie"):
         m = build_model(name)

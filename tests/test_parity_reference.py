@@ -634,6 +634,28 @@ def test_dccnet_reference_parity():
     _assert_close(_to_nhwc(ref), got, 1e-4, "dccnet")
 
 
+def test_utvnet_reference_parity():
+    """Vendored UTVNet (IRCNN noise level + unfolded ADMM TV + UNet
+    denoise + light correction) vs enhax, on a square input (the vendored
+    eigDtD only broadcasts for square sizes, utv_model.py:84)."""
+    from enhax.convert.mappings import utvnet_name_map
+    mod = refload.load_vendored("vision/enhance/llie/utvnet",
+                                "models.network")
+    torch.manual_seed(0)
+    net = mod.UTVNet()
+    cpu = torch.device("cpu")
+    net.device = cpu
+    net.a.device = cpu
+    net.noiselevel.device = cpu
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.5 + 0.02
+    with torch.no_grad():
+        ref = _to_nhwc(net(x))
+    got = _run_enhax("utvnet", {}, net.state_dict(), utvnet_name_map(),
+                     _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "utvnet")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
