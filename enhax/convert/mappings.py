@@ -307,8 +307,27 @@ def utvnet_name_map() -> dict:
     return m
 
 
+def mtfe_name_map() -> dict:
+    """MTFE (mtfe/model.py + unet_model.py Sequential flattening)."""
+    m = {}
+    for i in range(1, 5):
+        m[f"histnet.stage{i}."] = f"hist_stage{i}."
+    m["*.maxpool_conv.1."] = "."          # Down: [pool, DoubleConv]
+    m["*.double_conv.0."] = ".conv1."
+    m["*.double_conv.1."] = ".bn1."
+    m["*.double_conv.3."] = ".conv2."
+    m["*.double_conv.4."] = ".bn2."
+    m["*.conv.conv1."] = ".conv1."        # Up.conv DoubleConv nesting
+    m["*.conv.bn1."] = ".bn1."
+    m["*.conv.conv2."] = ".conv2."
+    m["*.conv.bn2."] = ".bn2."
+    m["*.outc.conv."] = ".outc."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
+    "mtfe": mtfe_name_map,
     "sgz": sgz_name_map,
     "dccnet": dccnet_name_map,
     "utvnet": utvnet_name_map,

@@ -42,6 +42,11 @@ def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple,
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(target_shape):
             return t
+    if a.ndim == 3 and target_kind == "kernel":
+        # conv1d (O, I/g, k) -> (k, I/g, O)
+        t = a.transpose(2, 1, 0)
+        if t.shape == tuple(target_shape):
+            return t
     if tuple(a.shape) == tuple(target_shape):
         return a
     if a.ndim == 4:

@@ -229,6 +229,10 @@ def test_utvnet(dp):
     _smoke("utvnet", dp, needs_ref=True)
 
 
+def test_mtfe(dp):
+    _smoke("mtfe", dp, needs_ref=True)
+
+
 def test_lime_and_pie(dp):
     for name in ("lime", "pie"):
         m = build_model(name)

@@ -656,6 +656,36 @@ def test_utvnet_reference_parity():
     _assert_close(ref, got, 1e-4, "utvnet")
 
 
+def test_mtfe_reference_parity():
+    """Vendored MTFE (SFC backbone + HSFC histogram branch + LUT
+    transforms + bilinear weight-map UNet) vs enhax."""
+    from enhax.convert.mappings import mtfe_name_map
+    mod = refload.load_vendored("vision/enhance/llie/mtfe", "model")
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(0)
+        net = mod.Image_network()
+        net.eval()
+        # uint8-quantized input so histogram/LUT indices round-trip exactly
+        x = (torch.randint(0, 256, (1, 3, 64, 64)).float() / 255.0) * 0.5
+        x = torch.round(x * 255.0) / 255.0
+        hist = torch.zeros(1, 3, 256)
+        idx = torch.round(x * 255.0).long()
+        for c in range(3):
+            hist[0, c] = torch.bincount(idx[0, c].reshape(-1),
+                                        minlength=256).float()
+            hist[0, c] /= hist[0, c].sum()
+        with torch.no_grad():
+            xy, _tf, _w, _xys = net(x, hist)
+        ref = _to_nhwc(xy)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    got = _run_enhax("mtfe", {}, net.state_dict(), mtfe_name_map(),
+                     _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "mtfe")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
