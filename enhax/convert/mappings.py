@@ -325,9 +325,38 @@ def mtfe_name_map() -> dict:
     return m
 
 
+def fourllie_name_map() -> dict:
+    """FourLLIE (FourLLIE.py + SFBlock.py Sequential flattening)."""
+    m = {
+        "AmpNet.0.conv0.0.": "amp.conv0_pre.",
+        "AmpNet.0.conv0.1.": "amp.conv0.",
+        "AmpNet.0.conv4.0.": "amp.conv4.",
+        "AmpNet.0.conv4.1.": "amp.conv4_post.",
+        "AmpNet.0.conv5.0.": "amp.conv5.",
+        "AmpNet.0.conv5.1.": "amp.conv5_post.",
+        "AmpNet.0.convout.0.": "amp.convout.",
+        "AmpNet.0.convout.1.": "amp.convout_post.",
+        "AmpNet.0.": "amp.",            # conv1..conv3 ProcessBlocks
+        "feature_extraction.0.": "fe_0.",
+        "recon_trunk.0.": "rt_0.",
+    }
+    for i in range(6):
+        m[f"recon_trunk_light.{i}."] = f"rtl_{i}."
+    for i in range(1, 6):
+        m[f"transformer.conv{i}."] = f"sf_conv{i}."
+    m["*.block.0."] = ".b0."
+    m["*.block.2."] = ".b2."
+    m["*.process1.0."] = ".p1a."
+    m["*.process1.2."] = ".p1b."
+    m["*.process2.0."] = ".p2a."
+    m["*.process2.2."] = ".p2b."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "mtfe": mtfe_name_map,
+    "fourllie": fourllie_name_map,
     "sgz": sgz_name_map,
     "dccnet": dccnet_name_map,
     "utvnet": utvnet_name_map,

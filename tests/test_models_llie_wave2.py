@@ -229,6 +229,10 @@ def test_utvnet(dp):
     _smoke("utvnet", dp, needs_ref=True)
 
 
+def test_fourllie(dp):
+    _smoke("fourllie", dp, nf=8, needs_ref=True)
+
+
 def test_mtfe(dp):
     _smoke("mtfe", dp, needs_ref=True)
 

@@ -686,6 +686,43 @@ def test_mtfe_reference_parity():
     _assert_close(ref, got, 1e-4, "mtfe")
 
 
+def _torch_gaussian_blur5(x, _ks=(5, 5), _sig=(1.5, 1.5)):
+    """kornia.filters.gaussian_blur2d((5,5),(1.5,1.5)) equivalent
+    (separable gaussian, reflect border) — kornia is not installed."""
+    import torch.nn.functional as F
+    r = torch.arange(5, dtype=x.dtype) - 2.0
+    g = torch.exp(-(r * r) / (2.0 * 1.5 * 1.5))
+    g = g / g.sum()
+    c = x.shape[1]
+    kh = g.view(1, 1, 5, 1).repeat(c, 1, 1, 1)
+    kw = g.view(1, 1, 1, 5).repeat(c, 1, 1, 1)
+    x = F.pad(x, (2, 2, 2, 2), mode="reflect")
+    x = F.conv2d(x, kh, groups=c)
+    return F.conv2d(x, kw, groups=c)
+
+
+def test_fourllie_reference_parity():
+    """Vendored FourLLIE (amplitude enhancement + SFNet + SNR mask blend)
+    vs enhax."""
+    import types as _types
+    from enhax.convert.mappings import fourllie_name_map
+    kornia = _types.ModuleType("kornia")
+    kornia.filters = _types.ModuleType("kornia.filters")
+    kornia.filters.gaussian_blur2d = _torch_gaussian_blur5
+    arch = refload.load_vendored(
+        "vision/enhance/llie/fourllie", "models.archs.FourLLIE",
+        extra_stubs={"kornia": kornia, "kornia.filters": kornia.filters})
+    torch.manual_seed(0)
+    net = arch.FourLLIE(nf=8)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.5 + 0.02
+    with torch.no_grad():
+        out, _mag, _xc, _mask = net(x)
+    got = _run_enhax("fourllie", dict(nf=8), net.state_dict(),
+                     fourllie_name_map(), _to_nhwc(x))
+    _assert_close(_to_nhwc(out), got, 1e-4, "fourllie")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
