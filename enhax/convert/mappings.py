@@ -353,10 +353,29 @@ def fourllie_name_map() -> dict:
     return m
 
 
+def wakeup_darkness_name_map() -> dict:
+    """Wakeup-Darkness (wakeup_darkness/model.py Network_woCalibrate)."""
+    return {
+        "enhance.in_conv.0.": "in_conv.",
+        "enhance.conv.0.": "conv.",
+        "enhance.conv.1.": "conv_bn.",
+        "enhance.out_conv.0.": "out_conv.",
+        "enhance.block.conv1.": "block_conv1.",
+        "enhance.block.bn1.": "block_bn1.",
+        "enhance.block.conv2.": "block_conv2.",
+        "enhance.block.bn2.": "block_bn2.",
+        "enhance.block.gate.0.": "block_gate.",
+        "enhance.fusion.": "fusion.",
+        "*.norm1.body.": ".norm1.",
+        "*.norm2.body.": ".norm2.",
+    }
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "mtfe": mtfe_name_map,
     "fourllie": fourllie_name_map,
+    "wakeup_darkness": wakeup_darkness_name_map,
     "sgz": sgz_name_map,
     "dccnet": dccnet_name_map,
     "utvnet": utvnet_name_map,

@@ -52,6 +52,9 @@ class Model:
     schemes: tuple = (Scheme.SUPERVISED,)
     loss_fn: Callable | None = None
     required_inputs: tuple = ("image",)
+    # datapoint keys forwarded as module kwargs when present (e.g. the
+    # precomputed SAM masks / depth maps of wakeup_darkness)
+    optional_inputs: tuple = ()
     out_key: str = "enhanced"
     instance_steps: int = 0
     instance_lr: float = 1e-4
@@ -69,13 +72,14 @@ class Model:
     def init(self, rng, datapoint: dict) -> dict:
         """Initialize variables from an example datapoint."""
         inputs = self._model_inputs(datapoint)
-        return self.module.init(rng, *inputs)
+        return self.module.init(rng, *inputs,
+                                **self._optional_inputs(datapoint))
 
     def apply(self, variables: dict, datapoint: dict, training: bool = False,
               rngs: dict | None = None) -> dict:
         """Pure forward: datapoint dict -> outputs dict."""
         inputs = self._model_inputs(datapoint)
-        kwargs = {}
+        kwargs = self._optional_inputs(datapoint)
         if rngs:
             kwargs["rngs"] = rngs
         out = self.module.apply(variables, *inputs, **kwargs)
@@ -96,6 +100,10 @@ class Model:
 
     def _model_inputs(self, datapoint: dict) -> tuple:
         return tuple(datapoint[k] for k in self.required_inputs)
+
+    def _optional_inputs(self, datapoint: dict) -> dict:
+        return {k: datapoint[k] for k in self.optional_inputs
+                if datapoint.get(k) is not None}
 
     # -- contracts (host-side; reference nn/model.py:628-648) ----------------
 

@@ -233,6 +233,15 @@ def test_fourllie(dp):
     _smoke("fourllie", dp, nf=8, needs_ref=True)
 
 
+def test_wakeup_darkness(dp, rng):
+    m, params, _ = _smoke("wakeup_darkness", dp)
+    # with explicit sem/depth priors (1-ch depth broadcast)
+    depth = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    out = m.apply(params, {"image": dp["image"], "sem": dp["image"],
+                           "depth": depth})
+    assert np.isfinite(np.asarray(out["enhanced"])).all()
+
+
 def test_mtfe(dp):
     _smoke("mtfe", dp, needs_ref=True)
 

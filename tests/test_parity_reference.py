@@ -723,6 +723,24 @@ def test_fourllie_reference_parity():
     _assert_close(_to_nhwc(out), got, 1e-4, "fourllie")
 
 
+def test_wakeup_darkness_reference_parity():
+    """Vendored Wakeup-Darkness Network_woCalibrate (SCI-style illumination
+    + sem/depth cross-attention fusion) vs enhax; sem=depth=input matches
+    the enhax default when the datapoint carries no priors."""
+    from enhax.convert.mappings import wakeup_darkness_name_map
+    mod = refload.load_vendored("vision/enhance/llie/wakeup_darkness",
+                                "model")
+    torch.manual_seed(0)
+    net = mod.Network_woCalibrate()
+    net.eval()
+    x = torch.rand(1, 3, 24, 24) * 0.5 + 0.02
+    with torch.no_grad():
+        _i, r, _d = net(x, x, x)
+    got = _run_enhax("wakeup_darkness", {}, net.state_dict(),
+                     wakeup_darkness_name_map(), _to_nhwc(x))
+    _assert_close(_to_nhwc(r), got, 1e-4, "wakeup_darkness")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
