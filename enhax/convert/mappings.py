@@ -371,9 +371,35 @@ def wakeup_darkness_name_map() -> dict:
     }
 
 
+def nerco_name_map(n_blocks: int = 9) -> dict:
+    """NeRCo (nerco/models/networks.py Sequential indices; dropout
+    variant: ResnetBlock convs at conv_block.1/.6)."""
+    m = {}
+    for net in ("netPre", "netG_A"):
+        m[f"{net}.model.1."] = f"{net}.body.conv_in."
+        m[f"{net}.model.4."] = f"{net}.body.down0."
+        m[f"{net}.model.7."] = f"{net}.body.down1."
+        for i in range(n_blocks):
+            m[f"{net}.model.{10 + i}.conv_block.1."] = \
+                f"{net}.body.block{i}.conv1."
+            m[f"{net}.model.{10 + i}.conv_block.6."] = \
+                f"{net}.body.block{i}.conv2."
+        m[f"{net}.model.{10 + n_blocks}."] = f"{net}.body.up0."
+        m[f"{net}.model.{13 + n_blocks}."] = f"{net}.body.up1."
+    m[f"netG_A.model.{17 + n_blocks}."] = "netG_A.conv_out."
+    for i in range(4):
+        m[f"netPre.mlp.imnet.layers.{2 * i}."] = f"netPre.mlp.fc{i}."
+    m["netH.model.1."] = "netH.conv_in."
+    for i in range(3):
+        m[f"netH.model.{4 + i}.conv_block.1."] = f"netH.block{i}.conv1."
+        m[f"netH.model.{4 + i}.conv_block.6."] = f"netH.block{i}.conv2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "mtfe": mtfe_name_map,
+    "nerco": nerco_name_map,
     "fourllie": fourllie_name_map,
     "wakeup_darkness": wakeup_darkness_name_map,
     "sgz": sgz_name_map,

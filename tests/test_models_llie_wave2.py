@@ -242,6 +242,14 @@ def test_wakeup_darkness(dp, rng):
     assert np.isfinite(np.asarray(out["enhanced"])).all()
 
 
+def test_nerco(dp):
+    m = build_model("nerco", ngf=16, n_blocks=2)
+    params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+    out = m.apply(params, {"image": dp["image"]})
+    e = np.asarray(out["enhanced"])
+    assert e.shape == dp["image"].shape and np.isfinite(e).all()
+
+
 def test_mtfe(dp):
     _smoke("mtfe", dp, needs_ref=True)
 

@@ -741,6 +741,46 @@ def test_wakeup_darkness_reference_parity():
     _assert_close(_to_nhwc(r), got, 1e-4, "wakeup_darkness")
 
 
+def test_nerco_reference_parity():
+    """Vendored NeRCo inference composition (NeRCo_model.py:91-98):
+    fake_B = netG_A(cat(x, netPre(x)) * mask), (H, mask) = netH(x)."""
+    import functools
+    from enhax.convert.mappings import nerco_name_map
+    orig_cuda = torch.Tensor.cuda
+    orig_mcuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        nets = refload.load_vendored("vision/enhance/llie/nerco",
+                                     "models.networks")
+        norm = functools.partial(torch.nn.InstanceNorm2d, affine=False,
+                                 track_running_stats=False)
+        torch.manual_seed(0)
+        pre = nets.PreProcess(3, 3, ngf=64, norm_layer=norm,
+                              use_dropout=True, n_blocks=2)
+        ext = nets.ResnetExtractor(3, 3, ngf=64, norm_layer=norm,
+                                   use_dropout=True, n_blocks=2)
+        gen = nets.ResnetGenerator(6, 3, ngf=64, norm_layer=norm,
+                                   use_dropout=True, n_blocks=2)
+        for m in (pre, ext, gen):
+            m.eval()
+        x = torch.rand(1, 3, 24, 24) * 0.5 + 0.02
+        with torch.no_grad():
+            pre_a = pre(x)
+            _h, mask = ext(x)
+            fake_b = gen(torch.cat([x, pre_a], 1) * mask)
+        ref = np.clip(_to_nhwc(fake_b), 0, 1)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        torch.nn.Module.cuda = orig_mcuda
+    sd = {}
+    for prefix, net in (("netPre.", pre), ("netH.", ext), ("netG_A.", gen)):
+        sd.update({prefix + k: v for k, v in net.state_dict().items()})
+    got = _run_enhax("nerco", dict(n_blocks=2), sd, nerco_name_map(2),
+                     _to_nhwc(x))
+    _assert_close(ref, got, 1e-4, "nerco")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
