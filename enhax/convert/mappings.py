@@ -396,8 +396,55 @@ def nerco_name_map(n_blocks: int = 9) -> dict:
     return m
 
 
+def airnet_name_map(n_groups: int = 5, n_blocks: int = 5) -> dict:
+    """AirNet (airnet/net/{model,DGRN,encoder,deform_conv}.py)."""
+    m = {"E.E.encoder_q.E_pre.": "E_pre.",
+         "R.head.0.": "head.",
+         f"R.body.{n_groups}.": "body_conv.",
+         "R.tail.0.": "tail."}
+    for g in range(n_groups):
+        m[f"R.body.{g}.body.{n_blocks}."] = f"g{g}.conv."
+        for b in range(n_blocks):
+            m[f"R.body.{g}.body.{b}."] = f"g{g}.b{b}."
+    m["*.backbone.0."] = ".bb0."
+    m["*.backbone.1."] = ".bn0."
+    m["*.backbone.3."] = ".bb1."
+    m["*.backbone.4."] = ".bn1."
+    m["*.shortcut.0."] = ".sc."
+    m["*.shortcut.1."] = ".sc_bn."
+    m["*.conv_gamma.0."] = ".gamma1."
+    m["*.conv_gamma.2."] = ".gamma2."
+    m["*.conv_beta.0."] = ".beta1."
+    m["*.conv_beta.2."] = ".beta2."
+    return m
+
+
+def adair_name_map(num_blocks=(4, 6, 6, 8), num_refinement: int = 4) -> dict:
+    """AdaIR (adair/net/model.py:372-475) = restormer map + FreModules."""
+    m = restormer_name_map(num_blocks=num_blocks,
+                           num_refinement=num_refinement)
+    for i in (1, 2, 3):
+        m[f"fre{i}.channel_cross_l."] = f"fre{i}.cross_l."
+        m[f"fre{i}.channel_cross_h."] = f"fre{i}.cross_h."
+        m[f"fre{i}.channel_cross_agg."] = f"fre{i}.cross_agg."
+        m[f"fre{i}.frequency_refine.SpatialGate.spatial."] = \
+            f"fre{i}.refine.sg_conv."
+        m[f"fre{i}.frequency_refine.ChannelGate.mlp.0."] = \
+            f"fre{i}.refine.cg1."
+        m[f"fre{i}.frequency_refine.ChannelGate.mlp.2."] = \
+            f"fre{i}.refine.cg2."
+        m[f"fre{i}.frequency_refine.proj."] = f"fre{i}.refine.proj."
+        m[f"fre{i}.rate_conv.0."] = f"fre{i}.rate1."
+        m[f"fre{i}.rate_conv.2."] = f"fre{i}.rate2."
+    m["*.q_dwconv."] = ".q_dw."
+    m["*.kv_dwconv."] = ".kv_dw."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
+    "airnet": airnet_name_map,
+    "adair": adair_name_map,
     "mtfe": mtfe_name_map,
     "nerco": nerco_name_map,
     "fourllie": fourllie_name_map,

@@ -6,3 +6,5 @@ from enhax.models.multitask import mprnet
 from enhax.models.multitask import restormer
 from enhax.models.multitask import uformer
 from enhax.models.multitask import zero_restore
+from enhax.models.multitask import airnet
+from enhax.models.multitask import adair

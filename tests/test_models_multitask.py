@@ -97,3 +97,17 @@ def test_all_multitask_registered():
                  "uformer_noshift", "mprnet", "zero_restore_llie",
                  "zero_restore_dehaze", "zero_restore_uie"):
         assert name in enhax.MODELS, name
+
+
+def test_airnet_forward_and_loss(pair):
+    m, params, out = _fwd("airnet", pair, n_feats=8, n_groups=1, n_blocks=1)
+    assert "degradation" in out
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))
+
+
+def test_adair_forward_and_loss(pair):
+    m, params, out = _fwd("adair", pair, dim=8, num_blocks=(1, 1, 1, 1),
+                          num_refinement=1, fre_n=8)
+    loss, _ = m.forward_loss(params, pair)
+    assert np.isfinite(float(loss))

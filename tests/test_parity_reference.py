@@ -781,6 +781,102 @@ def test_nerco_reference_parity():
     _assert_close(ref, got, 1e-4, "nerco")
 
 
+def _torch_mdcn(x, offset, mask, weight, bias, stride=1, padding=1,
+                dilation=1, groups=1, deformable_groups=1):
+    """mmcv.ops.modulated_deform_conv2d semantics in plain torch
+    (mmcv is not installed): bilinear sampling at p + p_k + Δp_k with
+    zeros outside, interleaved [Δy, Δx] offset channels."""
+    b, c, h, w = x.shape
+    cout, cin, kh, kw = weight.shape
+
+    def bilin(py, px):
+        y0 = torch.floor(py)
+        x0 = torch.floor(px)
+        wy = (py - y0).unsqueeze(1)
+        wx = (px - x0).unsqueeze(1)
+        out = 0.0
+        for oy, fy in ((0, (1 - wy)), (1, wy)):
+            for ox, fx in ((0, (1 - wx)), (1, wx)):
+                yi = (y0 + oy).long()
+                xi = (x0 + ox).long()
+                valid = ((yi >= 0) & (yi < h) & (xi >= 0)
+                         & (xi < w)).unsqueeze(1)
+                yc = yi.clamp(0, h - 1)
+                xc = xi.clamp(0, w - 1)
+                idx = (yc * w + xc).reshape(b, 1, -1).expand(b, c, -1)
+                g = torch.gather(x.reshape(b, c, -1), 2, idx)
+                g = g.reshape(b, c, h, w) * valid
+                out = out + fy * fx * g
+        return out
+
+    ys = torch.arange(h).float().view(1, h, 1)
+    xs = torch.arange(w).float().view(1, 1, w)
+    out = torch.zeros(b, cout, h, w)
+    for j in range(kh * kw):
+        ky, kx = j // kw, j % kw
+        py = ys + (ky - padding) + offset[:, 2 * j]
+        px = xs + (kx - padding) + offset[:, 2 * j + 1]
+        samp = bilin(py, px) * mask[:, j:j + 1]
+        out = out + torch.einsum("bchw,oc->bohw", samp, weight[:, :, ky, kx])
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
+def test_airnet_reference_parity():
+    """Vendored AirNet (CBDE degradation encoder + DGRN restorer with
+    modulated deformable convs) vs enhax. mmcv's CUDA DCNv2 is stubbed
+    with _torch_mdcn above, defining the sampling semantics both sides
+    implement; the rest of the network is reference-executed."""
+    import types as _types
+    from enhax.convert.mappings import airnet_name_map
+    mmcv = _types.ModuleType("mmcv")
+    mmcv.ops = _types.ModuleType("mmcv.ops")
+    mmcv.ops.modulated_deform_conv2d = _torch_mdcn
+    mod = refload.load_vendored(
+        "vision/enhance/multitask/airnet", "net.model",
+        extra_stubs={"mmcv": mmcv, "mmcv.ops": mmcv.ops})
+    torch.manual_seed(0)
+    net = mod.AirNet(_types.SimpleNamespace(batch_size=1))
+    # DCN offset convs are zero-initialized upstream (deform_conv.py:52-54);
+    # perturb them so the test actually exercises bilinear sampling.
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "conv_offset_mask" in name:
+                p.add_(torch.randn_like(p) * 0.05)
+    net.eval()
+    x = torch.rand(1, 3, 16, 16)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x, x))
+    got = _run_enhax("airnet", {}, net.state_dict(), airnet_name_map(),
+                     _to_nhwc(x))
+    _assert_close(ref, got, 2e-4, "airnet")
+
+
+def test_adair_reference_parity():
+    """Vendored AdaIR (Restormer backbone + FreModule frequency
+    mining/modulation) vs enhax; fft box rate n lowered 128->8 on both
+    sides so the dynamic low-frequency mask is non-trivial at 32x32."""
+    from enhax.convert.mappings import adair_name_map
+    mod = refload.load_vendored("vision/enhance/multitask/adair",
+                                "net.model")
+    mod.FreModule.fft.__defaults__ = (8,)  # n=128 -> 8 for small inputs
+    torch.manual_seed(0)
+    net = mod.AdaIR(dim=8, num_blocks=[1, 1, 1, 1],
+                    num_refinement_blocks=1, heads=[1, 2, 4, 8])
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x))
+    got = _run_enhax(
+        "adair",
+        dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement=1, fre_n=8),
+        net.state_dict(),
+        adair_name_map(num_blocks=(1, 1, 1, 1), num_refinement=1),
+        _to_nhwc(x))
+    _assert_close(ref, got, 2e-4, "adair")
+
+
 def test_pie_reference_parity():
     """Full PIE pipeline vs the reference numpy/cv2 implementation."""
     import jax.numpy as jnp
