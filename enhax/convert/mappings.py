@@ -441,10 +441,109 @@ def adair_name_map(num_blocks=(4, 6, 6, 8), num_refinement: int = 4) -> dict:
     return m
 
 
+def quadprior_name_map(channel_mult=(1, 2, 4, 4), num_res: int = 2) -> dict:
+    """QuadPrior ControlLDM checkpoints (cldm/cldm.py + openaimodel.py +
+    my_vae/models.py naming) -> enhax module names.
+
+    Torch prefixes: 'model.diffusion_model.' (UNet), 'control_model.'
+    (ControlNet), 'first_stage_model.' (skip-VAE), 'cond_txt_empty'.
+    """
+    m = {}
+    n_levels = len(channel_mult)
+
+    def unet_enc(tp, fp):
+        m[f"{tp}time_embed.0."] = f"{fp}time_fc1."
+        m[f"{tp}time_embed.2."] = f"{fp}time_fc2."
+        m[f"{tp}input_blocks.0.0."] = f"{fp}core.in0."
+        i = 1
+        for level in range(n_levels):
+            for _ in range(num_res):
+                m[f"{tp}input_blocks.{i}.0."] = f"{fp}core.ib{i}_res."
+                if level < n_levels - 1:
+                    m[f"{tp}input_blocks.{i}.1."] = f"{fp}core.ib{i}_t."
+                i += 1
+            if level != n_levels - 1:
+                m[f"{tp}input_blocks.{i}.0.op."] = f"{fp}core.ib{i}_down."
+                i += 1
+        m[f"{tp}middle_block.0."] = f"{fp}core.mid_res1."
+        m[f"{tp}middle_block.1."] = f"{fp}core.mid_t."
+        m[f"{tp}middle_block.2."] = f"{fp}core.mid_res2."
+        return i
+
+    # UNet
+    unet_enc("model.diffusion_model.", "unet.")
+    i = 0
+    for level in reversed(range(n_levels)):
+        for r in range(num_res + 1):
+            m[f"model.diffusion_model.output_blocks.{i}.0."] = \
+                f"unet.ob{i}_res."
+            j = 1
+            if level < n_levels - 1:
+                m[f"model.diffusion_model.output_blocks.{i}.1."] = \
+                    f"unet.ob{i}_t."
+                j = 2
+            if level > 0 and r == num_res:
+                m[f"model.diffusion_model.output_blocks.{i}.{j}.conv."] = \
+                    f"unet.ob{i}_up."
+            i += 1
+    m["model.diffusion_model.out.0."] = "unet.out_gn."
+    m["model.diffusion_model.out.2."] = "unet.out_conv."
+
+    # ControlNet
+    n_taps = unet_enc("control_model.", "control.")
+    for z in range(n_taps):
+        m[f"control_model.zero_convs.{z}.0."] = f"control.zero{z}."
+    m["control_model.middle_block_out.0."] = "control.mid_out."
+    for j, t in enumerate(range(0, 16, 2)):
+        m[f"control_model.input_hint_block.{t}."] = f"control.hint{j}."
+    for j, t in enumerate((0, 2, 4)):
+        m[f"control_model.prior_conv.conv.{t}."] = \
+            f"control.prior_conv.conv{j}."
+    m["control_model.prior_conv.gcm"] = "control.prior_conv.gcm"
+
+    # skip-VAE
+    for l_ in range(n_levels):
+        for b in range(num_res):
+            m[f"first_stage_model.encoder.down.{l_}.block.{b}."] = \
+                f"vae_enc.down{l_}_b{b}."
+        m[f"first_stage_model.encoder.down.{l_}.downsample.conv."] = \
+            f"vae_enc.down{l_}_ds."
+        for b in range(num_res + 1):
+            m[f"first_stage_model.decoder.up.{l_}.block.{b}."] = \
+                f"vae_dec.up{l_}_b{b}."
+        m[f"first_stage_model.decoder.up.{l_}.upsample.conv."] = \
+            f"vae_dec.up{l_}_us."
+        m[f"first_stage_model.decoder.up.{l_}.upsample.new_merge.conv."] = \
+            f"vae_dec.up{l_}_merge."
+    m["first_stage_model.decoder.new_last_procee.conv1."] = \
+        "vae_dec.big_conv1."
+    m["first_stage_model.decoder.new_last_procee.conv2."] = \
+        "vae_dec.big_conv2."
+    m["first_stage_model.encoder."] = "vae_enc."   # conv_in/mid/norm/conv_out
+    m["first_stage_model.decoder."] = "vae_dec."
+    m["first_stage_model.post_quant_conv."] = "post_quant_conv."
+    # sub rules: ResBlock/Transformer/VAE-mid flattening
+    m["*.in_layers.0."] = ".in_gn."
+    m["*.in_layers.2."] = ".in_conv."
+    m["*.emb_layers.1."] = ".emb_fc."
+    m["*.out_layers.0."] = ".out_gn."
+    m["*.out_layers.3."] = ".out_conv."
+    m["*.skip_connection."] = ".skip."
+    m["*.transformer_blocks.0."] = "."
+    m["*.to_out.0."] = ".to_out."
+    m["*.ff.net.0.proj."] = ".ff.geglu."
+    m["*.ff.net.2."] = ".ff.out."
+    m["*.mid.block_1."] = ".mid_block_1."
+    m["*.mid.attn_1."] = ".mid_attn_1."
+    m["*.mid.block_2."] = ".mid_block_2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "airnet": airnet_name_map,
     "adair": adair_name_map,
+    "quadprior": quadprior_name_map,
     "mtfe": mtfe_name_map,
     "nerco": nerco_name_map,
     "fourllie": fourllie_name_map,

@@ -145,9 +145,12 @@ def convert_state_dict(state_dict: dict, template, name_map: dict | None = None,
             tbase = ttoks[:-1]
             if fkind not in _KIND_MAP.get(tkind, (tkind,)):
                 continue
-            # base-name match: exact token-tail overlap
-            if tbase and fbase and (tbase[-min(len(tbase), len(fbase)):] ==
-                                    fbase[-min(len(tbase), len(fbase)):]):
+            # base-name match: exact token-tail overlap (top-level params
+            # like a bare "gcm" have empty bases and match on kind alone)
+            if (not tbase and not fbase) or (
+                    tbase and fbase and
+                    tbase[-min(len(tbase), len(fbase)):] ==
+                    fbase[-min(len(tbase), len(fbase)):]):
                 conv = torch_to_flax_array(tname, arr, leaf.shape, fkind)
                 if conv is not None:
                     best = (tname, conv)

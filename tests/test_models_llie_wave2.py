@@ -263,3 +263,14 @@ def test_lime_and_pie(dp):
         assert e.shape == dp["image"].shape and np.isfinite(e).all(), name
         # classical enhancers must brighten a dark input
         assert e.mean() > np.asarray(dp["image"]).mean(), name
+
+
+@pytest.mark.slow
+def test_quadprior(dp):
+    # 32-channel floor: the SD blocks use GroupNorm(32) like the reference
+    m = build_model("quadprior", model_channels=32, context_dim=8,
+                    vae_ch=32, num_heads=2, steps=3, context_len=4)
+    params = m.init(jax.random.PRNGKey(0), {"image": dp["image"]})
+    out = m.apply(params, {"image": dp["image"]})
+    e = np.asarray(out["enhanced"])
+    assert e.shape == dp["image"].shape and np.isfinite(e).all()
