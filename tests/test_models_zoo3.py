@@ -257,3 +257,18 @@ def test_sam2_lite_video_propagation():
     assert np.isfinite(np.asarray(masks)).all()
     cleaned = sam_postprocess(np.asarray(masks[2]), area_thresh=10)
     assert cleaned.shape == (64, 64)
+
+
+def test_depth_pro_full_arch(rng):
+    """Faithful Depth Pro: pyramid encoder + DPT decoder + FOV head."""
+    import jax
+    import jax.numpy as jnp
+    m = build_model("depth_pro", vit_dim=32, vit_depth=2, vit_heads=2,
+                    backbone_size=64, patch=8, decoder_features=16,
+                    dims_encoder=(16, 16, 32, 32), hook_ids=(0, 1))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), {"image": x})
+    out = m.apply(params, {"image": x})
+    assert out["depth"].shape == (1, 128, 128, 1)
+    assert "fov_deg" in out
+    assert np.isfinite(np.asarray(out["depth"])).all()
