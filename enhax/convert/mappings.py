@@ -539,6 +539,24 @@ def quadprior_name_map(channel_mult=(1, 2, 4, 4), num_res: int = 2) -> dict:
     return m
 
 
+def tinyvit_name_map(depths=(2, 2, 6, 2), prefix: str = "",
+                     flax_prefix: str = "") -> dict:
+    """MobileSAM TinyViT image encoder (tiny_vit_sam.py:462-620)."""
+    m = {f"{prefix}patch_embed.seq.0.": f"{flax_prefix}embed_c1.",
+         f"{prefix}patch_embed.seq.2.": f"{flax_prefix}embed_c2."}
+    for s, dep in enumerate(depths):
+        for j in range(dep):
+            m[f"{prefix}layers.{s}.blocks.{j}."] = f"{flax_prefix}s{s}_b{j}."
+        if s < len(depths) - 1:
+            m[f"{prefix}layers.{s}.downsample."] = f"{flax_prefix}s{s}_ds."
+    for i, n in enumerate(("neck0", "neck1", "neck2", "neck3")):
+        m[f"{prefix}neck.{i}."] = f"{flax_prefix}{n}."
+    m["*.mlp.norm."] = ".mlp_norm."
+    m["*.mlp.fc1."] = ".fc1."
+    m["*.mlp.fc2."] = ".fc2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "airnet": airnet_name_map,

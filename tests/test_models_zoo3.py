@@ -272,3 +272,20 @@ def test_depth_pro_full_arch(rng):
     assert out["depth"].shape == (1, 128, 128, 1)
     assert "fov_deg" in out
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+@pytest.mark.slow
+def test_mobile_sam_promptable(rng):
+    """MobileSAM: TinyViT encoder + promptable decoder end to end."""
+    import jax
+    import jax.numpy as jnp
+    m = build_model("mobile_sam", embed_dims=(16, 32, 40, 80),
+                    heads=(2, 4, 5, 10), dim=32)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+    pts = jnp.asarray([[[64.0, 64.0]]])
+    lbl = jnp.asarray([[1]])
+    dp = {"image": x, "points": pts, "labels": lbl}
+    params = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(params, dp)
+    assert out["masks"].shape[-2:] == (128, 128)
+    assert np.isfinite(np.asarray(out["masks"])).all()

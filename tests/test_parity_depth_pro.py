@@ -222,3 +222,73 @@ def test_depth_pro_reference_parity():
     assert abs(ref_fov - got_fov) <= 1e-3, (ref_fov, got_fov)
     err = float(np.max(np.abs(ref_inv - got_canon)))
     assert err <= 1e-3, f"depth_pro canonical inv depth max err {err:.2e}"
+
+
+def test_mobile_sam_tinyvit_reference_parity():
+    """Vendored TinyViT-5M (MobileSAM image encoder) vs enhax, through
+    patch-embed/MBConv/window-attention stages + SAM neck. timm is not
+    installed; its DropPath/to_2tuple/trunc_normal_ are stubbed (all are
+    identity at eval)."""
+    import types as _types
+    import jax
+    import jax.numpy as jnp
+    from enhax.convert.mappings import tinyvit_name_map
+    from enhax.models.segment.mobile_sam import TinyViT
+
+    timm = _types.ModuleType("timm")
+    timm.models = _types.ModuleType("timm.models")
+    layers = _types.ModuleType("timm.models.layers")
+
+    class _DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    layers.DropPath = _DropPath
+    layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+    layers.trunc_normal_ = lambda t, std=0.02: t.data.normal_(0, std)
+    registry = _types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn: fn
+    stubs = {"timm": timm, "timm.models": timm.models,
+             "timm.models.layers": layers, "timm.models.registry": registry}
+    tv = refload.load_vendored("vision/segment/mobile_sam",
+                               "mobile_sam.modeling.tiny_vit_sam",
+                               extra_stubs=stubs)
+    torch.manual_seed(0)
+    net = tv.TinyViT(img_size=128, in_chans=3, num_classes=0,
+                     embed_dims=[64, 128, 160, 320], depths=[2, 2, 6, 2],
+                     num_heads=[2, 4, 5, 10], window_sizes=[7, 7, 14, 7],
+                     drop_path_rate=0.0)
+    # give the zero-init attention biases signal BEFORE eval() — eval
+    # caches the expanded bias (tiny_vit_sam.py:252-259)
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "attention_biases" in name:
+                p.add_(torch.randn_like(p) * 0.1)
+    net.eval()
+    x = torch.rand(1, 3, 128, 128)
+    with torch.no_grad():
+        # forward_features hard-codes the img1024 64x64 grid
+        # (tiny_vit_sam.py:610); run the stages + neck directly
+        y = net.patch_embed(x)
+        for layer in net.layers:
+            y = layer(y)
+        b, L, c = y.shape
+        g = int(L ** 0.5)
+        y = y.view(b, g, g, c).permute(0, 3, 1, 2)
+        ref = net.neck(y).numpy().transpose(0, 2, 3, 1)
+
+    fmod = TinyViT()
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    template = fmod.init(jax.random.PRNGKey(0), xj)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=tinyvit_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted: {unmatched[:10]}"
+    got = np.asarray(fmod.apply(params, xj))
+    err = float(np.max(np.abs(ref - got)))
+    assert err <= 1e-3, f"tinyvit max err {err:.2e}"
