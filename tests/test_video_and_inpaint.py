@@ -88,3 +88,25 @@ def test_split_train_val(tmp_path):
     assert len(dm.train) == 8 and len(dm.val) == 2
     batches = list(dm.train_loader())
     assert batches[0]["image"].shape == (2, 8, 8, 3)
+
+
+def test_remove_anything_pipeline(rng):
+    """Inpaint-Anything remove pipeline: SAM point mask -> dilate -> LaMa."""
+    from enhax.infer.inpaint_anything import dilate_mask, remove_anything
+    img = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    out = remove_anything(
+        img, (48.0, 48.0), dilate_kernel_size=7,
+        sam_kwargs=dict(dim=32, depth=2),
+        lama_kwargs=dict(features=8, n_blocks=1))
+    assert out["inpainted"].shape == img.shape
+    assert out["mask"].shape == (96, 96)
+    assert np.isfinite(out["inpainted"]).all()
+    # untouched outside the mask
+    outside = ~out["mask"].astype(bool)
+    np.testing.assert_allclose(out["inpainted"][outside], img[outside],
+                               atol=1e-6)
+    # dilation golden vs cv2 semantics
+    m = np.zeros((9, 9), np.uint8)
+    m[4, 4] = 1
+    d = dilate_mask(m, 3)
+    assert d.sum() == 9 and d[3:6, 3:6].all()
