@@ -21,7 +21,7 @@ from enhax.utils.console import console, print_table
 from enhax.utils.pathlib import Path
 
 FR_METRICS = ("psnr", "ssim", "ms_ssim", "mae", "mse", "rmse")
-NR_METRICS = ("brightness", "contrast", "entropy", "niqe")
+NR_METRICS = ("brightness", "contrast", "entropy", "niqe", "brisque")
 
 
 def parse_metric_args(argv=None) -> dict:
@@ -35,6 +35,10 @@ def parse_metric_args(argv=None) -> dict:
     p.add_argument("--niqe-params", type=str, default=None,
                    help="pristine stats for --metric niqe: official .mat or "
                         ".npz from enhax.nn.niqe.fit_niqe_params")
+    p.add_argument("--brisque-svm", type=str, default=None,
+                   help="parsed libsvm BRISQUE model (.npz: sv/coef/rho/"
+                        "gamma/lo/hi); without it brisque reports the "
+                        "uncalibrated feature-norm proxy")
     p.add_argument("--save-csv", type=str, default=None,
                    help="also write per-image scores to this CSV file")
     p.add_argument("--backend", type=str, default="jax")
@@ -64,6 +68,12 @@ def measure_metric(args: dict) -> dict:
     target_dir = Path(args["target"]) if args.get("target") else None
     names = args.get("metric") or ["psnr", "ssim"]
     use_gt_mean = bool(args.get("use_gt_mean"))
+
+    brisque_svm = None
+    if "brisque" in names and args.get("brisque_svm"):
+        with np.load(args["brisque_svm"]) as z:
+            brisque_svm = {k: z[k] for k in ("sv", "coef", "rho", "gamma",
+                                             "lo", "hi")}
 
     niqe_fn = None
     if "niqe" in names:
@@ -113,6 +123,9 @@ def measure_metric(args: dict) -> dict:
                 val = float(METRICS.get(m)(img[None], tgt[None]))
             elif m == "niqe":
                 val = float(niqe_fn(img))
+            elif m == "brisque":
+                from enhax.nn.brisque import brisque as _brisque
+                val = float(_brisque(img, svm=brisque_svm))
             elif m in NR_METRICS:
                 if nr is None:
                     nr = _nr_metrics(img)

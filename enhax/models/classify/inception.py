@@ -127,7 +127,9 @@ class InceptionV3(nn.Module):
         y = InceptionE(name="mix7b")(y, train)
         y = InceptionE(name="mix7c")(y, train)
         y = jnp.mean(y, axis=(-3, -2))
-        return {"logits": nn.Dense(self.num_classes, name="fc")(y)}
+        # "features" = the 2048-d pre-logits pool (the FID activation layer)
+        return {"logits": nn.Dense(self.num_classes, name="fc")(y),
+                "features": y}
 
 
 @MODELS.register(name="inception3", arch="inception", aliases=["inception_v3"],

@@ -111,3 +111,49 @@ def test_miou_ignore_index():
     tgt = jnp.asarray([[[0, 255]]])
     v = float(miou(pred, tgt, num_classes=2))
     np.testing.assert_allclose(v, 1.0, atol=1e-6)  # only class0 counted
+
+
+def test_brisque_features_and_score(rng):
+    """36 NSS features; natural-ish smooth image scores differently from
+    white noise; SVR scoring contract."""
+    import jax.numpy as jnp
+    from enhax.nn.brisque import brisque_features, brisque_score
+
+    noise = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    xx, yy = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], -1).astype(np.float32)
+    f_noise = np.asarray(brisque_features(jnp.asarray(noise)))
+    f_smooth = np.asarray(brisque_features(jnp.asarray(smooth)))
+    assert f_noise.shape == (36,) and np.isfinite(f_noise).all()
+    assert np.isfinite(f_smooth).all()
+    assert not np.allclose(f_noise, f_smooth, atol=1e-2)
+    # GGD alpha: uniform noise is platykurtic (alpha > 2), but within the
+    # fit's table range [0.2, 10]
+    assert 2.0 < f_noise[0] < 10.0
+    g_noise = np.clip(rng.normal(0.5, 0.15, (64, 64, 3)), 0, 1)
+    f_gauss = np.asarray(brisque_features(
+        jnp.asarray(g_noise.astype(np.float32))))
+    assert 1.0 < f_gauss[0] < 3.5  # gaussian MSCN -> alpha near 2
+    svm = {"sv": np.tile(f_noise, (3, 1)).astype(np.float32),
+           "coef": np.asarray([0.5, -0.2, 0.1], np.float32),
+           "rho": 0.3, "gamma": 0.05,
+           "lo": f_noise - 1.0, "hi": f_noise + 1.0}
+    s = float(brisque_score(jnp.asarray(f_noise), svm))
+    assert np.isfinite(s)
+
+
+def test_fid_frechet_distance_golden():
+    """Closed-form diagonal-Gaussian golden + identical-set zero."""
+    from enhax.nn.fid import fid_from_features, frechet_distance
+
+    rng_l = np.random.default_rng(0)
+    f = rng_l.normal(size=(256, 8))
+    assert abs(fid_from_features(f, f.copy())) < 1e-6
+    # diagonal case: FID = |dmu|^2 + sum (s1 + s2 - 2 sqrt(s1 s2))
+    mu1, mu2 = np.zeros(4), np.full(4, 0.5)
+    s1, s2 = np.asarray([1, 2, 3, 4.0]), np.asarray([2, 2, 1, 0.5])
+    got = frechet_distance(mu1, np.diag(s1), mu2, np.diag(s2))
+    want = 4 * 0.25 + np.sum(s1 + s2 - 2 * np.sqrt(s1 * s2))
+    assert abs(got - want) < 1e-6
+    shifted = f + 3.0
+    assert fid_from_features(f, shifted) > fid_from_features(f, f + 0.1)
