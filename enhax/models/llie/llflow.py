@@ -446,3 +446,27 @@ def llflow(nf: int = 64, nb: int = 24, gc: int = 32, K: int = 12,
         required_inputs=("image",),
         size_divisor=16,
     )
+
+
+@MODELS.register(name="llflow_lol_v2_real", arch="llflow",
+                 tasks=(Task.LLIE,), schemes=(Scheme.SUPERVISED,))
+def llflow_lol_v2_real(**kwargs) -> Model:
+    """LOL-v2-real released variant (model_config/lol_v2_real.yaml —
+    same nf=64/nb=24 network; the config differs only in data/training
+    hyper-params, train_gt_ratio 0.5)."""
+    m = llflow(**kwargs)
+    m.name = "llflow_lol_v2_real"
+    return m
+
+
+@MODELS.register(name="llflow_smallnet", arch="llflow",
+                 tasks=(Task.LLIE,), schemes=(Scheme.SUPERVISED,))
+def llflow_smallnet(**kwargs) -> Model:
+    """LOL_smallNet released variant (model_config/lol_v1_smallnet.yaml:
+    nf=32, nb=4, K=4)."""
+    kwargs.setdefault("nf", 32)
+    kwargs.setdefault("nb", 4)
+    kwargs.setdefault("K", 4)
+    m = llflow(**kwargs)
+    m.name = "llflow_smallnet"
+    return m
