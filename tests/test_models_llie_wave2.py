@@ -221,10 +221,12 @@ def test_sgz(dp):
     _smoke("sgz", dp, scale_factor=4)
 
 
+@pytest.mark.slow
 def test_dccnet(dp):
     _smoke("dccnet", dp, base=8, needs_ref=True)
 
 
+@pytest.mark.slow
 def test_utvnet(dp):
     _smoke("utvnet", dp, needs_ref=True)
 
@@ -250,6 +252,7 @@ def test_nerco(dp):
     assert e.shape == dp["image"].shape and np.isfinite(e).all()
 
 
+@pytest.mark.slow
 def test_mtfe(dp):
     _smoke("mtfe", dp, needs_ref=True)
 

@@ -106,6 +106,7 @@ def test_airnet_forward_and_loss(pair):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_adair_forward_and_loss(pair):
     m, params, out = _fwd("adair", pair, dim=8, num_blocks=(1, 1, 1, 1),
                           num_refinement=1, fre_n=8)

@@ -259,6 +259,7 @@ def test_sam2_lite_video_propagation():
     assert cleaned.shape == (64, 64)
 
 
+@pytest.mark.slow
 def test_depth_pro_full_arch(rng):
     """Faithful Depth Pro: pyramid encoder + DPT decoder + FOV head."""
     import jax

@@ -224,6 +224,7 @@ def test_depth_pro_reference_parity():
     assert err <= 1e-3, f"depth_pro canonical inv depth max err {err:.2e}"
 
 
+@pytest.mark.slow
 def test_mobile_sam_tinyvit_reference_parity():
     """Vendored TinyViT-5M (MobileSAM image encoder) vs enhax, through
     patch-embed/MBConv/window-attention stages + SAM neck. timm is not

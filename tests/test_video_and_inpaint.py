@@ -90,6 +90,7 @@ def test_split_train_val(tmp_path):
     assert batches[0]["image"].shape == (2, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_remove_anything_pipeline(rng):
     """Inpaint-Anything remove pipeline: SAM point mask -> dilate -> LaMa."""
     from enhax.infer.inpaint_anything import dilate_mask, remove_anything
