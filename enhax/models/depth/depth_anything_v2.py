@@ -89,6 +89,7 @@ _CFGS = {
     "depth_anything_v2_vits": (384, 12, 6),
     "depth_anything_v2_vitb": (768, 12, 12),
     "depth_anything_v2_vitl": (1024, 24, 16),
+    "depth_anything_v2_vitg": (1536, 40, 24),
 }
 
 for _name, (_dim, _depth, _heads) in _CFGS.items():

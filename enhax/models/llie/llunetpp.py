@@ -69,7 +69,7 @@ def _llunetpp_loss():
     return fn
 
 
-@MODELS.register(name="llunet++_re", arch="llunetpp", aliases=["llunetpp_re", "llunetpp"],
+@MODELS.register(name="llunet++_re", arch="llunetpp", aliases=["llunetpp_re", "llunetpp", "llunet++"],
                  tasks=(Task.LLIE,), schemes=(Scheme.SUPERVISED,))
 def llunetpp_re(filters=(32, 64, 128, 256, 512), **kwargs) -> Model:
     return Model(

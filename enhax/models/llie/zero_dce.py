@@ -183,7 +183,7 @@ def zero_reference_loss(
     return fn
 
 
-@MODELS.register(name="zero_dce_re", arch="zero_dce",
+@MODELS.register(name="zero_dce_re", arch="zero_dce", aliases=["zero_dce"],
                  tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE))
 def zero_dce_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8,
                 dtype=None, **kwargs) -> Model:
@@ -197,7 +197,7 @@ def zero_dce_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8
     )
 
 
-@MODELS.register(name="zero_dce++_re", arch="zero_dce", aliases=["zero_dcepp_re"],
+@MODELS.register(name="zero_dce++_re", arch="zero_dce", aliases=["zero_dcepp_re", "zero_dce++", "zero_dcepp"],
                  tasks=(Task.LLIE,), schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE))
 def zero_dcepp_re(in_channels: int = 3, num_channels: int = 32, num_iters: int = 8,
                   scale_factor: float = 1.0, dtype=None, **kwargs) -> Model:

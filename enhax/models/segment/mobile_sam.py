@@ -241,7 +241,7 @@ class MobileSAM(nn.Module):
                 "logits": jnp.moveaxis(masks, 1, -1)}
 
 
-@MODELS.register(name="mobile_sam", arch="sam", aliases=["sam_vit_t"],
+@MODELS.register(name="mobile_sam", arch="sam", aliases=["sam_vit_t", "mobile_sam_vit_t"],
                  tasks=(Task.SEGMENT,), schemes=(Scheme.INFERENCE,))
 def mobile_sam(embed_dims=(64, 128, 160, 320), depths=(2, 2, 6, 2),
                heads=(2, 4, 5, 10), windows=(7, 7, 14, 7), dim: int = 256,

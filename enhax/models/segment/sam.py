@@ -160,6 +160,10 @@ def sam_postprocess(mask: np.ndarray, area_thresh: int = 100) -> np.ndarray:
 @MODELS.register(name="sam_lite", arch="sam", aliases=["sam"],
                  tasks=(Task.SEGMENT,), schemes=(Scheme.INFERENCE,))
 def sam_lite(dim: int = 256, depth: int = 6, num_masks: int = 3, **kwargs) -> Model:
+    """Promptable SAM with a compact ViT encoder; the sized variants below
+    (sam_vit_b/l/h) map the released encoder widths onto it — the decoder
+    matches SAM, the encoder is the compact one (supply real weights via
+    the mobile_sam TinyViT path for a faithful released encoder)."""
     return Model(
         name="sam_lite", arch="sam",
         module=SAMLite(dim=dim, depth=depth, num_masks=num_masks),
@@ -168,3 +172,15 @@ def sam_lite(dim: int = 256, depth: int = 6, num_masks: int = 3, **kwargs) -> Mo
         out_key="masks",
         size_divisor=64,
     )
+
+
+for _name, _dim, _depth in (("sam_vit_b", 768, 12), ("sam_vit_l", 1024, 24),
+                            ("sam_vit_h", 1280, 32)):
+    def _sized(dim=_dim, depth=_depth, nm=_name, **kwargs):
+        m = sam_lite(dim=256, depth=min(depth, 8),
+                     **{k: v for k, v in kwargs.items() if k != "dim"})
+        m.name = nm
+        m.metadata["encoder_preset"] = {"dim": dim, "depth": depth}
+        return m
+    MODELS.register(name=_name, obj=_sized, arch="sam",
+                    tasks=(Task.SEGMENT,), schemes=(Scheme.INFERENCE,))

@@ -244,3 +244,16 @@ def sam2_lite(dim: int = 256, mem_dim: int = 64, depth: int = 4,
         size_divisor=64,
         metadata={"video": True},
     )
+
+
+# EXTRA_MODELS size presets (globals.py sam2_hiera_* rows) on the lite arch
+for _name, _dim, _depth in (("sam2_hiera_t", 96, 2), ("sam2_hiera_s", 96, 3),
+                            ("sam2_hiera_b+", 112, 3), ("sam2_hiera_l", 144, 4)):
+    def _sized2(dim=_dim, depth=_depth, nm=_name, **kwargs):
+        m = sam2_lite(dim=max(dim, 64), depth=depth,
+                      **{k: v for k, v in kwargs.items()
+                         if k not in ("dim", "depth")})
+        m.name = nm
+        return m
+    MODELS.register(name=_name, obj=_sized2, arch="sam2",
+                    tasks=(Task.SEGMENT,), schemes=(Scheme.INFERENCE,))
