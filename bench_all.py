@@ -43,17 +43,26 @@ def main():
     rng = np.random.default_rng(0)
     results = []
 
-    def run(metric, model_name, batch, h, w, runs=5, tile=None, **kw):
+    def run(metric, model_name, batch, h, w, runs=5, tile=None, bf16=False,
+            chunk=8, **kw):
         try:
             model = build_model(model_name, **kw)
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
             v = model.init(jax.random.PRNGKey(0), {"image": x})
+            if bf16:
+                # inference in bfloat16: halves HBM traffic and doubles MXU
+                # rate; flax modules with dtype=None follow input/param dtype
+                cast = lambda a: a.astype(jnp.bfloat16) \
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+                v = jax.tree_util.tree_map(cast, v)
+                x = x.astype(jnp.bfloat16)
             if tile:
                 # tiles batched through one model call (tiled_apply_batched)
                 # — unrolled per-tile calls OOM'd the 16 GB chip at 1080p
                 fn = jax.jit(lambda vv, img: tiled_apply_batched(
                     lambda t: model.apply(vv, {"image": t})["enhanced"],
-                    img, tile=(tile[0], tile[0]), overlap=tile[1], chunk=8))
+                    img, tile=(tile[0], tile[0]), overlap=tile[1],
+                    chunk=chunk))
                 f = lambda: fn(v, x)  # noqa: E731
             else:
                 fwd = jax.jit(lambda vv, d: model.apply(vv, d)["enhanced"])
@@ -72,9 +81,17 @@ def main():
 
     run("zero_dce_256_batch128", "zero_dce_re", 128, 256, 256)
     run("hinet_gopro_1280x736", "hinet_re", 2, 736, 1280)
+    run("hinet_gopro_1280x736_bf16", "hinet_re", 2, 736, 1280, bf16=True)
     run("nafnet_tlc_sidd_1280x736", "nafnet_local", 2, 736, 1280)
+    run("nafnet_tlc_sidd_1280x736_bf16", "nafnet_local", 2, 736, 1280,
+        bf16=True)
     run("restormer_1080p_tiled256", "restormer", 1, 1088, 1920,
-        runs=3, tile=(256, 32))
+        runs=3, tile=(256, 32), chunk=8)
+    run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
+        runs=3, tile=(256, 32), chunk=16, bf16=True)
+
+    with open("/root/repo/BENCH_ALL.json", "w") as fh:
+        json.dump(results, fh, indent=1)
 
 
 if __name__ == "__main__":

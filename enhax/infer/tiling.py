@@ -89,12 +89,20 @@ def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
     patches = jnp.stack([
         jax.lax.dynamic_slice(image, (0, y, x, 0), (1, th, tw, c))[0]
         for y, x in coords])
-    preds = []
-    for i in range(0, len(coords), chunk):
-        preds.append(fn(patches[i : i + chunk]))
-    preds = jnp.concatenate(preds, axis=0)
+    # lax.map over chunk groups: bounds live memory to ONE chunk's
+    # activations (a Python loop unrolled under jit keeps every chunk's
+    # buffers alive simultaneously and OOMs at 1080p/Restormer scale)
+    n_tiles = len(coords)
+    n_groups = -(-n_tiles // chunk)
+    pad = n_groups * chunk - n_tiles
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.repeat(patches[-1:], pad, axis=0)], axis=0)
+    groups = patches.reshape((n_groups, chunk) + patches.shape[1:])
+    preds = jax.lax.map(fn, groups)
+    preds = preds.reshape((n_groups * chunk,) + preds.shape[2:])[:n_tiles]
 
-    win = _hann_window(th, tw)
+    win = _hann_window(th, tw).astype(image.dtype)
     out = jnp.zeros_like(image)
     acc = jnp.zeros((1, h, w, 1), image.dtype)
     for k, (y, x) in enumerate(coords):
