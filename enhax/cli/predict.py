@@ -42,6 +42,10 @@ def parse_predict_args(argv=None) -> dict:
     p.add_argument("--spatial", action="store_true",
                    help="with --devices: also split image height over a "
                         "'space' mesh axis (large-image inference)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 inference (params + activations; outputs "
+                        "cast back to float32). Within 1 uint8 LSB of the "
+                        "f32 path on the TPU bench at half the HBM traffic")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--save-image", action="store_true", default=True)
@@ -85,7 +89,8 @@ def predict(args: dict):
                      image_size=(args["imgsz"], args["imgsz"]) if args.get("imgsz") else None,
                      resize=bool(args.get("resize")), tile=tile,
                      bucket_sizes=tuple(args["buckets"]) if args.get("buckets") else None,
-                     mesh=mesh, spatial=bool(args.get("spatial") and mesh))
+                     mesh=mesh, spatial=bool(args.get("spatial") and mesh),
+                     bf16=bool(args.get("bf16")))
 
     save_dir = args.get("save_dir") or default_save_dir(
         "predict", model.arch, model.name, str(data).replace("/", "_"))

@@ -96,8 +96,12 @@ class Predictor:
     def __init__(self, model: Model, variables=None, image_size=None,
                  resize: bool = False, tile: tuple | None = None, seed: int = 0,
                  bucket_sizes: tuple | None = None, mesh=None,
-                 spatial: bool = False):
+                 spatial: bool = False, bf16: bool = False):
         self.model = model
+        # bfloat16 inference: params + activations in bf16 (outputs cast
+        # back to f32). On the TPU bench this is within 1 uint8 LSB of the
+        # f32 path while halving HBM traffic (see bench.py).
+        self.bf16 = bool(bf16)
         self._instance_fn = None
         self._vars_placed = False
         self.variables = variables  # property: assignment resets caches
@@ -131,14 +135,32 @@ class Predictor:
         # keeps serving the previous weights (r1 ADVICE #4)
         self._variables = value
         self._vars_placed = False
+        self._vars_bf16 = False
         self._instance_fn = None
 
     def _forward(self, variables, datapoint):
-        return self.model.apply(variables, datapoint)
+        if self.bf16:
+            datapoint = {k: (v.astype(jnp.bfloat16)
+                             if hasattr(v, "dtype") and v.dtype == jnp.float32
+                             else v)
+                         for k, v in datapoint.items()}
+        out = self.model.apply(variables, datapoint)
+        if self.bf16 and isinstance(out, dict):
+            out = {k: (v.astype(jnp.float32)
+                       if hasattr(v, "dtype") and v.dtype == jnp.bfloat16
+                       else v)
+                   for k, v in out.items()}
+        return out
 
     def _ensure_variables(self, datapoint):
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.seed), datapoint)
+        if self.bf16 and not getattr(self, "_vars_bf16", False):
+            cast = lambda a: (a.astype(jnp.bfloat16)  # noqa: E731
+                              if hasattr(a, "dtype") and a.dtype == jnp.float32
+                              else a)
+            self._variables = jax.tree_util.tree_map(cast, self._variables)
+            self._vars_bf16 = True
 
     def _place_on_mesh(self, dp: dict) -> dict:
         """Shard a padded datapoint over the mesh (batch + optional H)."""

@@ -133,3 +133,18 @@ def test_predictor_weight_swap_invalidates_caches(rng):
     assert pred._vars_placed is False and pred._instance_fn is None
     out2 = np.asarray(pred.infer(dp)["enhanced"])
     assert not np.allclose(out1, out2)
+
+
+def test_predictor_bf16(rng):
+    """bf16 inference: output close to f32, dtype restored to f32."""
+    from enhax.infer import Predictor
+    from enhax.models.base import build_model
+    m = build_model("zero_dce_re", num_channels=8)
+    img = rng.uniform(0.02, 0.4, (40, 48, 3)).astype(np.float32)
+    p32 = Predictor(m)
+    p16 = Predictor(m, bf16=True)
+    out32 = p32({"image": img})["enhanced"]
+    p16.variables = p32.variables  # same weights; setter resets bf16 cast
+    out16 = p16({"image": img})["enhanced"]
+    assert np.asarray(out16).dtype == np.float32
+    assert np.max(np.abs(np.asarray(out16) - np.asarray(out32))) < 0.02
