@@ -78,6 +78,11 @@ def main():
                    "error": f"{type(e).__name__}: {str(e)[:120]}"}
         results.append(row)
         print(json.dumps(row), flush=True)
+        # free compiled executables + buffers between configs: Restormer's
+        # 1080p tiling needs most of the 16 GB and OOMs on a fragmented heap
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
     run("zero_dce_256_batch128", "zero_dce_re", 128, 256, 256)
     # r01/r02 headline methodology (f32 frames, hard host sync per chunk)
