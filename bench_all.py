@@ -31,7 +31,7 @@ def _timeit(f, *args, runs=5):
     return (time.perf_counter() - t0) / runs
 
 
-def main():
+def main(only: str | None = None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -45,6 +45,8 @@ def main():
 
     def run(metric, model_name, batch, h, w, runs=5, tile=None, bf16=False,
             chunk=8, **kw):
+        if only is not None and metric != only:
+            return
         try:
             model = build_model(model_name, **kw)
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
@@ -100,9 +102,40 @@ def main():
     run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
         runs=3, tile=(256, 32), chunk=16, bf16=True)
 
+    if only is None:
+        with open("/root/repo/BENCH_ALL.json", "w") as fh:
+            json.dump(results, fh, indent=1)
+
+
+def main_isolated():
+    """Run every config in its OWN subprocess: each gets a fresh TPU
+    context (Restormer's 1080p tiling needs an unfragmented 16 GB heap
+    and OOMs after the earlier configs have run in-process)."""
+    import re
+    import subprocess
+    import sys
+    metrics = re.findall(r'run\("([a-z0-9_+]+)"', open(__file__).read())
+    rows = []
+    for m in metrics:
+        out = subprocess.run(
+            [sys.executable, __file__, "--only", m],
+            capture_output=True, text=True, timeout=900)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+        if line:
+            rows.append(json.loads(line[-1]))
+            print(line[-1], flush=True)
+        else:
+            rows.append({"metric": m, "value": None,
+                         "error": out.stderr.strip()[-160:]})
+            print(json.dumps(rows[-1]), flush=True)
     with open("/root/repo/BENCH_ALL.json", "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(rows, fh, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--only" in sys.argv:
+        main(only=sys.argv[sys.argv.index("--only") + 1])
+    else:
+        main_isolated()

@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--no-write", action="store_true",
                    help="skip the host mp4 encode (pure pipeline measurement; "
                         "this container has 1 host core, so encode dominates)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (within 1 uint8 LSB of f32)")
     args = p.parse_args(argv)
 
     import jax
@@ -68,10 +70,18 @@ def main(argv=None):
                               ** 3 * 0.4, 0, 1).astype(np.float32)
 
     writer = None if args.no_write else VideoWriterCV(args.output, fps=fps)
-    # frames cross host->device as uint8 (4x less PCIe/RPC traffic); the
-    # normalize happens on device inside the jitted graph
-    fwd = jax.jit(lambda v, x: model.apply(
-        v, {"image": x.astype(jnp.float32) / 255.0})["enhanced"])
+    # serving-format I/O: frames cross host<->device as uint8 (4x less
+    # RPC/HBM traffic than f32); normalize/quantize fuse into the graph
+    cdt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    def _fwd(v, x):
+        y = model.apply(v, {"image": x.astype(cdt) / 255.0})["enhanced"]
+        return jnp.clip(jnp.round(y.astype(jnp.float32) * 255.0),
+                        0, 255).astype(jnp.uint8)
+
+    fwd = jax.jit(_fwd)
+    probe = jax.jit(lambda c, o: c + o[0, 0, 0, 0].astype(jnp.float32))
+    carry = jnp.float32(0)
     variables = None
     total_px = 0
     t_start = None
@@ -84,18 +94,26 @@ def main(argv=None):
         x = jnp.stack([jnp.asarray((np.asarray(f) * 255).astype(np.uint8)
                                    if f.dtype != np.uint8 else f)
                        for f in chunk])
+        nonlocal carry
         if variables is None:
-            variables = model.init(jax.random.PRNGKey(0), {"image": x})
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                {"image": x.astype(jnp.float32) / 255.0})
+            if args.bf16:
+                cast = lambda a: a.astype(jnp.bfloat16) \
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+                variables = jax.tree_util.tree_map(cast, variables)
             fwd(variables, x)  # compile outside the timed region
             t_start = time.perf_counter()
-        out_dev = jnp.clip(fwd(variables, x), 0, 1)
+        out_dev = fwd(variables, x)
         if writer is not None:
-            out = np.asarray(out_dev)
+            out = np.asarray(out_dev).astype(np.float32) / 255.0
             for f in out:
                 writer.write(f)
         else:
-            out_dev.block_until_ready()
-            float(out_dev.sum())  # hard sync (axon quirk)
+            # streaming steady state: on-device probe keeps the queue
+            # bounded without a host RPC per chunk (see bench.py)
+            carry = probe(carry, out_dev)
         total_px += out_dev.shape[0] * out_dev.shape[1] * out_dev.shape[2]
 
     for frame in frame_iter():
@@ -104,12 +122,14 @@ def main(argv=None):
             flush(chunk)
             chunk = []
     flush(chunk)
+    if writer is None:
+        float(carry)  # final sync covers every enqueued chunk (in-order)
     if writer is not None:
         writer.close()
     dt = time.perf_counter() - (t_start or time.perf_counter())
     if dt > 0 and total_px:
         print(f"enhanced {total_px / 1e6:.1f} MP in {dt:.2f}s "
-              f"-> {total_px / 1e6 / dt:.1f} MP/s wall (host transfer/encode bound in this container; device rate ~950 MP/s)")
+              f"-> {total_px / 1e6 / dt:.1f} MP/s wall (host transfer/encode bound in this container; device rate ~4770 MP/s streaming, see bench.py)")
     if writer is not None:
         print(f"wrote {args.output}")
 
