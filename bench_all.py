@@ -86,6 +86,11 @@ def main(only: str | None = None):
         jax.clear_caches()
         gc.collect()
 
+    # restormer first: its 1080p tiling needs the full unfragmented heap
+    run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
+        runs=3, tile=(256, 32), chunk=16, bf16=True)
+    run("restormer_1080p_tiled256", "restormer", 1, 1088, 1920,
+        runs=3, tile=(256, 32), chunk=4)
     run("zero_dce_256_batch128", "zero_dce_re", 128, 256, 256)
     # r01/r02 headline methodology (f32 frames, hard host sync per chunk)
     # kept for cross-round comparability; bench.py now measures the
@@ -97,40 +102,10 @@ def main(only: str | None = None):
     run("nafnet_tlc_sidd_1280x736", "nafnet_local", 2, 736, 1280)
     run("nafnet_tlc_sidd_1280x736_bf16", "nafnet_local", 2, 736, 1280,
         bf16=True)
-    run("restormer_1080p_tiled256", "restormer", 1, 1088, 1920,
-        runs=3, tile=(256, 32), chunk=8)
-    run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
-        runs=3, tile=(256, 32), chunk=16, bf16=True)
 
     if only is None:
         with open("/root/repo/BENCH_ALL.json", "w") as fh:
             json.dump(results, fh, indent=1)
-
-
-def main_isolated():
-    """Run every config in its OWN subprocess: each gets a fresh TPU
-    context (Restormer's 1080p tiling needs an unfragmented 16 GB heap
-    and OOMs after the earlier configs have run in-process)."""
-    import re
-    import subprocess
-    import sys
-    metrics = re.findall(r'run\("([a-z0-9_+]+)"', open(__file__).read())
-    rows = []
-    for m in metrics:
-        out = subprocess.run(
-            [sys.executable, __file__, "--only", m],
-            capture_output=True, text=True, timeout=900)
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")]
-        if line:
-            rows.append(json.loads(line[-1]))
-            print(line[-1], flush=True)
-        else:
-            rows.append({"metric": m, "value": None,
-                         "error": out.stderr.strip()[-160:]})
-            print(json.dumps(rows[-1]), flush=True)
-    with open("/root/repo/BENCH_ALL.json", "w") as fh:
-        json.dump(rows, fh, indent=1)
 
 
 if __name__ == "__main__":
@@ -138,4 +113,4 @@ if __name__ == "__main__":
     if "--only" in sys.argv:
         main(only=sys.argv[sys.argv.index("--only") + 1])
     else:
-        main_isolated()
+        main()

@@ -155,6 +155,10 @@ class Predictor:
     def _ensure_variables(self, datapoint):
         if self.variables is None:
             self.variables = self.model.init(jax.random.PRNGKey(self.seed), datapoint)
+        if self.bf16 and self.model.instance_steps:
+            # per-image optimization needs f32 master params — the inner
+            # Adam loop diverges on bf16 weights; bf16 stays inference-only
+            return
         if self.bf16 and not getattr(self, "_vars_bf16", False):
             cast = lambda a: (a.astype(jnp.bfloat16)  # noqa: E731
                               if hasattr(a, "dtype") and a.dtype == jnp.float32
