@@ -50,7 +50,10 @@ def main(only: str | None = None):
         try:
             model = build_model(model_name, **kw)
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
-            v = model.init(jax.random.PRNGKey(0), {"image": x})
+            # init at tile size when tiling — a full-res untiled forward
+            # just to create params OOMs (this was the restormer failure)
+            init_x = x[:, :tile[0], :tile[0]] if tile else x
+            v = model.init(jax.random.PRNGKey(0), {"image": init_x})
             if bf16:
                 # inference in bfloat16: halves HBM traffic and doubles MXU
                 # rate; flax modules with dtype=None follow input/param dtype
