@@ -132,6 +132,14 @@ def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False,
     top = parts[0]
     saved_path = list(sys.path)
     _purge(top)
+    # purge every top-level module name this repo defines: a previously
+    # loaded vendored repo may have left a same-named module cached (e.g.
+    # llflow's `utils` package shadowing lime's `utils.py`)
+    local_names = {p.stem if p.suffix == ".py" else p.name
+                   for p in root.iterdir()
+                   if p.suffix == ".py" or (p / "__init__.py").is_file()}
+    for name in local_names:
+        _purge(name)
     ext = _external_stubs()
     if stub_mon:
         ext.update(_build_stub_mon())
@@ -167,6 +175,8 @@ def load_vendored(repo_rel: str, module_name: str, stub_mon: bool = False,
     # detach so the next same-named vendored package starts clean; the
     # returned module object stays alive via this reference
     _purge(top)
+    for name in local_names:
+        _purge(name)
     return mod
 
 
