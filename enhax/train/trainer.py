@@ -135,11 +135,26 @@ class Trainer:
         seed: int = 0,
         hooks: list | None = None,
         remat: bool = False,
+        gradient_clip_val: float | None = None,
+        gradient_clip_algorithm: str = "norm",
+        accumulate_grad_batches: int = 1,
     ):
         self.model = model
         if isinstance(optimizer, dict):
             from enhax.nn.optim import build_optimizer
             optimizer = build_optimizer(optimizer)
+        import optax
+        # reference trainer knobs (config/default.py:142-143,158):
+        # gradient clipping + gradient accumulation, expressed as optax
+        # transforms around the configured optimizer
+        if gradient_clip_val:
+            clip = (optax.clip_by_global_norm(gradient_clip_val)
+                    if gradient_clip_algorithm == "norm"
+                    else optax.clip(gradient_clip_val))
+            optimizer = optax.chain(clip, optimizer)
+        if accumulate_grad_batches and accumulate_grad_batches > 1:
+            optimizer = optax.MultiSteps(
+                optimizer, every_k_schedule=accumulate_grad_batches)
         self.tx = optimizer
         self.max_epochs = max_epochs
         self.max_steps = max_steps

@@ -77,3 +77,29 @@ def test_freeze_truly_freezes_adam():
         vals.append(float(params["params"]["stage0"]["lambda_a"][0]))
     assert vals[0] != 1.0            # moved on step 1
     assert vals[1:] == [vals[0]] * 4  # pinned afterwards despite momentum
+
+
+def test_trainer_grad_clip_and_accumulation(rng):
+    """Reference trainer knobs (default.py:142-143,158) via optax wraps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from enhax.models.base import build_model
+    from enhax.train.trainer import Trainer
+
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, optax.sgd(1e-2), gradient_clip_val=0.1,
+                 accumulate_grad_batches=2, max_epochs=1)
+    batch = {"image": jnp.asarray(
+        rng.uniform(0.02, 0.3, (2, 32, 32, 3)).astype(np.float32))}
+    state = tr.init_state(batch)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    key = jax.random.PRNGKey(0)
+    state1, metrics = tr._train_step(state, tr._place(batch), key)
+    # first of two accumulation micro-steps: params unchanged
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0))
+    state2, _ = tr._train_step(state1, tr._place(batch), key)
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p2), np.asarray(p0))
+    assert np.isfinite(float(metrics["loss"]))
