@@ -138,6 +138,10 @@ class Trainer:
         gradient_clip_val: float | None = None,
         gradient_clip_algorithm: str = "norm",
         accumulate_grad_batches: int = 1,
+        limit_train_batches: int | None = None,
+        limit_val_batches: int | None = None,
+        overfit_batches: int = 0,
+        fast_dev_run: bool = False,
     ):
         self.model = model
         if isinstance(optimizer, dict):
@@ -167,6 +171,14 @@ class Trainer:
         self.seed = seed
         self.hooks = hooks or []
         self.history: list[dict] = []
+        # Lightning-style debug knobs (reference config/default.py:141-159)
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.overfit_batches = overfit_batches
+        if fast_dev_run:
+            self.max_epochs = 1
+            self.limit_train_batches = 1
+            self.limit_val_batches = 1
 
         self._train_step = make_train_step(model, self.tx, remat=remat)
         self._eval_step = make_eval_step(model)
@@ -226,10 +238,23 @@ class Trainer:
         except ValueError:
             prev_handler = None  # not the main thread
 
+        overfit_cache = None
         for epoch in range(start_epoch, self.max_epochs):
             # -- train ---------------------------------------------------------
             epoch_metrics = []
-            for batch in train_iter_fn():
+            if self.overfit_batches:
+                # repeat the same first-N batches every epoch (default.py:159)
+                if overfit_cache is None:
+                    it = iter(train_iter_fn())
+                    overfit_cache = [b for _, b in
+                                     zip(range(self.overfit_batches), it)]
+                batches = overfit_cache
+            else:
+                batches = train_iter_fn()
+            for bi, batch in enumerate(batches):
+                if (self.limit_train_batches is not None
+                        and bi >= self.limit_train_batches):
+                    break
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, self._place(batch), sub)
                 if self.max_steps and state.step >= self.max_steps:
@@ -248,8 +273,12 @@ class Trainer:
 
             # -- validate --------------------------------------------------------
             if val_iter_fn is not None:
+                vit = val_iter_fn()
+                if self.limit_val_batches is not None:
+                    vit = (b for _, b in
+                           zip(range(self.limit_val_batches), iter(vit)))
                 vals = [self._eval_step(state.params, self._place(b))
-                        for b in val_iter_fn()]
+                        for b in vit]
                 if vals:
                     stacked = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *vals)
                     row.update({f"val/{k}": float(v) for k, v in stacked.items()})

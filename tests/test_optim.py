@@ -103,3 +103,26 @@ def test_trainer_grad_clip_and_accumulation(rng):
     p2 = jax.tree_util.tree_leaves(state2.params)[0]
     assert not np.allclose(np.asarray(p2), np.asarray(p0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_debug_knobs(rng):
+    """fast_dev_run / limit batches / overfit_batches (default.py:141-159)."""
+    import jax.numpy as jnp
+    import optax
+    from enhax.models.base import build_model
+    from enhax.train.trainer import Trainer
+
+    m = build_model("zero_dce_re", num_channels=8)
+
+    def batches():
+        for i in range(5):
+            yield {"image": jnp.full((1, 32, 32, 3), 0.1 + 0.1 * i,
+                                     jnp.float32)}
+
+    tr = Trainer(m, optax.sgd(1e-3), fast_dev_run=True)
+    st = tr.fit(batches, val_iter_fn=batches, resume=False)
+    assert int(st.step) == 1 and tr.max_epochs == 1
+
+    tr2 = Trainer(m, optax.sgd(1e-3), max_epochs=2, overfit_batches=2)
+    st2 = tr2.fit(batches, resume=False)
+    assert int(st2.step) == 4  # 2 cached batches x 2 epochs
