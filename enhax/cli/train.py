@@ -115,6 +115,13 @@ def train(args: dict):
         log_every_n_steps=tr_cfg["log_every_n_steps"], save_dir=save_dir,
         seed=tr_cfg["seed"], hooks=hooks,
         remat=bool(tr_cfg.get("remat", False)),
+        gradient_clip_val=tr_cfg.get("gradient_clip_val"),
+        gradient_clip_algorithm=tr_cfg.get("gradient_clip_algorithm", "norm"),
+        accumulate_grad_batches=int(tr_cfg.get("accumulate_grad_batches", 1) or 1),
+        limit_train_batches=tr_cfg.get("limit_train_batches"),
+        limit_val_batches=tr_cfg.get("limit_val_batches"),
+        overfit_batches=int(tr_cfg.get("overfit_batches", 0) or 0),
+        fast_dev_run=bool(tr_cfg.get("fast_dev_run", False)),
     )
     console.print(f"[train] {model.name} on {data_name} -> {save_dir}")
     val_fn = dm.val_loader if dm.val is not None else None

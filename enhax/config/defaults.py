@@ -16,6 +16,14 @@ DEFAULT_TRAINER = {
     "log_every_n_steps": 50,
     "log_image_every_n_epochs": 0,
     "seed": 0,
+    # reference trainer surface (config/default.py:141-159)
+    "gradient_clip_val": None,
+    "gradient_clip_algorithm": "norm",
+    "accumulate_grad_batches": 1,
+    "limit_train_batches": None,
+    "limit_val_batches": None,
+    "overfit_batches": 0,
+    "fast_dev_run": False,
 }
 
 DEFAULT_DATAMODULE = {
