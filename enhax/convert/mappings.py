@@ -557,8 +557,23 @@ def tinyvit_name_map(depths=(2, 2, 6, 2), prefix: str = "",
     return m
 
 
+def hvi_cidnet_name_map() -> dict:
+    """HVI-CIDNet (hvi_cidnet.py:475-668 naming)."""
+    m = {"trans.density_k": "density_k"}
+    for blk in ("hve_block0", "ie_block0", "hvd_block0", "id_block0"):
+        m[f"{blk}.1."] = f"{blk}."   # Sequential: [ReplicationPad, Conv]
+    m["*.down.0."] = ".conv."        # DownsampleNorm
+    m["*.up_scale.0."] = ".conv."    # UpsampleNorm
+    m["*.up."] = ".fuse."
+    m["*.q_dwconv."] = ".q_dw."
+    m["*.kv_dwconv."] = ".kv_dw."
+    m["*.prelu.weight"] = ".prelu.alpha"
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
+    "hvi_cidnet_re": hvi_cidnet_name_map,
     "airnet": airnet_name_map,
     "adair": adair_name_map,
     "quadprior": quadprior_name_map,

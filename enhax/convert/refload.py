@@ -240,6 +240,81 @@ def _build_stub_mon():
         def forward(self, x):
             return self.pw_conv(self.dw_conv(x))
 
+    class RGBToHVI(torch.nn.Module):
+        """Behavioral stub of mon.core.RGBToHVI (core/image/color.py:313):
+        the HVI transform with a learnable density_k, transcribed so
+        first-party HVI models execute with faithful color semantics."""
+
+        def __init__(self, eps: float = 1e-8):
+            super().__init__()
+            self.eps = eps
+            self.density_k = torch.nn.Parameter(torch.full([1], 0.2))
+            self.gated = False
+            self.gated2 = False
+            self.alpha = 1.0
+            self.this_k = 0
+
+        def rgb_to_hvi(self, image):
+            pi = 3.141592653589793
+            eps = self.eps
+            value = image.max(1)[0]
+            img_min = image.min(1)[0]
+            hue = torch.zeros_like(value)
+            d = value - img_min + eps
+            hue[image[:, 2] == value] = \
+                (4.0 + (image[:, 0] - image[:, 1]) / d)[image[:, 2] == value]
+            hue[image[:, 1] == value] = \
+                (2.0 + (image[:, 2] - image[:, 0]) / d)[image[:, 1] == value]
+            hue[image[:, 0] == value] = \
+                ((0.0 + (image[:, 1] - image[:, 2]) / d) % 6)[image[:, 0] == value]
+            hue[img_min == value] = 0.0
+            hue = hue / 6.0
+            sat = (value - img_min) / (value + eps)
+            sat[value == 0] = 0
+            hue, sat, value = (t.unsqueeze(1) for t in (hue, sat, value))
+            self.this_k = self.density_k.item()
+            cs = ((value * 0.5 * pi).sin() + eps).pow(self.density_k)
+            return torch.cat([cs * sat * (2.0 * pi * hue).cos(),
+                              cs * sat * (2.0 * pi * hue).sin(),
+                              value], dim=1)
+
+        def hvi_to_rgb(self, image):
+            pi = 3.141592653589793
+            eps = self.eps
+            H, V, I = image[:, 0], image[:, 1], image[:, 2]
+            H = torch.clamp(H, -1, 1)
+            V = torch.clamp(V, -1, 1)
+            I = torch.clamp(I, 0, 1)
+            v = I
+            cs = ((v * 0.5 * pi).sin() + eps).pow(self.this_k)
+            H = torch.clamp(H / (cs + eps), -1, 1)
+            V = torch.clamp(V / (cs + eps), -1, 1)
+            h = (torch.atan2(V, H) / (2 * pi)) % 1
+            s = torch.sqrt(H ** 2 + V ** 2)
+            if self.gated:
+                s = s * 1.3
+            s = torch.clamp(s, 0, 1)
+            v = torch.clamp(v, 0, 1)
+            r = torch.clamp(torch.abs(h * 6 - 3) - 1, 0, 1)
+            g = torch.clamp(2 - torch.abs(h * 6 - 2), 0, 1)
+            b = torch.clamp(2 - torch.abs(h * 6 - 4), 0, 1)
+            rgb = torch.stack([r, g, b], dim=1)
+            rgb = v.unsqueeze(1) * (1 + s.unsqueeze(1) * (rgb - 1))
+            if self.gated2:
+                rgb = rgb * self.alpha
+            return rgb
+
+    class LayerNorm2d(torch.nn.LayerNorm):
+        """Behavioral stub of mon.nn.LayerNorm2d (normalization.py:328):
+        channels-last layer norm on NCHW tensors."""
+
+        def forward(self, x):
+            return torch.nn.functional.layer_norm(
+                x.permute(0, 2, 3, 1), self.normalized_shape, self.weight,
+                self.bias, self.eps).permute(0, 3, 1, 2)
+
+    core.RGBToHVI = RGBToHVI
+    nn_mod.LayerNorm2d = LayerNorm2d
     nn_mod.Loss = Loss
     nn_mod.DSConv2d = DSConv2d
     nn_mod.functional = torch.nn.functional
@@ -333,7 +408,8 @@ def load_first_party(model_rel: str, extra_stubs: dict | None = None):
     path = REFERENCE_ROOT / "src" / "mon" / model_rel
     if not path.is_file():
         raise FileNotFoundError(path)
-    stubs = _build_stub_mon()
+    stubs = _external_stubs()
+    stubs.update(_build_stub_mon())
     if extra_stubs:
         stubs.update(extra_stubs)
     saved = {k: sys.modules.get(k) for k in stubs}

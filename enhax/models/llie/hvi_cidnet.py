@@ -22,13 +22,14 @@ from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.nn.layers import LayerNorm2d
 from enhax.ops.color import hvi_to_rgb, rgb_to_hvi
-from enhax.ops.resize import resize
+from enhax.ops.resize import resize_align_corners
 
 
 class PReLU(nn.Module):
+    """torch nn.PReLU() default: ONE shared alpha (num_parameters=1)."""
     @nn.compact
     def __call__(self, x):
-        a = self.param("alpha", nn.initializers.constant(0.25), (x.shape[-1],))
+        a = self.param("alpha", nn.initializers.constant(0.25), (1,))
         return jnp.where(x >= 0, x, a * x)
 
 
@@ -92,10 +93,12 @@ class LCA(nn.Module):
 
     @nn.compact
     def __call__(self, a, b):
-        norm = LayerNorm2d
-        a = a + CrossCAB(self.dim, self.num_heads, name="ffn")(
-            norm(name="norm_a")(a), norm(name="norm_b")(b))
-        g = IEL(self.dim, name="gdfn")(norm(name="norm_g")(a))
+        # ONE LayerNorm shared across all three uses (hvi_cidnet.py:443-470
+        # has a single self.norm applied to input1, input2, and post-attn)
+        norm = LayerNorm2d(eps=1e-5, name="norm")  # torch LayerNorm default
+        a = a + CrossCAB(self.dim, self.num_heads, name="ffn")(norm(a),
+                                                               norm(b))
+        g = IEL(self.dim, name="gdfn")(norm(a))
         return a + g if self.residual_ffn else g
 
 
@@ -105,7 +108,8 @@ class DownsampleNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv")(x)
-        y = resize(y, scale_factor=0.5, method="bilinear")
+        # torch nn.UpsamplingBilinear2d(scale_factor=0.5): align_corners=True
+        y = resize_align_corners(y, (y.shape[-3] // 2, y.shape[-2] // 2))
         return PReLU(name="prelu")(y)
 
 
@@ -115,7 +119,7 @@ class UpsampleNorm(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv")(x)
-        y = resize(y, (skip.shape[-3], skip.shape[-2]), method="bilinear")
+        y = resize_align_corners(y, (skip.shape[-3], skip.shape[-2]))
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="fuse")(
             jnp.concatenate([y, skip], axis=-1))
         return PReLU(name="prelu")(y)
@@ -131,13 +135,22 @@ class CIDNetModule(nn.Module):
         ch1, ch2, ch3, ch4 = self.channels
         _, h2, h3, h4 = self.heads
         k = self.param("density_k", nn.initializers.constant(self.density_k), (1,))
+
+        def conv_rep(feats, name):
+            # torch Sequential(ReplicationPad2d(1), Conv2d(pad=0)): EDGE
+            # padding, not zeros (hvi_cidnet.py:533-575)
+            def apply(t):
+                t = jnp.pad(t, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+                return nn.Conv(feats, (3, 3), padding="VALID",
+                               use_bias=False, name=name)(t)
+            return apply
         kv = k[0]
         hvi = rgb_to_hvi(x, density_k=kv)
         i = hvi[..., 2:3]
 
-        i_enc0 = nn.Conv(ch1, (3, 3), use_bias=False, name="ie_block0")(i)
+        i_enc0 = conv_rep(ch1, "ie_block0")(i)
         i_enc1 = DownsampleNorm(ch2, name="ie_block1")(i_enc0)
-        hv_0 = nn.Conv(ch1, (3, 3), use_bias=False, name="hve_block0")(hvi)
+        hv_0 = conv_rep(ch1, "hve_block0")(hvi)
         hv_1 = DownsampleNorm(ch2, name="hve_block1")(hv_0)
 
         i_enc2 = LCA(ch2, h2, True, name="i_lca1")(i_enc1, hv_1)
@@ -170,9 +183,9 @@ class CIDNetModule(nn.Module):
         hv_1 = LCA(ch2, h2, False, name="hv_lca6")(hv_2, i_dec2)
 
         i_dec1 = UpsampleNorm(ch1, name="id_block1")(i_dec1, i_enc0)
-        i_dec0 = nn.Conv(1, (3, 3), use_bias=False, name="id_block0")(i_dec1)
+        i_dec0 = conv_rep(1, "id_block0")(i_dec1)
         hv_1 = UpsampleNorm(ch1, name="hvd_block1")(hv_1, hv_0)
-        hv_0 = nn.Conv(2, (3, 3), use_bias=False, name="hvd_block0")(hv_1)
+        hv_0 = conv_rep(2, "hvd_block0")(hv_1)
 
         output_hvi = jnp.concatenate([hv_0, i_dec0], axis=-1) + hvi
         output_rgb = hvi_to_rgb(output_hvi, density_k=kv)

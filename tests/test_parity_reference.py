@@ -213,7 +213,6 @@ def test_ruas_reference_parity():
     from enhax.convert.mappings import ruas_name_map
     mod = refload.load_vendored("vision/enhance/llie/ruas", "model",
                                 stub_mon=True)
-    import genotypes as _g  # noqa: F401 - loaded alongside by model.py
     torch.manual_seed(0)
     enh = mod.EnhanceNetwork(iteratioin=3, channel=3,
                              genotype=mod.genotypes.IEM)
@@ -739,6 +738,33 @@ def test_wakeup_darkness_reference_parity():
     got = _run_enhax("wakeup_darkness", {}, net.state_dict(),
                      wakeup_darkness_name_map(), _to_nhwc(x))
     _assert_close(_to_nhwc(r), got, 1e-4, "wakeup_darkness")
+
+
+def test_hvi_cidnet_reference_parity():
+    """First-party HVI_CIDNet_RE (stubbed-mon import; the stub's RGBToHVI
+    transcribes core/image/color.py:313 exactly) vs enhax."""
+    import jax
+    mod = refload.load_first_party(
+        "vision/enhance/llie/hvi_cidnet/hvi_cidnet.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.HVI_CIDNet_RE(channels=[8, 8, 16, 32], heads=[1, 2, 4, 8],
+                            norm=False)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.6 + 0.02
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    model = MODELS.build("hvi_cidnet_re", channels=(8, 8, 16, 32))
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    from enhax.convert.mappings import hvi_cidnet_name_map
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=hvi_cidnet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "hvi_cidnet")
 
 
 def test_nerco_reference_parity():
