@@ -571,9 +571,25 @@ def hvi_cidnet_name_map() -> dict:
     return m
 
 
+def lyt_net_name_map() -> dict:
+    """LYT-Net (lyt_net.py:275-388 naming)."""
+    m = {}
+    for blk in ("process_y", "process_cb", "process_cr"):
+        m[f"{blk}.0."] = f"{blk}."
+    m["*.query_dense."] = ".query."
+    m["*.key_dense."] = ".key."
+    m["*.value_dense."] = ".value."
+    m["*.combine_heads."] = ".combine."
+    m["*.layer_norm.norm."] = ".norm."
+    m["*.depthwise_conv."] = ".dw."
+    m["*.se_attn."] = ".se."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
+    "lyt_net_re": lyt_net_name_map,
     "airnet": airnet_name_map,
     "adair": adair_name_map,
     "quadprior": quadprior_name_map,

@@ -27,7 +27,10 @@ class MHSA(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        t = x.reshape(n, h * w, c)
+        # reference quirk (lyt_net.py:221-223): tokens come from reshaping
+        # the CONTIGUOUS NCHW tensor to (B, H*W, C), which mixes channels
+        # and pixels; real checkpoints embed this layout, so replicate it
+        t = jnp.moveaxis(x, -1, 1).reshape(n, h * w, c)
         hd = self.embed_size // self.num_heads
 
         def proj(name):
@@ -52,8 +55,8 @@ class SETanh(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         s = jnp.mean(x, axis=(-3, -2))
-        s = nn.relu(nn.Dense(max(c // self.reduction, 1))(s))
-        s = jnp.tanh(nn.Dense(c)(s))
+        s = nn.relu(nn.Dense(max(c // self.reduction, 1), name="fc1")(s))
+        s = jnp.tanh(nn.Dense(c, name="fc2")(s))
         return x * s[..., None, None, :]
 
 
@@ -78,9 +81,13 @@ class ChannelDenoiser(nn.Module):
     def __call__(self, x):
         act = nn.relu
         x1 = act(nn.Conv(self.filters, (3, 3), name="conv1")(x))
-        x2 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), name="conv2")(x1))
-        x3 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), name="conv3")(x2))
-        x4 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), name="conv4")(x3))
+        p1 = ((1, 1), (1, 1))  # torch p=1 (SAME differs at stride 2)
+        x2 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding=p1,
+                         name="conv2")(x1))
+        x3 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding=p1,
+                         name="conv3")(x2))
+        x4 = act(nn.Conv(self.filters, (3, 3), strides=(2, 2), padding=p1,
+                         name="conv4")(x3))
         b = MHSA(self.filters, 4, name="bottleneck")(x4)
 
         def up(v, ref):

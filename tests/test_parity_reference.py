@@ -915,3 +915,28 @@ def test_pie_reference_parity():
     got = np.asarray(pie_enhance_v(jnp.asarray(v)))
     err = float(np.max(np.abs(ref - got)))
     assert err <= 1.0, f"pie max err {err:.2e} (on a [0,255] scale)"
+
+
+def test_lyt_net_reference_parity():
+    """First-party LYT-Net (stubbed-mon import) vs enhax — including the
+    reference's quirky NCHW token reshape in its MHSA."""
+    import jax
+    from enhax.convert.mappings import lyt_net_name_map
+    mod = refload.load_first_party("vision/enhance/llie/lyt_net/lyt_net.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.LYTNet_RE(filters=16)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.6 + 0.02
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    model = MODELS.build("lyt_net_re", filters=16)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=lyt_net_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "lyt_net")
