@@ -586,10 +586,20 @@ def lyt_net_name_map() -> dict:
     return m
 
 
+def llunetpp_name_map(levels: int = 5) -> dict:
+    """LLUNet++ (llunetpp.py:160-245 conv{i}_{j} node names)."""
+    m = {}
+    for j in range(levels):
+        for i in range(levels - j):
+            m[f"conv{i}_{j}."] = f"x{i}{j}."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
+    "llunet++_re": llunetpp_name_map,
     "airnet": airnet_name_map,
     "adair": adair_name_map,
     "quadprior": quadprior_name_map,

@@ -940,3 +940,29 @@ def test_lyt_net_reference_parity():
     assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
     got = np.asarray(model.apply(params, dp)["enhanced"])
     _assert_close(ref, got, 2e-4, "lyt_net")
+
+
+def test_llunetpp_reference_parity():
+    """First-party LLUNet++ (gated residual UNetConvBlock, align-corners
+    bilinear node upsampling) vs enhax."""
+    import jax
+    from enhax.convert.mappings import llunetpp_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/llie/llunetpp/llunetpp.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.LLUnetpp_RE()
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.6 + 0.02
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    model = MODELS.build("llunet++_re")
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=llunetpp_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "llunetpp")
