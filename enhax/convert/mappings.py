@@ -595,11 +595,23 @@ def llunetpp_name_map(levels: int = 5) -> dict:
     return m
 
 
+def lllinet_name_map(levels: int = 5) -> dict:
+    """LLLiNet (lllinet.py conv{i}_{j} node names; trans.density_k for
+    the HVI variant)."""
+    m = {"trans.density_k": "density_k"}
+    for j in range(levels):
+        for i in range(levels - j):
+            m[f"conv{i}_{j}."] = f"x{i}{j}."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,
+    "lllinet": lllinet_name_map,
+    "lllinet_hvi": lllinet_name_map,
     "airnet": airnet_name_map,
     "adair": adair_name_map,
     "quadprior": quadprior_name_map,

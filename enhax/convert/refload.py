@@ -313,7 +313,45 @@ def _build_stub_mon():
                 x.permute(0, 2, 3, 1), self.normalized_shape, self.weight,
                 self.bias, self.eps).permute(0, 3, 1, 2)
 
+    class LearnableInstanceNorm2d(torch.nn.InstanceNorm2d):
+        """Behavioral stub of mon.nn.LearnableInstanceNorm2d
+        (normalization.py:177-219): blend IN(x) and x with a learnable
+        per-channel ratio r."""
+
+        def __init__(self, num_features, r=0.5, eps=1e-5, momentum=0.1,
+                     affine=True, track_running_stats=False, **k):
+            super().__init__(num_features, eps=eps, momentum=momentum,
+                             affine=affine,
+                             track_running_stats=track_running_stats)
+            self.r = torch.nn.Parameter(torch.full([num_features], r))
+
+        def forward(self, x):
+            xn = torch.nn.functional.instance_norm(
+                x, self.running_mean, self.running_var, self.weight,
+                self.bias, use_input_stats=self.training
+                or not self.track_running_stats,
+                momentum=self.momentum, eps=self.eps)
+            r = self.r.reshape(-1, x.shape[1], 1, 1)
+            return xn * r + x * (1 - r)
+
+    class SimAM(torch.nn.Module):
+        """Behavioral stub of mon.nn.SimAM (attention.py:1156-1181)."""
+
+        def __init__(self, e_lambda: float = 1e-4):
+            super().__init__()
+            self.e_lambda = e_lambda
+
+        def forward(self, x):
+            b, c, h, w = x.size()
+            n = w * h - 1
+            d = (x - x.mean(dim=[2, 3], keepdim=True)).pow(2)
+            v = d.sum(dim=[2, 3], keepdim=True) / n
+            e_inv = d / (4 * (v + self.e_lambda)) + 0.5
+            return x * torch.sigmoid(e_inv)
+
     core.RGBToHVI = RGBToHVI
+    nn_mod.LearnableInstanceNorm2d = LearnableInstanceNorm2d
+    nn_mod.SimAM = SimAM
     nn_mod.LayerNorm2d = LayerNorm2d
     nn_mod.Loss = Loss
     nn_mod.DSConv2d = DSConv2d

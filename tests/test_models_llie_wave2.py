@@ -60,8 +60,8 @@ def test_llunetpp(dp):
 
 
 def test_lllinet(dp):
-    _smoke("lllinet", dp, num_channels=8, depth=3, needs_ref=True)
-    _smoke("lllinet_hvi", dp, num_channels=8, depth=3, needs_ref=True)
+    _smoke("lllinet", dp, filters=(8, 8, 16, 16, 32), needs_ref=True)
+    _smoke("lllinet_hvi", dp, filters=(8, 8, 16, 16, 32), needs_ref=True)
 
 
 def test_zero_mie(dp):

@@ -966,3 +966,67 @@ def test_llunetpp_reference_parity():
     assert not unmatched, f"unconverted leaves: {unmatched[:10]}"
     got = np.asarray(model.apply(params, dp)["enhanced"])
     _assert_close(ref, got, 2e-4, "llunetpp")
+
+
+def test_lllinet_reference_parity():
+    """First-party LLLiNet (LearnableInstanceNorm blend + SimAM gated
+    blocks, UNet++-like wiring) vs enhax. The HVI variant's constructor
+    is broken upstream (LLLINetHVI passes name= through LLLINet.__init__,
+    which re-passes name="lllinet" -> duplicate kwarg, lllinet.py:177/278),
+    so the HVI ground truth composes the plain net's modules per
+    LLLINetHVI.forward (:360-389) around the HVI transform."""
+    import jax
+    from enhax.convert.mappings import lllinet_name_map
+    mod = refload.load_first_party("vision/enhance/llie/lllinet/lllinet.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.LLLINet()
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.6 + 0.02
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    model = MODELS.build("lllinet")
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=lllinet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"lllinet: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "lllinet")
+
+    # HVI variant: same weights, wrapped in the HVI transform
+    stub_mon = refload._build_stub_mon()["mon"]
+    trans = stub_mon.core.RGBToHVI()
+    with torch.no_grad():
+        hvi = trans.rgb_to_hvi(x)
+        p_, u_ = net.pool, net.up
+        x00 = net.conv0_0(hvi)
+        x10 = net.conv1_0(p_(x00))
+        x20 = net.conv2_0(p_(x10))
+        x30 = net.conv3_0(p_(x20))
+        x40 = net.conv4_0(p_(x30))
+        x31 = net.conv3_1(torch.cat([x30, u_(x40)], 1))
+        x21 = net.conv2_1(torch.cat([x20, u_(x30), u_(x31)], 1))
+        x11 = net.conv1_1(torch.cat([x10, u_(x20), u_(x21)], 1))
+        x01 = net.conv0_1(torch.cat([x00, u_(x10), u_(x11)], 1))
+        x22 = net.conv2_2(torch.cat([x20, x21, u_(x31)], 1))
+        x12 = net.conv1_2(torch.cat([x10, x11, u_(x21), u_(x22)], 1))
+        x02 = net.conv0_2(torch.cat([x00, x01, u_(x11), u_(x12)], 1))
+        x13 = net.conv1_3(torch.cat([x10, x11, x12, u_(x22)], 1))
+        x03 = net.conv0_3(torch.cat([x00, x01, x02, u_(x12), u_(x13)], 1))
+        x04 = net.conv0_4(torch.cat([x00, x01, x02, x03, u_(x13)], 1))
+        y = net.final(x04)
+        ref_hvi = _to_nhwc(torch.clamp(trans.hvi_to_rgb(y), 0, 1))
+    sd = dict(net.state_dict())
+    sd["trans.density_k"] = trans.density_k
+    model_hvi = MODELS.build("lllinet_hvi")
+    template = model_hvi.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(sd, template,
+                                        name_map=lllinet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"lllinet_hvi: {unmatched[:10]}"
+    got = np.asarray(model_hvi.apply(params, dp)["enhanced"])
+    _assert_close(ref_hvi, got, 2e-4, "lllinet_hvi")
