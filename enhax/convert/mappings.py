@@ -605,8 +605,50 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def mprnet_name_map(num_cab: int = 8) -> dict:
+    """MPRNet (mprnet.py:380-486 module names).
+
+    Ordering matters: ORB body indices and encoder/decoder level indices
+    must be rewritten BEFORE the generic CAB-inner ``body.{j}`` rules.
+    """
+    m = {}
+    for i in (1, 2, 3):
+        m[f"shallow_feat{i}.0."] = f"shallow{i}_conv."
+        m[f"shallow_feat{i}.1."] = f"shallow{i}_cab."
+    m["stage1_encoder."] = "enc1."
+    m["stage2_encoder."] = "enc2."
+    m["stage1_decoder."] = "dec1."
+    m["stage2_decoder."] = "dec2."
+    m["stage3_orsnet."] = "ors."
+    for i in (1, 2, 3):
+        m[f"*.orb{i}.body.{num_cab}."] = f".orb{i}_conv."
+        for j in range(num_cab):
+            m[f"*.orb{i}.body.{j}."] = f".orb{i}_{j}."
+    for lvl in (1, 2, 3):
+        for j in range(2):
+            m[f"*.encoder_level{lvl}.{j}."] = f".lvl{lvl}_{j}."
+            m[f"*.decoder_level{lvl}.{j}."] = f".lvl{lvl}_{j}."
+    m["*.down12.down.1."] = ".down12."
+    m["*.down23.down.1."] = ".down23."
+    m["*.up21.up.1."] = ".up21."
+    m["*.up32.up.1."] = ".up32."
+    m["*.up_enc1.up.1."] = ".up_enc1."
+    m["*.up_dec1.up.1."] = ".up_dec1."
+    m["*.up_enc2.0.up.1."] = ".up_enc2a."
+    m["*.up_enc2.1.up.1."] = ".up_enc2b."
+    m["*.up_dec2.0.up.1."] = ".up_dec2a."
+    m["*.up_dec2.1.up.1."] = ".up_dec2b."
+    m["*.body.0."] = ".conv1."
+    m["*.body.1.weight"] = ".prelu"
+    m["*.body.2."] = ".conv2."
+    m["*.CA.conv_du.0."] = ".ca1."
+    m["*.CA.conv_du.2."] = ".ca2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
+    "mprnet": mprnet_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

@@ -74,7 +74,8 @@ def test_uformer_forward(rng):
 
 
 def test_mprnet_forward_and_loss(pair):
-    m, params, out = _fwd("mprnet", pair, features=8)
+    m, params, out = _fwd("mprnet", pair, channels=16, s_unet=8,
+                          s_ors=8, num_cab=2)
     assert "stage1" in out and "stage2" in out
     loss, _ = m.forward_loss(params, pair)
     assert np.isfinite(float(loss))

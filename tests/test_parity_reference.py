@@ -1030,3 +1030,34 @@ def test_lllinet_reference_parity():
     assert not unmatched, f"lllinet_hvi: {unmatched[:10]}"
     got = np.asarray(model_hvi.apply(params, dp)["enhanced"])
     _assert_close(ref_hvi, got, 2e-4, "lllinet_hvi")
+
+
+def test_mprnet_reference_parity():
+    """First-party MPRNet (multi-patch hierarchy: 4 quadrants -> 2 halves
+    -> full image, CSFF stage-2 encoder, SAM bridges, 3-ORB ORSNet,
+    shared-PReLU CABs) vs enhax at reduced dims."""
+    import jax
+    from enhax.convert.mappings import mprnet_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/multitask/mprnet/mprnet.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.MPRNet(num_channels=16, scale_unetfeats=8,
+                     scale_orsnetfeats=8, num_cab=2)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = net({"image": x})
+    model = MODELS.build("mprnet", channels=16, s_unet=8, s_ors=8,
+                         num_cab=2)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=mprnet_name_map(num_cab=2),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"mprnet: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for key in ("enhanced", "stage1", "stage2"):
+        _assert_close(_to_nhwc(ref[key]), np.asarray(got[key]), 2e-4,
+                      f"mprnet.{key}")
