@@ -605,6 +605,30 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def uformer_name_map() -> dict:
+    """Uformer (uformer.py:702-1104 module names). Reference decoder
+    index i corresponds to enhax level 3-i."""
+    m = {
+        "input_proj.proj.0.": "input_proj.",
+        "output_proj.proj.0.": "output_proj.",
+        "conv.blocks.": "mid_",
+    }
+    for i in range(4):
+        m[f"encoderlayer_{i}.blocks."] = f"enc{i}_"
+        m[f"decoderlayer_{i}.blocks."] = f"dec{3 - i}_"
+        m[f"downsample_{i}.conv.0."] = f"down{i}."
+        m[f"upsample_{i}.deconv.0."] = f"up{3 - i}."
+    m["*.attn.qkv.to_q."] = ".attn.to_q."
+    m["*.attn.qkv.to_kv."] = ".attn.to_kv."
+    m["*.relative_position_bias_table"] = ".rel_pos_bias"
+    m["*.modulator.weight"] = ".attn.modulator"
+    m["*.mlp.linear1.0."] = ".ffn.fc1."
+    m["*.mlp.dwconv.0.dw_conv."] = ".ffn.dwconv."
+    m["*.mlp.dwconv.0."] = ".ffn.dwconv."
+    m["*.mlp.linear2.0."] = ".ffn.fc2."
+    return m
+
+
 def mprnet_name_map(num_cab: int = 8) -> dict:
     """MPRNet (mprnet.py:380-486 module names).
 
@@ -649,6 +673,12 @@ def mprnet_name_map(num_cab: int = 8) -> dict:
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "mprnet": mprnet_name_map,
+    "uformer_re": uformer_name_map,
+    "uformer_t": uformer_name_map,
+    "uformer_s": uformer_name_map,
+    "uformer_b": uformer_name_map,
+    "uformer_noshift": uformer_name_map,
+    "uformer_fastleff": uformer_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

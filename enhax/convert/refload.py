@@ -26,6 +26,7 @@ import importlib.util
 import pathlib
 import sys
 import types
+import typing
 
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
@@ -349,12 +350,154 @@ def _build_stub_mon():
             e_inv = d / (4 * (v + self.e_lambda)) + 0.5
             return x * torch.sigmoid(e_inv)
 
+    class LinearProjection(torch.nn.Module):
+        """Behavioral stub of mon.nn.LinearProjection (projection.py:88-124):
+        separate q and kv linear projections for window attention."""
+
+        def __init__(self, channels, heads=8, head_channels=64, dropout=0.0,
+                     bias=True, *a, **k):
+            super().__init__()
+            inner = head_channels * heads
+            self.heads = heads
+            self.to_q = torch.nn.Linear(channels, inner, bias=bias)
+            self.to_kv = torch.nn.Linear(channels, inner * 2, bias=bias)
+
+        def forward(self, x, attn_kv=None):
+            b, n, c = x.shape
+            attn_kv = x if attn_kv is None else attn_kv.unsqueeze(0).repeat(b, 1, 1)
+            nkv = attn_kv.size(1)
+            q = self.to_q(x).reshape(b, n, 1, self.heads, c // self.heads
+                                     ).permute(2, 0, 3, 1, 4)[0]
+            kv = self.to_kv(attn_kv).reshape(b, nkv, 2, self.heads,
+                                             c // self.heads
+                                             ).permute(2, 0, 3, 1, 4)
+            return q, kv[0], kv[1]
+
+    class WindowAttention(torch.nn.Module):
+        """Behavioral stub of mon.nn.WindowAttention (attention.py:924-1054):
+        window MSA with relative position bias; ``if mask:`` upstream quirk
+        replaced by an ``is not None`` check so shifted windows execute."""
+
+        def __init__(self, channels, window_size, num_heads,
+                     token_projection="linear", qkv_bias=True, qk_scale=None,
+                     attn_drop=0.0, proj_drop=0.0):
+            super().__init__()
+            self.window_size = window_size
+            self.num_heads = num_heads
+            head_dim = channels // num_heads
+            self.scale = qk_scale or head_dim ** -0.5
+            self.relative_position_bias_table = torch.nn.Parameter(
+                torch.zeros((2 * window_size[0] - 1) * (2 * window_size[1] - 1),
+                            num_heads))
+            ch = torch.arange(window_size[0])
+            cw = torch.arange(window_size[1])
+            coords = torch.stack(torch.meshgrid([ch, cw], indexing="ij"))
+            flat = torch.flatten(coords, 1)
+            rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += window_size[0] - 1
+            rel[:, :, 1] += window_size[1] - 1
+            rel[:, :, 0] *= 2 * window_size[1] - 1
+            self.register_buffer("relative_position_index", rel.sum(-1))
+            torch.nn.init.trunc_normal_(self.relative_position_bias_table,
+                                        std=0.02)
+            self.qkv = LinearProjection(channels, num_heads,
+                                        channels // num_heads, bias=qkv_bias)
+            self.proj = torch.nn.Linear(channels, channels)
+
+        def forward(self, x, attn_kv=None, mask=None):
+            b, n, c = x.shape
+            q, k, v = self.qkv(x, attn_kv)
+            attn = (q * self.scale) @ k.transpose(-2, -1)
+            ws = self.window_size
+            bias = self.relative_position_bias_table[
+                self.relative_position_index.view(-1)].view(
+                ws[0] * ws[1], ws[0] * ws[1], -1).permute(2, 0, 1).contiguous()
+            attn = attn + bias.unsqueeze(0)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b // nw, nw, self.num_heads, n, n) \
+                    + mask.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, self.num_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(x)
+
+    class DownsampleConv2d(torch.nn.Module):
+        """Behavioral stub of mon.nn.DownsampleConv2d (scale.py:118-135):
+        token -> NCHW -> conv4x4 s2 -> tokens."""
+
+        def __init__(self, in_channels, out_channels):
+            super().__init__()
+            self.conv = torch.nn.Sequential(
+                torch.nn.Conv2d(in_channels, out_channels, 4, 2, 1))
+
+        def forward(self, x):
+            b, l, c = x.shape
+            h = int(l ** 0.5)
+            x = x.transpose(1, 2).contiguous().view(b, c, h, h)
+            return self.conv(x).flatten(2).transpose(1, 2).contiguous()
+
+    class UpsampleConv2d(torch.nn.Module):
+        """Behavioral stub of mon.nn.UpsampleConv2d (scale.py:298-315):
+        token -> NCHW -> deconv2x2 s2 -> tokens."""
+
+        def __init__(self, in_channels, out_channels):
+            super().__init__()
+            self.deconv = torch.nn.Sequential(
+                torch.nn.ConvTranspose2d(in_channels, out_channels, 2, 2))
+
+        def forward(self, x):
+            b, l, c = x.shape
+            h = int(l ** 0.5)
+            x = x.transpose(1, 2).contiguous().view(b, c, h, h)
+            return self.deconv(x).flatten(2).transpose(1, 2).contiguous()
+
+    class DropPath(torch.nn.Module):
+        """Stochastic depth; identity in eval mode (all parity runs)."""
+
+        def __init__(self, drop_prob=0.0, *a, **k):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if not self.training or self.drop_prob == 0.0:
+                return x
+            keep = 1 - self.drop_prob
+            m = torch.bernoulli(torch.full((x.shape[0],) + (1,) * (x.dim() - 1),
+                                           keep, device=x.device))
+            return x / keep * m
+
+    class DWConv2d(torch.nn.Module):
+        """Behavioral stub of mon.nn.DWConv2d (dsconv.py:35-64 alias :227):
+        depthwise conv, name dw_conv."""
+
+        def __init__(self, in_channels, kernel_size, stride=1, padding=0,
+                     dilation=1, bias=True, **k):
+            super().__init__()
+            self.dw_conv = torch.nn.Conv2d(
+                in_channels, in_channels, kernel_size, stride, padding,
+                dilation, groups=in_channels, bias=bias)
+
+        def forward(self, x):
+            return self.dw_conv(x)
+
     core.RGBToHVI = RGBToHVI
+    core.to_2tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) \
+        else (v, v)
+    core._callable = typing.Callable   # annotation-only aliases
+    core._size_2_t = typing.Any
+    core.get_image_size = mon.get_image_size
     nn_mod.LearnableInstanceNorm2d = LearnableInstanceNorm2d
     nn_mod.SimAM = SimAM
     nn_mod.LayerNorm2d = LayerNorm2d
     nn_mod.Loss = Loss
     nn_mod.DSConv2d = DSConv2d
+    nn_mod.LinearProjection = LinearProjection
+    nn_mod.WindowAttention = WindowAttention
+    nn_mod.DownsampleConv2d = DownsampleConv2d
+    nn_mod.UpsampleConv2d = UpsampleConv2d
+    nn_mod.DropPath = DropPath
+    nn_mod.DWConv2d = DWConv2d
     nn_mod.functional = torch.nn.functional
     nn_mod.init = torch.nn.init
 
@@ -394,6 +537,8 @@ def _build_stub_mon():
     base = types.ModuleType("mon.vision.enhance.base")
 
     class _StubModel(torch.nn.Module):
+        predicting = False
+
         def __init__(self, *a, name=None, in_channels=3, out_channels=None,
                      num_classes=None, weights=None, **k):
             super().__init__()
@@ -420,7 +565,12 @@ def _build_stub_mon():
 
     base.ImageEnhancementModel = _StubModel
     base.MultimodalImageEnhancementModel = _StubModel
+    base.MultiTaskImageEnhancementModel = _StubModel
     enhance.base = base
+
+    multitask = types.ModuleType("mon.vision.enhance.multitask")
+    multitask.base = base
+    enhance.multitask = multitask
 
     filtering = types.ModuleType("mon.vision.filtering")
     filtering.__getattr__ = lambda name: _make_dummy_module_class(name)
@@ -431,7 +581,10 @@ def _build_stub_mon():
     mods = {
         "mon": mon, "mon.core": core, "mon.nn": nn_mod, "mon.globals": gl,
         "mon.vision": vision, "mon.vision.enhance": enhance,
-        "mon.vision.enhance.base": base, "mon.vision.filtering": filtering,
+        "mon.vision.enhance.base": base,
+        "mon.vision.enhance.multitask": multitask,
+        "mon.vision.enhance.multitask.base": base,
+        "mon.vision.filtering": filtering,
         "mon.nn.functional": torch.nn.functional,
     }
     return mods

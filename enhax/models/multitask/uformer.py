@@ -1,10 +1,25 @@
 """Uformer: U-shaped window-attention transformer for restoration.
 
-Rebuild of the reference's first-party Uformer re-implementation
-(vision/enhance/multitask/uformer/uformer.py:701-1203, variants t/s/b and
-noshift): LeWin blocks (window MSA + locally-enhanced FFN with a depthwise
-conv) in a 4-level UNet with conv down/up-sampling. Shifted windows on odd
-blocks (disabled for the ``noshift`` variant).
+Faithful rebuild of the reference's first-party Uformer
+(vision/enhance/multitask/uformer/uformer.py:702-1260):
+
+  * LeWin blocks: LayerNorm(eps 1e-5) -> window MSA with relative
+    position bias and split q/kv projections (LinearProjection,
+    projection.py:88-124) -> LayerNorm -> LeFF (linear-GELU-dwconv3x3-
+    GELU-linear, :251-302). Shifted windows on odd blocks; a block whose
+    resolution <= window size drops the shift and shrinks the window to
+    the resolution (:419-421).
+  * 4-level UNet: conv4x4/s2 token downsampling (scale.py:118-135),
+    deconv2x2/s2 upsampling (:298-315), skip concat, 3x3 input proj with
+    LeakyReLU(0.01) and 3x3 output proj, global residual (:1095-1100).
+  * decoder layers of the t/s/b/noshift/fastleff variants carry a
+    learned per-window modulator embedding (:426, :556; modulator=True
+    in every variant subclass, :1106-1260).
+  * fastleff (:91-136) keeps the depthwise conv (DWConv2d ==
+    depthwise Conv2d, dsconv.py:227) — computationally identical to
+    LeFF, so both flags share one implementation here.
+
+Loss: Charbonnier (multitask default).
 """
 
 from __future__ import annotations
@@ -21,24 +36,20 @@ from enhax.nn.layers import WindowAttention, make_shift_attn_mask
 
 
 class LeFF(nn.Module):
-    """Locally-enhanced feed-forward: linear -> dwconv3x3 -> linear.
-
-    ``fast=True`` is the reference's fastleff variant (uformer.py fastleff):
-    the depthwise conv is dropped, leaving a plain MLP."""
+    """Locally-enhanced feed-forward: linear -> GELU -> dwconv3x3 ->
+    GELU -> linear (uformer.py:251-302; exact GELU)."""
     dim: int
     mult: int = 4
-    fast: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         hidden = self.dim * self.mult
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
-        y = jax.nn.gelu(y)
-        if not self.fast:
-            y = nn.Conv(hidden, (3, 3), feature_group_count=hidden,
-                        dtype=self.dtype, name="dwconv")(y)
-            y = jax.nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Conv(hidden, (3, 3), feature_group_count=hidden,
+                    dtype=self.dtype, name="dwconv")(y)
+        y = jax.nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
 
@@ -48,22 +59,26 @@ class LeWinBlock(nn.Module):
     window_size: int = 8
     shift: int = 0
     mult: int = 4
-    fast_leff: bool = False
+    use_modulator: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[-3], x.shape[-2]
+        # uformer.py:419-421: shrink window / drop shift at tiny resolutions
+        ws, shift = self.window_size, self.shift
+        if min(h, w) <= ws:
+            ws, shift = min(h, w), 0
         mask = None
-        if self.shift:
-            mask = make_shift_attn_mask(h, w, self.window_size, self.shift)
-        y = nn.LayerNorm(name="norm1")(x)
-        y = WindowAttention(self.dim, self.num_heads, self.window_size,
-                            shift=self.shift, dtype=self.dtype, name="attn")(y, mask=mask)
+        if shift:
+            mask = make_shift_attn_mask(h, w, ws, shift)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        y = WindowAttention(self.dim, self.num_heads, ws, shift=shift,
+                            split_qkv=True, use_modulator=self.use_modulator,
+                            dtype=self.dtype, name="attn")(y, mask=mask)
         x = x + y
-        y = nn.LayerNorm(name="norm2")(x)
-        return x + LeFF(self.dim, self.mult, fast=self.fast_leff,
-                        dtype=self.dtype, name="ffn")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x + LeFF(self.dim, self.mult, dtype=self.dtype, name="ffn")(y)
 
 
 class UformerModule(nn.Module):
@@ -72,7 +87,7 @@ class UformerModule(nn.Module):
     num_heads: Sequence[int] = (1, 2, 4, 8, 16, 16, 8, 4, 2)
     window_size: int = 8
     use_shift: bool = True
-    fast_leff: bool = False
+    modulator: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -81,13 +96,13 @@ class UformerModule(nn.Module):
         d = self.dim
         ws = self.window_size
         y = nn.Conv(d, (3, 3), dtype=self.dtype, name="input_proj")(x)
-        y = nn.leaky_relu(y, 0.2)
+        y = nn.leaky_relu(y, 0.01)  # torch LeakyReLU default slope
 
-        def stage(y, dim, heads, depth, name):
+        def stage(y, dim, heads, depth, name, use_mod=False):
             for j in range(depth):
                 shift = ws // 2 if (self.use_shift and j % 2 == 1) else 0
                 y = LeWinBlock(dim, heads, ws, shift=shift,
-                               fast_leff=self.fast_leff, dtype=self.dtype,
+                               use_modulator=use_mod, dtype=self.dtype,
                                name=f"{name}_{j}")(y)
             return y
 
@@ -104,10 +119,12 @@ class UformerModule(nn.Module):
 
         for i, lvl in enumerate(reversed(range(4))):
             y = nn.ConvTranspose(d * 2**lvl, (2, 2), strides=(2, 2),
-                                 dtype=self.dtype, name=f"up{lvl}", transpose_kernel=True)(y)
+                                 dtype=self.dtype, name=f"up{lvl}",
+                                 transpose_kernel=True)(y)
             y = jnp.concatenate([y, skips[lvl]], axis=-1)
             y = stage(y, d * 2**(lvl + 1), self.num_heads[5 + i],
-                      self.depths[5 + i], f"dec{lvl}")
+                      self.depths[5 + i], f"dec{lvl}",
+                      use_mod=self.modulator)
 
         out = nn.Conv(3, (3, 3), dtype=self.dtype, name="output_proj")(y)
         return {"enhanced": out + inp}
@@ -121,11 +138,11 @@ def _charb_loss():
     return fn
 
 
-def _make_uformer(name, dim, depths, use_shift=True, fast_leff=False):
+def _make_uformer(name, dim, depths, use_shift=True, modulator=True):
     return Model(
         name=name, arch="uformer",
         module=UformerModule(dim=dim, depths=depths, use_shift=use_shift,
-                             fast_leff=fast_leff),
+                             modulator=modulator),
         tasks=(Task.DENOISE, Task.DEBLUR, Task.DERAIN),
         schemes=(Scheme.SUPERVISED,),
         loss_fn=_charb_loss(),
@@ -136,8 +153,9 @@ def _make_uformer(name, dim, depths, use_shift=True, fast_leff=False):
 
 @MODELS.register(name="uformer_re", arch="uformer", aliases=["uformer"],
                  tasks=(Task.DENOISE, Task.DEBLUR), schemes=(Scheme.SUPERVISED,))
-def uformer_re(dim: int = 32, **kwargs) -> Model:
-    return _make_uformer("uformer_re", dim, (2, 2, 2, 2, 2, 2, 2, 2, 2))
+def uformer_re(dim: int = 32, modulator: bool = False, **kwargs) -> Model:
+    return _make_uformer("uformer_re", dim, (2, 2, 2, 2, 2, 2, 2, 2, 2),
+                         modulator=modulator)
 
 
 @MODELS.register(name="uformer_t", arch="uformer",
@@ -168,5 +186,6 @@ def uformer_noshift(**kwargs) -> Model:
 @MODELS.register(name="uformer_fastleff", arch="uformer",
                  tasks=(Task.DENOISE,), schemes=(Scheme.SUPERVISED,))
 def uformer_fastleff(**kwargs) -> Model:
-    return _make_uformer("uformer_fastleff", 32, (2, 2, 2, 2, 2, 2, 2, 2, 2),
-                         fast_leff=True)
+    # uformer.py:1180-1203: fastleff variant = depths [1,2,8,8,2,8,8,2,1];
+    # FastLeFF is computationally identical to LeFF (see module docstring)
+    return _make_uformer("uformer_fastleff", 32, (1, 2, 8, 8, 2, 8, 8, 2, 1))

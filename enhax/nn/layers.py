@@ -241,6 +241,8 @@ class WindowAttention(nn.Module):
     window_size: int = 8
     shift: int = 0
     qkv_bias: bool = True
+    split_qkv: bool = False     # Uformer LinearProjection: separate q / kv
+    use_modulator: bool = False  # Uformer decoder per-window pos embedding
     dtype: Any = None
 
     @nn.compact
@@ -254,10 +256,24 @@ class WindowAttention(nn.Module):
         xw = x.reshape(n, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(n * nh * nw, ws * ws, c)
 
+        if self.use_modulator:
+            # uformer.py:426/556: learned per-window-token embedding added
+            # before W-MSA (decoder layers of the t/s/b variants)
+            mod = self.param("modulator", nn.initializers.normal(0.02),
+                             (ws * ws, self.dim))
+            xw = xw + mod[None]
+
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(xw)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.split_qkv:
+            q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="to_q")(xw)
+            kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias,
+                          dtype=self.dtype, name="to_kv")(xw)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(xw)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -1061,3 +1061,57 @@ def test_mprnet_reference_parity():
     for key in ("enhanced", "stage1", "stage2"):
         _assert_close(_to_nhwc(ref[key]), np.asarray(got[key]), 2e-4,
                       f"mprnet.{key}")
+
+
+def test_uformer_reference_parity():
+    """First-party Uformer (LeWin blocks with split q/kv + relative
+    position bias, shifted windows, decoder modulator embeddings,
+    conv4x4/deconv2x2 token resampling) vs enhax. Upstream quirks worked
+    around to execute the reference: BasicUformerLayer passes
+    ``channels=`` to LeWinTransformerBlock whose parameter is
+    ``in_channels`` (uformer.py:684/697 vs :392) -- adapted here; the
+    stub WindowAttention uses ``mask is not None`` where upstream's
+    ``if mask:`` would raise on a tensor (attention.py:1044)."""
+    import jax
+    from enhax.convert.mappings import uformer_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/multitask/uformer/uformer.py")
+    refload.neutralize_losses(mod)
+
+    orig_blk = mod.LeWinTransformerBlock
+
+    class _Blk(orig_blk):
+        def __init__(self, channels=None, **kw):
+            super().__init__(in_channels=channels, **kw)
+
+    mod.LeWinTransformerBlock = _Blk
+
+    class _Net(mod.Uformer_RE):
+        # upstream init_weights does ``if m.bias:`` on a tensor
+        # (uformer.py:999) -> RuntimeError; restore the intended init
+        def init_weights(self, m):
+            if isinstance(m, torch.nn.Linear):
+                torch.nn.init.trunc_normal_(m.weight, std=0.02)
+                if m.bias is not None:
+                    torch.nn.init.constant_(m.bias, 0)
+            elif isinstance(m, torch.nn.LayerNorm):
+                torch.nn.init.constant_(m.bias, 0)
+                torch.nn.init.constant_(m.weight, 1.0)
+
+    torch.manual_seed(0)
+    net = _Net(image_size=64, embed_channels=8, modulator=True)
+    net.eval()
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = _to_nhwc(net(x)["enhanced"])
+
+    model = MODELS.build("uformer_re", dim=8, modulator=True)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=uformer_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"uformer: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "uformer")
