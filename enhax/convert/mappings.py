@@ -605,6 +605,16 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def neurop_name_map() -> dict:
+    """NeurOP (neurop.py:265-380 re / :153-262 init module names)."""
+    m = {"image_encoder.": "encoder."}
+    for k in ("ex", "bc", "vb"):
+        m[f"{k}_renderer."] = f"{k}_block."
+        m[f"{k}_predictor.fc3."] = f"predict_{k}."
+        m[f"renderer.{k}_block."] = f"{k}_block."  # neurop_init
+    return m
+
+
 def uformer_name_map() -> dict:
     """Uformer (uformer.py:702-1104 module names). Reference decoder
     index i corresponds to enhax level 3-i."""
@@ -679,6 +689,8 @@ NAME_MAPS = {
     "uformer_b": uformer_name_map,
     "uformer_noshift": uformer_name_map,
     "uformer_fastleff": uformer_name_map,
+    "neurop_re": neurop_name_map,
+    "neurop_init": neurop_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

@@ -63,6 +63,20 @@ def _external_stubs() -> dict:
         stubs.update({"torchvision": tv, "torchvision.utils": utils,
                       "torchvision.models": models,
                       "torchvision.transforms": transforms})
+    try:
+        importlib.import_module("lightning")
+    except ImportError:
+        lt = types.ModuleType("lightning")
+        pt = types.ModuleType("lightning.pytorch")
+        ut = types.ModuleType("lightning.pytorch.utilities")
+        ty = types.ModuleType("lightning.pytorch.utilities.types")
+        ty.STEP_OUTPUT = typing.Any
+        ut.types = ty
+        pt.utilities = ut
+        lt.pytorch = pt
+        stubs.update({"lightning": lt, "lightning.pytorch": pt,
+                      "lightning.pytorch.utilities": ut,
+                      "lightning.pytorch.utilities.types": ty})
     # small leaf deps imported at module scope by vendored utils chains
     for name in ("lmdb", "natsort", "thop"):
         try:

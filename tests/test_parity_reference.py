@@ -1115,3 +1115,57 @@ def test_uformer_reference_parity():
     assert not unmatched, f"uformer: {unmatched[:10]}"
     got = np.asarray(model.apply(params, dp)["enhanced"])
     _assert_close(ref, got, 2e-4, "uformer")
+
+
+def test_neurop_reference_parity():
+    """First-party NeurOP: sequential bc->ex->vb color operators with the
+    [std, mean, max] strength encoder at height-256 resize (neurop_re),
+    and the operator-pretraining renderer (neurop_init)."""
+    import jax
+    from enhax.convert.mappings import neurop_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/retouch/neurop/neurop.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.NeurOP_RE(base_nf=16, encode_nf=8)
+    net.eval()
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    model = MODELS.build("neurop_re", base_nf=16, encode_nf=8)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=neurop_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"neurop_re: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["enhanced"])
+    _assert_close(ref, got, 2e-4, "neurop_re")
+
+    torch.manual_seed(1)
+    net_i = mod.NeurOPInit(base_nf=16)
+    net_i.eval()
+    xs = {k: torch.rand(1, 3, 16, 16) for k in ("ex", "bc", "vb")}
+    vals = {"ex": 0.3, "bc": -0.2, "vb": 0.5}
+    dp_t = {**{f"image_{k}": v for k, v in xs.items()},
+            **{f"val_{k}": torch.tensor([vals[k]]) for k in vals}}
+    with torch.no_grad():
+        ref_i = net_i(dp_t)
+    model_i = MODELS.build("neurop_init", base_nf=16)
+    dp_j = {**{f"image_{k}": _to_nhwc(xs[k]) for k in xs},
+            **{f"val_{k}": np.asarray([vals[k]], np.float32) for k in vals}}
+    template = model_i.init(jax.random.PRNGKey(0), dp_j)
+    params, report = convert_state_dict(net_i.state_dict(), template,
+                                        name_map=neurop_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"neurop_init: {unmatched[:10]}"
+    got_i = model_i.apply(params, dp_j)
+    for k in ("ex", "bc", "vb"):
+        _assert_close(_to_nhwc(ref_i[f"rec_image_{k}"]),
+                      np.asarray(got_i[f"rec_image_{k}"]), 2e-4,
+                      f"neurop_init.rec_{k}")
+        _assert_close(_to_nhwc(ref_i[f"map_ref_{k}"]),
+                      np.asarray(got_i[f"map_ref_{k}"]), 2e-4,
+                      f"neurop_init.map_{k}")
