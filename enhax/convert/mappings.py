@@ -605,6 +605,39 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def zero_restore_name_map(variant: str = "llie") -> dict:
+    """Zero-Restore (zero_restore_llie.py:196-224 / dehaze :159-181).
+    The SKConv ModuleList shares ONE InConv across scales; drop the
+    duplicate ``convs.1/2`` keys before converting."""
+    m = {"estimation.in_conv.convs.0.": "estimation.in_conv.in_conv."}
+    for i in range(3):
+        m[f"*.fcs.{i}."] = f".fcs{i}."
+    m["*.in_conv.conv.0."] = ".in_conv.conv.conv."
+    m["*.in_conv.conv.1."] = ".in_conv.conv.gn."
+    m["*.in_conv.convf.0."] = ".in_conv.convf.conv."
+    m["*.in_conv.convf.1."] = ".in_conv.convf.gn."
+    if variant == "llie":
+        m["*.conv_a1.conv.0."] = ".conv_a1.conv."
+        m["*.conv_a1.conv.1."] = ".conv_a1.gn."
+    m["*.conv.0."] = ".c1.conv."
+    m["*.conv.1."] = ".c1.gn."
+    m["*.conv.3."] = ".c2.conv."
+    m["*.conv.4."] = ".c2.gn."
+    m["*.conv_t2."] = ".conv_t2.conv."
+    m["*.conv_a3."] = ".conv_a3.conv."
+    return m
+
+
+def rrdnet_name_map() -> dict:
+    """RRDNet (rrdnet.py:206-239 Sequential branch names)."""
+    m = {}
+    for net in ("illumination_net", "reflectance_net", "noise_net"):
+        for i in range(4):
+            m[f"{net}.{2 * i}."] = f"{net}.conv{i}."
+        m[f"{net}.8."] = f"{net}.out."
+    return m
+
+
 def neurop_name_map() -> dict:
     """NeurOP (neurop.py:265-380 re / :153-262 init module names)."""
     m = {"image_encoder.": "encoder."}
@@ -691,6 +724,8 @@ NAME_MAPS = {
     "uformer_fastleff": uformer_name_map,
     "neurop_re": neurop_name_map,
     "neurop_init": neurop_name_map,
+    "rrdnet_re": rrdnet_name_map,
+    "zero_restore_llie": zero_restore_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

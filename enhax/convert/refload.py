@@ -364,6 +364,36 @@ def _build_stub_mon():
             e_inv = d / (4 * (v + self.e_lambda)) + 0.5
             return x * torch.sigmoid(e_inv)
 
+    class TotalVariationLoss(torch.nn.Module):
+        """Behavioral stub of mon.nn.TotalVariationLoss (image.py:1357):
+        zero-dce TV — squared forward diffs / per-axis element counts,
+        x2, / batch."""
+
+        def __init__(self, loss_weight=1.0, **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+
+        def forward(self, x, target=None):
+            b, c, h, w = x.shape
+            h_tv = ((x[:, :, 1:] - x[:, :, :-1]) ** 2).sum()
+            w_tv = ((x[:, :, :, 1:] - x[:, :, :, :-1]) ** 2).sum()
+            return self.loss_weight * 2 * (h_tv / (c * (h - 1) * w)
+                                           + w_tv / (c * h * (w - 1))) / b
+
+    class ColorConstancyLoss(torch.nn.Module):
+        """Behavioral stub of mon.nn.ColorConstancyLoss (image.py:192)."""
+
+        def __init__(self, loss_weight=1.0, **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+
+        def forward(self, x, target=None):
+            m = x.mean(dim=[2, 3], keepdim=True)
+            mr, mg, mb = m[:, 0], m[:, 1], m[:, 2]
+            loss = (((mr - mg) ** 2) ** 2 + ((mr - mb) ** 2) ** 2
+                    + ((mb - mg) ** 2) ** 2) ** 0.5
+            return self.loss_weight * loss.mean()
+
     class LinearProjection(torch.nn.Module):
         """Behavioral stub of mon.nn.LinearProjection (projection.py:88-124):
         separate q and kv linear projections for window attention."""
@@ -506,6 +536,8 @@ def _build_stub_mon():
     nn_mod.LayerNorm2d = LayerNorm2d
     nn_mod.Loss = Loss
     nn_mod.DSConv2d = DSConv2d
+    nn_mod.TotalVariationLoss = TotalVariationLoss
+    nn_mod.ColorConstancyLoss = ColorConstancyLoss
     nn_mod.LinearProjection = LinearProjection
     nn_mod.WindowAttention = WindowAttention
     nn_mod.DownsampleConv2d = DownsampleConv2d
@@ -576,6 +608,18 @@ def _build_stub_mon():
 
         def compute_efficiency_score(self, *a, **k):
             return 0, 0, 0
+
+        @staticmethod
+        def pair_downsampler(image):
+            # behavioral mirror of core pair_downsample (transform.py:76):
+            # diagonal 2x2 averages at stride 2
+            c = image.shape[1]
+            f1 = torch.tensor([[[[0.0, 0.5], [0.5, 0.0]]]],
+                              dtype=image.dtype).repeat(c, 1, 1, 1)
+            f2 = torch.tensor([[[[0.5, 0.0], [0.0, 0.5]]]],
+                              dtype=image.dtype).repeat(c, 1, 1, 1)
+            return (torch.nn.functional.conv2d(image, f1, stride=2, groups=c),
+                    torch.nn.functional.conv2d(image, f2, stride=2, groups=c))
 
     base.ImageEnhancementModel = _StubModel
     base.MultimodalImageEnhancementModel = _StubModel

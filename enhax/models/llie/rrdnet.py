@@ -13,10 +13,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from enhax.constants import MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.ops.color import rgb_to_grayscale
-from enhax.ops.filtering import gaussian_filter
 
 
 class _Branch(nn.Module):
@@ -37,22 +37,45 @@ class RRDNetModule(nn.Module):
         illumination = nn.sigmoid(_Branch(1, name="illumination_net")(x))
         reflectance = nn.sigmoid(_Branch(3, name="reflectance_net")(x))
         noise = jnp.tanh(_Branch(3, name="noise_net")(x))
-        adjust_illu = jnp.power(jnp.maximum(illumination, 1e-4), self.gamma)
-        enhanced = adjust_illu * ((x - noise) / jnp.maximum(illumination, 1e-4))
+        adjust_illu = jnp.power(illumination, self.gamma)
+        enhanced = adjust_illu * ((x - noise) / illumination)
         return {"illumination": illumination, "reflectance": reflectance,
                 "noise": noise, "enhanced": jnp.clip(enhanced, 0, 1)}
 
 
-def _grad_hw(x):
-    gh = x[..., 1:, :, :] - x[..., :-1, :, :]
-    gw = x[..., :, 1:, :] - x[..., :, :-1, :]
-    return gh, gw
+def _ref_gradient(x):
+    """Reference ``Loss.gradient`` (rrdnet.py:148-159): the product of
+    |central diff at offset 2| (replicate pad 1) and |central diff at
+    offset 4| (replicate pad 2), per axis. NHWC."""
+    h, w = x.shape[-3], x.shape[-2]
+    g1h = jnp.abs(x[..., 2:, :, :] - x[..., :h - 2, :, :])
+    g1w = jnp.abs(x[..., :, 2:, :] - x[..., :, :w - 2, :])
+    g1h = jnp.pad(g1h, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    g1w = jnp.pad(g1w, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    g2h = jnp.abs(x[..., 4:, :, :] - x[..., :h - 4, :, :])
+    g2w = jnp.abs(x[..., :, 4:, :] - x[..., :, :w - 4, :])
+    g2h = jnp.pad(g2h, ((0, 0), (2, 2), (0, 0), (0, 0)), mode="edge")
+    g2w = jnp.pad(g2w, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="edge")
+    return g1h * g2h, g1w * g2w
+
+
+def _gauss5_zero(x, sigma: float = 3.0):
+    """5x5 Gaussian blur with ZERO padding (reference F.conv2d padding=2,
+    cv2.getGaussianKernel(5, 3) separable kernel)."""
+    i = np.arange(5) - 2.0
+    k = np.exp(-(i ** 2) / (2.0 * sigma ** 2))
+    k = jnp.asarray(k / k.sum(), x.dtype)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    y = sum(k[i] * xp[:, i:i + x.shape[1], 2:2 + x.shape[2]] for i in range(5))
+    yp = jnp.pad(y, ((0, 0), (0, 0), (2, 2), (0, 0)))
+    return sum(k[i] * yp[:, :, i:i + x.shape[2]] for i in range(5))
 
 
 def rrdnet_loss(illu_factor: float = 1.0, reflect_factor: float = 1.0,
                 noise_factor: float = 5000.0):
-    """Reference Loss (rrdnet.py:42-180). Reflectance smoothness follows the
-    same gradient-weighted pattern (weights from the input gray gradients)."""
+    """Reference Loss (rrdnet.py:42-180), term for term. Note upstream's
+    ``weight.detach()`` statements discard their result, so the weights
+    are NOT actually detached — reproduced as-is."""
 
     def fn(outputs, datapoint):
         image = datapoint["image"]
@@ -60,29 +83,33 @@ def rrdnet_loss(illu_factor: float = 1.0, reflect_factor: float = 1.0,
         refl = outputs["reflectance"]
         noise = outputs["noise"]
 
-        # reconstruction: L1 norm of (I - (R*L + N))
+        # reconstruction: L1 norm of (I - (L*R + N))  (:76-83)
         recon = jnp.sum(jnp.abs(image - (illu * refl + noise)))
 
-        gray = rgb_to_grayscale(image)
+        gray = (0.299 * image[..., :1] + 0.587 * image[..., 1:2]
+                + 0.114 * image[..., 2:3])
         max_rgb = jnp.max(image, axis=-1, keepdims=True)
-        g_gray_h, g_gray_w = _grad_hw(gray)
-        g_illu_h, g_illu_w = _grad_hw(illu)
-        w_h = 1.0 / (gaussian_filter(g_gray_h, 5, 3.0) + 1e-4)
-        w_w = 1.0 / (gaussian_filter(g_gray_w, 5, 3.0) + 1e-4)
-        w_h = jnp.asarray(w_h)  # detached conceptually; no grad path to illu
-        loss_illu = (jnp.sum(jnp.abs(w_h) * g_illu_h) + jnp.sum(jnp.abs(w_w) * g_illu_w)
+
+        # illumination smoothness (:85-109)
+        g_gray_h, g_gray_w = _ref_gradient(gray)
+        g_illu_h, g_illu_w = _ref_gradient(illu)
+        w_h = 1.0 / (_gauss5_zero(g_gray_h) + 1e-4)
+        w_w = 1.0 / (_gauss5_zero(g_gray_w) + 1e-4)
+        loss_illu = (jnp.sum(w_h * g_illu_h) + jnp.sum(w_w * g_illu_w)
                      + jnp.sum(jnp.abs(illu - max_rgb)))
 
-        # reflectance smoothness weighted by reconstruction-target gradients
-        target = image / jnp.maximum(illu, 1e-4)
-        g_t_h, g_t_w = _grad_hw(rgb_to_grayscale(jnp.clip(target, 0, 1)))
-        g_r_h, g_r_w = _grad_hw(refl)
-        wr_h = jnp.exp(-10.0 * jnp.abs(g_t_h))
-        wr_w = jnp.exp(-10.0 * jnp.abs(g_t_w))
-        loss_reflect = (jnp.sum(wr_h * jnp.abs(jnp.mean(g_r_h, -1, keepdims=True)))
-                        + jnp.sum(wr_w * jnp.abs(jnp.mean(g_r_w, -1, keepdims=True))))
+        # reflectance smoothness (:111-129)
+        g_refl_h, g_refl_w = _ref_gradient(refl)
+        weight = 1.0 / (illu * g_gray_h * g_gray_w + 1e-4)
+        weight = (weight - weight.min()) / (weight.max() - weight.min())
+        ref_reflect = image / illu
+        loss_reflect = (jnp.sum(weight * g_refl_h)
+                        + jnp.sum(weight * g_refl_w)
+                        + jnp.sum(jnp.abs(ref_reflect - refl)))
 
-        loss_noise = jnp.sum(noise ** 2)
+        # noise (:131-141): L2 NORM of illumination-weighted noise
+        loss_noise = jnp.sqrt(jnp.sum((illu * noise) ** 2))
+
         return (recon + illu_factor * loss_illu + reflect_factor * loss_reflect
                 + noise_factor * loss_noise)
     return fn

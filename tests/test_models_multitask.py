@@ -87,7 +87,8 @@ def test_zero_restore_forward_and_loss(pair):
     params = m.init(jax.random.PRNGKey(0), dp)
     out = m.apply(params, dp)
     assert out["enhanced"].shape == dp["image"].shape
-    assert out["trans"].shape[-1] == 1
+    # reference expand_as: trans/atm are broadcast to image shape
+    assert out["trans"].shape == dp["image"].shape
     loss, _ = m.forward_loss(params, dp)
     assert np.isfinite(float(loss))
 

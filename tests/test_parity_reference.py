@@ -1169,3 +1169,109 @@ def test_neurop_reference_parity():
         _assert_close(_to_nhwc(ref_i[f"map_ref_{k}"]),
                       np.asarray(got_i[f"map_ref_{k}"]), 2e-4,
                       f"neurop_init.map_{k}")
+
+
+def test_zsn2n_reference_parity():
+    """First-party ZSN2N (3-conv noise predictor + pair-downsample
+    residual/consistency loss). The reference's ``enhanced`` is the raw
+    network output (the noise estimate); enhax surfaces it as ``noise``."""
+    import jax
+    mod = refload.load_first_party("vision/enhance/denoise/zsn2n/zsn2n.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.ZSN2N(num_channels=16)
+    net.eval()
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    model = MODELS.build("zsn2n", num_channels=16)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=None, strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"zsn2n: {unmatched[:10]}"
+    got = np.asarray(model.apply(params, dp)["noise"])
+    _assert_close(ref, got, 1e-5, "zsn2n")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) < 1e-5, (float(loss), ref_loss)
+
+
+def test_rrdnet_reference_parity():
+    """First-party RRDNet: three 5-conv Retinex branches + the exact
+    zero-shot loss (product-of-central-diffs gradients, Gaussian-weighted
+    illumination smoothness, normalized reflectance weight, L2-norm noise
+    term)."""
+    import jax
+    from enhax.convert.mappings import rrdnet_name_map
+    mod = refload.load_first_party("vision/enhance/llie/rrdnet/rrdnet.py")
+    torch.manual_seed(0)
+    net = mod.RRDNet_RE()
+    net.eval()
+    x = torch.rand(1, 3, 32, 32) * 0.6 + 0.05
+    with torch.no_grad():
+        ref = net({"image": x})
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    model = MODELS.build("rrdnet_re")
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=rrdnet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"rrdnet: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for k in ("illumination", "reflectance", "noise", "enhanced"):
+        _assert_close(_to_nhwc(ref[k]), np.asarray(got[k]), 2e-4,
+                      f"rrdnet.{k}")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1) < 1e-4, \
+        (float(loss), ref_loss)
+
+
+@pytest.mark.parametrize("variant", ["llie", "dehaze", "uie"])
+def test_zero_restore_reference_parity(variant):
+    """First-party Zero-Restore (Koschmieder perturbation): LLIE spatial
+    atmospheric map vs dehaze/uie global RGB vector (dark-channel InConv,
+    maxpool(15,7) + dense head; uie has a 3-channel transmission)."""
+    import jax
+    from enhax.convert.mappings import zero_restore_name_map
+    mod = refload.load_first_party(
+        f"vision/enhance/multitask/zero_restore/zero_restore_{variant}.py")
+    cls = {"llie": "ZeroRestoreLLIE", "dehaze": "ZeroRestoreDehaze",
+           "uie": "ZeroRestoreUIE"}[variant]
+    torch.manual_seed(0)
+    net = getattr(mod, cls)(num_channels=16)
+    net.eval()
+    net.device = torch.device("cpu")
+    # dehaze/uie maxpool(15,7) + reflect-pad DoubleConv needs >=2px pooled
+    # maps -> input >= 88; llie is fine at 64
+    size = 64 if variant == "llie" else 96
+    x = torch.rand(1, 3, size, size) * 0.7 + 0.1
+    with torch.no_grad():
+        ref = net({"image": x})
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    model = MODELS.build(f"zero_restore_{variant}")
+    model = model.replace(module=model.module.replace(num_channels=16)) \
+        if hasattr(model, "replace") else model
+    # rebuild at reduced width
+    from enhax.models.multitask.zero_restore import ZeroRestoreModule
+    model.module = ZeroRestoreModule(num_channels=16, variant=variant)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    sd = {k: v for k, v in net.state_dict().items()
+          if ".convs.1." not in k and ".convs.2." not in k}
+    params, report = convert_state_dict(sd, template,
+                                        name_map=zero_restore_name_map(variant),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"zero_restore_{variant}: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for k in ("trans", "atm", "enhanced"):
+        _assert_close(_to_nhwc(ref[k].expand_as(x) if ref[k].shape != x.shape
+                               else ref[k]),
+                      np.asarray(got[k]), 3e-4, f"zero_restore_{variant}.{k}")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1) < 1e-3, \
+        (variant, float(loss), ref_loss)
