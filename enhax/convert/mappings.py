@@ -605,6 +605,98 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def zid_name_map(skips=(0, 0, 0, 4, 4)) -> dict:
+    """ZID (zid.py:79-189): the DIP hourglass is built with
+    ``add_module(str(len+1))`` so container children are named 1..8 and
+    each conv is a Sequential(pad, conv) -> ``.N.1``; this walks the
+    construction recursion for both image_net and mask_net, plus the VAE
+    (decoder conv1..conv4 are dead weights — drop before converting)."""
+    m = {}
+    for net in ("image_net", "mask_net"):
+        path = ""
+        for i in range(len(skips)):
+            deeper = path + ("1.1." if skips[i] else "1.")
+            if skips[i]:
+                m[f"{net}.{path}1.0.1.1."] = f"{net}.l{i}_skip_conv."
+                m[f"{net}.{path}1.0.2."] = f"{net}.l{i}_skip_bn."
+            m[f"{net}.{path}2."] = f"{net}.l{i}_cat_bn."
+            m[f"{net}.{path}3.1."] = f"{net}.l{i}_u1."
+            m[f"{net}.{path}4."] = f"{net}.l{i}_u1_bn."
+            m[f"{net}.{path}6.1."] = f"{net}.l{i}_u2."
+            m[f"{net}.{path}7."] = f"{net}.l{i}_u2_bn."
+            m[f"{net}.{deeper}1.1."] = f"{net}.l{i}_d1."
+            m[f"{net}.{deeper}2."] = f"{net}.l{i}_d1_bn."
+            m[f"{net}.{deeper}4.1."] = f"{net}.l{i}_d2."
+            m[f"{net}.{deeper}5."] = f"{net}.l{i}_d2_bn."
+            path = deeper + "7."
+        m[f"{net}.9.1."] = f"{net}.out_conv."
+    for i in range(1, 5):
+        m[f"ambient_net.encoder.conv{i}.0."] = f"ambient_net.enc_conv{i}."
+    m["ambient_net.encoder.fc1."] = "ambient_net.fc1."
+    m["ambient_net.encoder.fc2."] = "ambient_net.fc2."
+    m["ambient_net.decoder.linear0."] = "ambient_net.linear0."
+    for i, (ci, bi) in enumerate(((1, 2), (5, 6), (9, 10))):
+        m[f"ambient_net.decoder.de.{ci}."] = f"ambient_net.de_conv{i + 1}."
+        m[f"ambient_net.decoder.de.{bi}."] = f"ambient_net.de_bn{i + 1}."
+    m["ambient_net.decoder.de.13."] = "ambient_net.de_conv4."
+    return m
+
+
+def colie_name_map(num_layers: int = 4, add_layer: int = 2) -> dict:
+    """CoLIE (colie.py:135-155 SIREN Sequential indices). The final
+    output layer is plain linear (is_last)."""
+    m = {}
+    n_branch = max(add_layer - 2, 0) + 2
+    for net in ("patch_net", "spatial_net"):
+        for i in range(n_branch):
+            m[f"{net}.{i}.linear."] = f"{net}.sine{i}.Dense_0."
+    n_out = (num_layers - 1 - add_layer) + 1
+    for i in range(n_out - 1):
+        m[f"output_net.{i}.linear."] = f"output_net.sine{i}.Dense_0."
+    m[f"output_net.{n_out - 1}.linear."] = f"output_net.lin{n_out - 1}."
+    return m
+
+
+def rsfnet_name_map(factors: int = 5, num_iters: int = 3) -> dict:
+    """RSFNet (rsfnet.py:90-249): scalar threshold ParameterLists +
+    Fusion convs (e_conv4 is dead weight upstream — drop it before
+    converting)."""
+    m = {}
+    for f in range(factors):
+        for t in range(num_iters):
+            for nm in ("lambda_a", "lambda_e", "step"):
+                m[f"{nm}.{f}.{t}"] = f"factorization.{nm}_{f}_{t}"
+    for i in (1, 2, 3):
+        m[f"e_conv{i}."] = f"fusion.e_conv{i}."
+    for i in (5, 6, 7):
+        m[f"d_conv{i}."] = f"fusion.d_conv{i}."
+    return m
+
+
+def psenet_name_map() -> dict:
+    """PSENet (psenet.py:116-218 MobileBottleneck Sequential indices)."""
+    return {
+        "model.": "",
+        "*.conv.3.fc.0.": ".se.fc1.",
+        "*.conv.3.fc.2.": ".se.fc2.",
+        "*.conv.0.": ".pw.",
+        "*.conv.2.": ".dw.",
+        "*.conv.5.": ".pw_out.",
+    }
+
+
+def zero_ig_name_map() -> dict:
+    """ZERO-IG (zero_ig.py:307-347): the Enhance residual block is ONE
+    shared Conv+BN; drop the duplicate ``blocks.*`` keys before
+    converting."""
+    return {
+        "enhance.in_conv.0.": "enhance.in_conv.",
+        "enhance.conv.0.": "enhance.block_conv.",
+        "enhance.conv.1.": "enhance.block_bn.",
+        "enhance.out_conv.0.": "enhance.out_conv.",
+    }
+
+
 def zero_restore_name_map(variant: str = "llie") -> dict:
     """Zero-Restore (zero_restore_llie.py:196-224 / dehaze :159-181).
     The SKConv ModuleList shares ONE InConv across scales; drop the
@@ -726,6 +818,11 @@ NAME_MAPS = {
     "neurop_init": neurop_name_map,
     "rrdnet_re": rrdnet_name_map,
     "zero_restore_llie": zero_restore_name_map,
+    "zero_ig_re": zero_ig_name_map,
+    "psenet": psenet_name_map,
+    "rsfnet": rsfnet_name_map,
+    "colie_re": colie_name_map,
+    "zid": zid_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

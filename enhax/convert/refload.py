@@ -77,8 +77,53 @@ def _external_stubs() -> dict:
         stubs.update({"lightning": lt, "lightning.pytorch": pt,
                       "lightning.pytorch.utilities": ut,
                       "lightning.pytorch.utilities.types": ty})
+    try:
+        importlib.import_module("cv2.ximgproc")
+    except ImportError:
+        import cv2 as _cv2
+        import numpy as _np
+
+        def _guided_filter_color(guide, src, radius, eps):
+            """He et al. color guided filter — the algorithm behind
+            cv2.ximgproc.guidedFilter (contrib module absent here).
+            guide: HxWx3 float32, src: HxW float32."""
+            r = radius
+            box = lambda img: _cv2.boxFilter(img, -1, (2 * r + 1, 2 * r + 1))
+            I = guide.astype(_np.float32)
+            p = src.astype(_np.float32)
+            mean_I = box(I)
+            mean_p = box(p)
+            corr_Ip = box(I * p[..., None])
+            cov_Ip = corr_Ip - mean_I * mean_p[..., None]
+            h, w = p.shape
+            var = _np.empty((h, w, 3, 3), _np.float32)
+            for i in range(3):
+                for j in range(3):
+                    var[..., i, j] = box(I[..., i] * I[..., j]) \
+                        - mean_I[..., i] * mean_I[..., j]
+            A = var + eps * _np.eye(3, dtype=_np.float32)
+            a = _np.linalg.solve(A, cov_Ip[..., None])[..., 0]
+            b = mean_p - _np.sum(a * mean_I, axis=-1)
+            return (_np.sum(box(a) * I, axis=-1) + box(b)).astype(_np.float32)
+
+        xi = types.ModuleType("cv2.ximgproc")
+        xi.guidedFilter = lambda guide, src, radius, eps: \
+            _guided_filter_color(guide, src, radius, eps)
+        stubs["cv2.ximgproc"] = xi
+
+    try:
+        importlib.import_module("fvcore")
+    except ImportError:
+        fv = types.ModuleType("fvcore")
+        fv.__path__ = []
+        fvnn = types.ModuleType("fvcore.nn")
+        fvnn.parameter_count = lambda model: {
+            "": sum(p.numel() for p in model.parameters())}
+        fvnn.FlopCountAnalysis = lambda *a, **k: None
+        fv.nn = fvnn
+        stubs.update({"fvcore": fv, "fvcore.nn": fvnn})
     # small leaf deps imported at module scope by vendored utils chains
-    for name in ("lmdb", "natsort", "thop"):
+    for name in ("lmdb", "natsort", "thop", "kornia"):
         try:
             importlib.import_module(name)
         except ImportError:
@@ -236,8 +281,10 @@ def _build_stub_mon():
     nn_mod = types.ModuleType("mon.nn")
 
     class Loss(torch.nn.Module):
-        def __init__(self, *a, reduction: str = "mean", **k):
+        def __init__(self, *a, loss_weight: float = 1.0,
+                     reduction: str = "mean", **k):
             super().__init__()
+            self.loss_weight = loss_weight
             self.reduction = reduction
 
     class DSConv2d(torch.nn.Module):
@@ -363,6 +410,60 @@ def _build_stub_mon():
             v = d.sum(dim=[2, 3], keepdim=True) / n
             e_inv = d / (4 * (v + self.e_lambda)) + 0.5
             return x * torch.sigmoid(e_inv)
+
+    class L2Loss(torch.nn.Module):
+        """mon.nn.L2Loss (loss/base.py:182-194): MSE."""
+
+        def __init__(self, loss_weight=1.0, reduction="mean", **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+            self.reduction = reduction
+
+        def forward(self, input, target):
+            return self.loss_weight * torch.nn.functional.mse_loss(
+                input, target, reduction=self.reduction)
+
+    def _local_stddev(image, patch_size=5, eps=1e-9):
+        # core.image_local_stddev (core/image/utils.py:878-897)
+        p = patch_size // 2
+        x = torch.nn.functional.pad(image, (p, p, p, p), mode="reflect")
+        patches = x.unfold(2, patch_size, 1).unfold(3, patch_size, 1)
+        mean = patches.mean(dim=(4, 5), keepdim=True)
+        return torch.sqrt(((patches - mean) ** 2).mean(dim=(4, 5)) + eps)
+
+    class TextureDifferenceLoss(torch.nn.Module):
+        """mon.nn.TextureDifferenceLoss (loss/image.py:1311-1353)."""
+
+        def __init__(self, patch_size=5, constant_c=1e-5, threshold=0.975,
+                     **k):
+            super().__init__()
+            self.patch_size = patch_size
+            self.constant_c = constant_c
+            self.threshold = threshold
+
+        def forward(self, input, target):
+            def gray(t):
+                return (0.144 * t[:, 0] + 0.587 * t[:, 1]
+                        + 0.299 * t[:, 2]).unsqueeze(1)
+            s1 = _local_stddev(gray(input), self.patch_size)
+            s2 = _local_stddev(gray(target), self.patch_size)
+            diff = 2 * s1 * s2 / (s1 ** 2 + s2 ** 2 + self.constant_c)
+            return torch.where(diff > self.threshold,
+                               torch.tensor(1.0), torch.tensor(0.0))
+
+    class ImageLocalMean(torch.nn.Module):
+        """core.ImageLocalMean (core/image/utils.py:900-918)."""
+
+        def __init__(self, patch_size=5):
+            super().__init__()
+            self.patch_size = patch_size
+
+        def forward(self, image):
+            p = self.patch_size // 2
+            x = torch.nn.functional.pad(image, (p, p, p, p), mode="reflect")
+            patches = x.unfold(2, self.patch_size, 1).unfold(
+                3, self.patch_size, 1)
+            return patches.mean(dim=(4, 5))
 
     class TotalVariationLoss(torch.nn.Module):
         """Behavioral stub of mon.nn.TotalVariationLoss (image.py:1357):
@@ -538,6 +639,224 @@ def _build_stub_mon():
     nn_mod.DSConv2d = DSConv2d
     nn_mod.TotalVariationLoss = TotalVariationLoss
     nn_mod.ColorConstancyLoss = ColorConstancyLoss
+    nn_mod.L2Loss = L2Loss
+    nn_mod.TextureDifferenceLoss = TextureDifferenceLoss
+    def _pair_downsample(image):
+        # core.pair_downsample (transform.py:76): diagonal 2x2 averages
+        c = image.shape[1]
+        f1 = torch.tensor([[[[0.0, 0.5], [0.5, 0.0]]]],
+                          dtype=image.dtype).repeat(c, 1, 1, 1)
+        f2 = torch.tensor([[[[0.5, 0.0], [0.0, 0.5]]]],
+                          dtype=image.dtype).repeat(c, 1, 1, 1)
+        return (torch.nn.functional.conv2d(image, f1, stride=2, groups=c),
+                torch.nn.functional.conv2d(image, f2, stride=2, groups=c))
+
+    core.ImageLocalMean = ImageLocalMean
+    core.image_local_stddev = _local_stddev
+    core.pair_downsample = _pair_downsample
+
+    class GoodLookingImageMetric(torch.nn.Module):
+        """mon.nn.GoodLookingImageMetric (nn/metric/image.py:386-408)."""
+
+        def __init__(self, exposed_level=0.5, pool_size=25):
+            super().__init__()
+            self.exposed_level = exposed_level
+            self.pool = torch.nn.Sequential(
+                torch.nn.ReflectionPad2d(pool_size // 2),
+                torch.nn.AvgPool2d(pool_size, stride=1))
+
+        def forward(self, images):
+            eps = 1 / 255.0
+            mx = images.max(dim=1, keepdim=True)[0]
+            mn = images.min(dim=1, keepdim=True)[0]
+            saturation = (mx - mn + eps) / (mx + eps)
+            mean_rgb = self.pool(images).mean(dim=1, keepdim=True)
+            exposedness = torch.abs(mean_rgb - self.exposed_level) + eps
+            contrast = self.pool(images * images).mean(
+                dim=1, keepdim=True) - mean_rgb ** 2
+            return torch.mean(saturation * contrast / exposedness,
+                              dim=[1], keepdim=True)
+
+    nn_mod.GoodLookingImageMetric = GoodLookingImageMetric
+
+    import numpy as _np
+
+    class CustomConcat(torch.nn.Module):
+        """mon.nn.CustomConcat (modules/misc.py:67-99): run branches on
+        the same input, center-crop to the smallest, concat."""
+
+        def __init__(self, dim, *branches, **k):
+            super().__init__()
+            self.dim = dim
+            for idx, m in enumerate(branches):
+                self.add_module(str(idx), m)
+
+        def __len__(self):
+            return len(self._modules)
+
+        def forward(self, x):
+            outs = [m(x) for m in self._modules.values()]
+            h = min(o.shape[2] for o in outs)
+            w = min(o.shape[3] for o in outs)
+            crop = []
+            for o in outs:
+                dh = (o.shape[2] - h) // 2
+                dw = (o.shape[3] - w) // 2
+                crop.append(o[:, :, dh:dh + h, dw:dw + w])
+            return torch.cat(crop, dim=self.dim)
+
+    nn_mod.CustomConcat = CustomConcat
+
+    class StdLoss(torch.nn.Module):
+        """mon.nn.StdLoss (loss/image.py:1274-1307), CPU tensors."""
+
+        def __init__(self, loss_weight=1.0, reduction="mean", **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+            blur = torch.full((1, 1, 5, 5), 1 / 25.0)
+            delta = torch.zeros((1, 1, 5, 5))
+            delta[0, 0, 2, 2] = 1
+            self.register_buffer("blur", blur)
+            self.register_buffer("image", delta)
+
+        def forward(self, x, target=None):
+            x = torch.mean(x, 1, keepdim=True)
+            return self.loss_weight * torch.nn.functional.mse_loss(
+                torch.nn.functional.conv2d(x, self.image),
+                torch.nn.functional.conv2d(x, self.blur))
+
+    nn_mod.StdLoss = StdLoss
+
+    def _atmospheric_prior(image, kernel_size=15, p=0.0001):
+        # prior/image.py:36-63 (CHW numpy input)
+        image = image.transpose(1, 2, 0)
+        m, n, _ = image.shape
+        w = kernel_size
+        padded = _np.pad(image, ((w // 2, w // 2), (w // 2, w // 2), (0, 0)),
+                         "edge")
+        dcp = _np.zeros((m, n))
+        for i in range(m):
+            for j in range(n):
+                dcp[i, j] = _np.min(padded[i:i + w, j:j + w, :])
+        flat_i = image.reshape(m * n, 3)
+        # upstream uses default (unstable) argsort — tie order among equal
+        # dark values is arbitrary there; stable sort picks the lowest
+        # index, matching jax.lax.top_k
+        idx = (-dcp.ravel()).argsort(kind="stable")[:max(int(m * n * p), 1)]
+        return _np.max(flat_i.take(idx, axis=0), axis=0)
+
+    nn_mod.atmospheric_prior = _atmospheric_prior
+
+    class SIRENLayer(torch.nn.Module):
+        """Behavioral stub for ``nn.SIRENLayer`` — referenced by colie.py
+        but ABSENT from mon.nn (inr.py has only SineLayer/SIREN); semantics
+        follow the official CoLIE SirenLayer (ctom2/colie) the port targets:
+        sin(omega * Wx) with SIREN init, plain linear when is_last."""
+
+        def __init__(self, in_f, out_f, w0=30.0, c=6.0, is_first=False,
+                     is_last=False):
+            super().__init__()
+            self.w0 = w0
+            self.is_last = is_last
+            self.linear = torch.nn.Linear(in_f, out_f)
+            with torch.no_grad():
+                if is_first:
+                    b = 1.0 / in_f
+                else:
+                    b = (c / in_f) ** 0.5 / w0
+                self.linear.weight.uniform_(-b, b)
+
+        def forward(self, x):
+            x = self.linear(x)
+            return x if self.is_last else torch.sin(self.w0 * x)
+
+    nn_mod.SIRENLayer = SIRENLayer
+
+    class ExposureValueControlLoss(torch.nn.Module):
+        """mon.nn.ExposureValueControlLoss (loss/image.py:572-607)."""
+
+        def __init__(self, patch_size=16, mean_val=0.6, loss_weight=1.0,
+                     **k):
+            super().__init__()
+            self.pool = torch.nn.AvgPool2d(patch_size)
+            self.mean_val = mean_val
+            self.loss_weight = loss_weight
+
+        def forward(self, x):
+            x = torch.mean(x, 1, keepdim=True)
+            mean = self.pool(x) ** 0.5
+            return self.loss_weight * torch.abs(
+                torch.mean((mean - self.mean_val) ** 2))
+
+    nn_mod.ExposureValueControlLoss = ExposureValueControlLoss
+
+    def _rgb_to_hsv(image, eps=1e-8):
+        # kornia.color.rgb_to_hsv: H in [0, 2pi]
+        maxc, argmax = image.max(-3)
+        minc = image.min(-3)[0]
+        v = maxc
+        deltac = maxc - minc
+        s = deltac / (v + eps)
+        dd = torch.where(deltac == 0, torch.ones_like(deltac), deltac)
+        r, g, b = image.unbind(-3)
+        h1 = (g - b) / dd
+        h2 = (b - r) / dd + 2.0
+        h3 = (r - g) / dd + 4.0
+        h = torch.stack([h1, h2, h3], -3).gather(
+            -3, argmax.unsqueeze(-3)).squeeze(-3)
+        h = (h / 6.0) % 1.0 * (2.0 * 3.141592653589793)
+        return torch.stack([h, s, v], -3)
+
+    def _hsv_to_rgb(image):
+        h = image[..., 0, :, :] / (2.0 * 3.141592653589793)
+        s = image[..., 1, :, :]
+        v = image[..., 2, :, :]
+        hi = torch.floor(h * 6) % 6
+        f = (h * 6) % 6 - hi
+        one = torch.tensor(1.0, device=image.device, dtype=image.dtype)
+        p = v * (one - s)
+        q = v * (one - f * s)
+        t = v * (one - (one - f) * s)
+        hi = hi.long()
+        idx = torch.stack([hi, hi + 6, hi + 12], dim=-3)
+        out = torch.stack((v, q, p, p, t, v, t, v, v, q, p, p,
+                           p, p, t, v, v, q), dim=-3)
+        return torch.gather(out, -3, idx)
+
+    core.rgb_to_hsv = _rgb_to_hsv
+    core.hsv_to_rgb = _hsv_to_rgb
+    core.rgb_to_v = lambda img, eps=1e-8: _rgb_to_hsv(img, eps)[:, 2:3]
+    core.get_image_num_channels = lambda img: img.shape[-3]
+
+    class PseudoGTGenerator:
+        """Behavioral mirror of vision/enhance/utils.py:24-76."""
+
+        def __init__(self, number_refs=1, gamma_upper=3.0, gamma_lower=-2.0,
+                     exposed_level=0.5, pool_size=25):
+            self.number_refs = number_refs
+            self.gamma_upper = gamma_upper
+            self.gamma_lower = gamma_lower
+            self.iqa = GoodLookingImageMetric(exposed_level, pool_size)
+
+        def __call__(self, image, prev_output=None):
+            b, c, h, w = image.shape
+            n = self.number_refs
+            under = torch.linspace(0, self.gamma_upper, steps=n + 1)[:-1]
+            step = self.gamma_upper / n
+            ug = torch.exp(torch.rand([b, n]) * step + under[None, :])
+            over = torch.linspace(self.gamma_lower, 0, steps=n + 1)[:-1]
+            og = torch.exp(torch.rand([b, n]) * over[None, :])
+            gammas = torch.cat([ug, og], dim=1)
+            synth = 1 - (1 - image[:, None]) ** gammas[:, :, None, None, None]
+            if prev_output is not None:
+                refs = torch.cat([image[:, None],
+                                  prev_output.detach()[:, None], synth], 1)
+            else:
+                refs = torch.cat([image[:, None], synth], 1)
+            nref = refs.shape[1]
+            scores = self.iqa(refs.view(b * nref, c, h, w)).view(b, nref, 1, h, w)
+            idx = torch.argmax(scores, dim=1).repeat(1, c, 1, 1)[:, None]
+            return torch.gather(refs, 1, idx).squeeze(1)
     nn_mod.LinearProjection = LinearProjection
     nn_mod.WindowAttention = WindowAttention
     nn_mod.DownsampleConv2d = DownsampleConv2d
@@ -554,6 +873,9 @@ def _build_stub_mon():
             return _make_dummy_module_class(name)
 
     nn_mod.__getattr__ = _nn_getattr
+    nn_model = types.ModuleType("mon.nn.model")
+    nn_model.StepOutput = typing.Any
+    nn_mod.model = nn_model
     mon.nn = nn_mod
 
     gl = types.ModuleType("mon.globals")
@@ -584,6 +906,7 @@ def _build_stub_mon():
 
     class _StubModel(torch.nn.Module):
         predicting = False
+        debug = True
 
         def __init__(self, *a, name=None, in_channels=3, out_channels=None,
                      num_classes=None, weights=None, **k):
@@ -630,8 +953,53 @@ def _build_stub_mon():
     multitask.base = base
     enhance.multitask = multitask
 
+    enhance_utils = types.ModuleType("mon.vision.enhance.utils")
+    enhance_utils.PseudoGTGenerator = PseudoGTGenerator
+    enhance.utils = enhance_utils
+
     filtering = types.ModuleType("mon.vision.filtering")
     filtering.__getattr__ = lambda name: _make_dummy_module_class(name)
+
+    def _diff_x(src, r):
+        return torch.cat([src[:, :, r:2 * r + 1],
+                          src[:, :, 2 * r + 1:] - src[:, :, :-2 * r - 1],
+                          src[:, :, -1:] - src[:, :, -2 * r - 1:-r - 1]], 2)
+
+    def _diff_y(src, r):
+        return torch.cat([src[:, :, :, r:2 * r + 1],
+                          src[:, :, :, 2 * r + 1:] - src[:, :, :, :-2 * r - 1],
+                          src[:, :, :, -1:] - src[:, :, :, -2 * r - 1:-r - 1]],
+                         3)
+
+    class FastGuidedFilter(torch.nn.Module):
+        """Behavioral stub of mon.vision.filtering.FastGuidedFilter
+        (guided_filter.py:150-203): cumsum box filter, A/b upsampled
+        bicubic align_corners=True."""
+
+        def __init__(self, radius, eps=1e-8, downscale=8):
+            super().__init__()
+            self.r = radius
+            self.eps = eps
+
+        def _box(self, x):
+            return _diff_y(_diff_x(x.cumsum(dim=2), self.r).cumsum(dim=3),
+                           self.r)
+
+        def forward(self, x_lr, y_lr, x_hr):
+            _, _, h, w = x_lr.shape
+            n = self._box(x_lr.new_ones((1, 1, h, w)))
+            mean_x = self._box(x_lr) / n
+            mean_y = self._box(y_lr) / n
+            cov_xy = self._box(x_lr * y_lr) / n - mean_x * mean_y
+            var_x = self._box(x_lr * x_lr) / n - mean_x * mean_x
+            a = cov_xy / (var_x + self.eps)
+            b = mean_y - a * mean_x
+            hs = (x_hr.shape[2], x_hr.shape[3])
+            up = lambda t: torch.nn.functional.interpolate(  # noqa: E731
+                t, hs, mode="bicubic", align_corners=True)
+            return up(a) * x_hr + up(b)
+
+    filtering.FastGuidedFilter = FastGuidedFilter
     vision.enhance = enhance
     vision.filtering = filtering
     mon.vision = vision
@@ -642,8 +1010,10 @@ def _build_stub_mon():
         "mon.vision.enhance.base": base,
         "mon.vision.enhance.multitask": multitask,
         "mon.vision.enhance.multitask.base": base,
+        "mon.vision.enhance.utils": enhance_utils,
         "mon.vision.filtering": filtering,
         "mon.nn.functional": torch.nn.functional,
+        "mon.nn.model": nn_model,
     }
     return mods
 

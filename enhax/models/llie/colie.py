@@ -26,10 +26,10 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.inr import SineLayer, context_window_features, coordinate_grid
+from enhax.nn.inr import SineLayer
 from enhax.ops.color import hsv_to_rgb, rgb_to_hsv
-from enhax.ops.filtering import fast_guided_filter
-from enhax.ops.resize import resize
+from enhax.ops.filtering import box_filter_sum, box_window_count
+from enhax.ops.resize import resize_bicubic_torch
 
 
 class SirenStack(nn.Module):
@@ -52,6 +52,24 @@ class SirenStack(nn.Module):
         return x
 
 
+def _fast_guided_filter_bicubic(x_lr, y_lr, x_hr, radius: int = 1,
+                                eps: float = 1e-8):
+    """FastGuidedFilter (guided_filter.py:150-203): cumsum box filter,
+    A/b upsampled with BICUBIC align_corners=True."""
+    n = box_window_count((x_lr.shape[-3], x_lr.shape[-2]), radius,
+                         x_lr.dtype)
+    mean_x = box_filter_sum(x_lr, radius) / n
+    mean_y = box_filter_sum(y_lr, radius) / n
+    cov_xy = box_filter_sum(x_lr * y_lr, radius) / n - mean_x * mean_y
+    var_x = box_filter_sum(x_lr * x_lr, radius) / n - mean_x * mean_x
+    a = cov_xy / (var_x + eps)
+    b = mean_y - a * mean_x
+    hr = (x_hr.shape[-3], x_hr.shape[-2])
+    mean_a = resize_bicubic_torch(a, hr, align_corners=True)
+    mean_b = resize_bicubic_torch(b, hr, align_corners=True)
+    return mean_a * x_hr + mean_b
+
+
 class CoLIEModule(nn.Module):
     """CoLIE forward at fixed ``down_size`` (colie.py:235-265)."""
     window_size: int = 7
@@ -60,7 +78,7 @@ class CoLIEModule(nn.Module):
     add_layer: int = 2
     num_layers: int = 4
     gf_radius: int = 1
-    gf_eps: float = 1e-4
+    gf_eps: float = 1e-8
     use_hvi: bool = False   # colie_hvi variant: fit intensity in HVI space
 
     @nn.compact
@@ -68,11 +86,21 @@ class CoLIEModule(nn.Module):
         ds = self.down_size
         hsv = rgb_to_hsv(x)
         v = hsv[..., 2:3]
-        v_lr = resize(v, (ds, ds), method="bicubic")
+        v_lr = resize_bicubic_torch(v, (ds, ds))
 
-        patches = context_window_features(v_lr, window=self.window_size // 2)
+        # get_patches (colie.py:268-280): reflection-padded unfold
+        w2 = self.window_size // 2
+        k = self.window_size
+        vp = jnp.pad(v_lr, ((0, 0), (w2, w2), (w2, w2), (0, 0)),
+                     mode="reflect")
+        patches = jnp.stack(
+            [vp[:, dy:dy + ds, dx:dx + ds, 0]
+             for dy in range(k) for dx in range(k)], axis=-1)
         patches = patches.reshape(x.shape[0], ds * ds, -1)
-        coords = coordinate_grid(ds, ds)[None]
+        # get_coords (colie.py:282-291): [0,1]^2, channel 0 = x (width)
+        lin = jnp.linspace(0.0, 1.0, ds)
+        cx, cy = jnp.meshgrid(lin, lin)   # default 'xy' like numpy
+        coords = jnp.stack([cx, cy], axis=-1).reshape(1, ds * ds, 2)
         coords = jnp.broadcast_to(coords, (x.shape[0], ds * ds, 2))
 
         mid = max(self.add_layer - 2, 0)
@@ -88,11 +116,13 @@ class CoLIEModule(nn.Module):
 
         illu_lr = illu_res_lr + v_lr
         v_fixed_lr = v_lr / (illu_lr + 1e-4)
-        v_fixed = fast_guided_filter(v_fixed_lr, v_lr, v,
-                                     radius=self.gf_radius, eps=self.gf_eps)
+        v_fixed = _fast_guided_filter_bicubic(v_lr, v_fixed_lr, v,
+                                              radius=self.gf_radius,
+                                              eps=self.gf_eps)
+        v_fixed = jnp.clip(v_fixed, 0.0, 1.0)
         hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
         rgb = hsv_to_rgb(hsv_fixed)
-        rgb = rgb / jnp.maximum(jnp.max(rgb), 1e-8)
+        rgb = rgb / jnp.max(rgb)
         return {"enhanced": rgb, "illu_lr": illu_lr, "image_v_lr": v_lr,
                 "image_v_fixed_lr": v_fixed_lr}
 

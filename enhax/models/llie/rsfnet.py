@@ -1,17 +1,26 @@
 """RSFNet: Retinex sparse-factorization network.
 
-Rebuild of reference ``vision/enhance/llie/rsfnet/rsfnet.py:38-360``: an
-unrolled sparse factorization — F factors extracted by iterative soft
-thresholding with learnable per-iteration thresholds (lambda_a/lambda_e) and
-step sizes — followed by a conv fusion head, trained with the
-color/exposure/TV zero-reference loss.
+Faithful rebuild of reference ``vision/enhance/llie/rsfnet/rsfnet.py``:
 
-Deviation: the reference tracks per-epoch factor statistics on the host and
-freezes lambdas after ``freeze_epochs`` (rsfnet.py:188-257); enhax keeps the
-factorization purely functional and expresses the freeze as the jit-safe
-``enhax.nn.optim.freeze_after`` transform — config:
-``{"freeze": {"match": "lambda_|step", "after_steps": 25 * steps_per_epoch}}``.
-The unrolled math — e = shrink(a, lambda_e); a <- a - step * e — is preserved.
+  * ``Factorization`` (:90-205): per factor f, an unrolled ADMM-ish loop
+    with scalar thresholds — pixel-group shrinkage ``thres_e`` (channel
+    norm) and global shrinkage ``thres_a`` (sqrt of the spatial sum of
+    channel norms), dual variable ``y = x/||x||_2`` updated with the
+    learnable step; outputs ReLU'd sparse factors, each factor (after
+    the first) replaced by |e_f - e_{f-1}| (:183-199).
+  * ``Fusion`` (:208-249): 4-conv encoder (with the upstream quirk that
+    ``e_conv3`` is applied twice and ``e_conv4`` is dead weight), 3-conv
+    skip decoder, tanh curves; the output is iterated 5x through
+    Zero-DCE-style curves ``x += r_j (x^2 - x)`` per factor.
+  * the upstream model class is a SHELL: ``RSFNet.forward`` has no body
+    and never builds the nets (:306-311), and ``Loss.forward`` reads
+    undefined ``self.alpha..delta`` (:60-75). enhax composes
+    ``Fusion(cat[image, factors])`` (so curve base s[0] is the input
+    image, matching the (factors+1) channel count) and keeps a
+    zero-reference col/exp/tv loss with the documented weights (:41-47).
+
+Per-image fit; lambdas freeze after ``freeze_epochs`` via the jit-safe
+``enhax.nn.optim.freeze_after`` transform instead of host-side mutation.
 """
 
 from __future__ import annotations
@@ -23,49 +32,86 @@ from flax import linen as nn
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 
+_EPS = float(jnp.finfo(jnp.float32).eps)
 
-def _soft_threshold(v, thr, eps: float = 1e-8):
-    """Group soft-threshold over the channel norm (reference thres_e)."""
+
+def _thres_e(v, thr):
+    """rsfnet.py:117-120: per-pixel channel-group shrinkage. NHWC."""
     norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    scale = jnp.maximum(1.0 - thr / (norm + eps), 0.0)
+    scale = jnp.maximum(1.0 - thr / (norm + _EPS), 0.0)
     return scale * v
 
 
+def _thres_a(v, thr):
+    """rsfnet.py:122-126: global per-batch shrinkage on sqrt of the
+    spatial sum of channel norms."""
+    norm = jnp.linalg.norm(v, axis=-1)                   # (b, h, w)
+    nn_ = jnp.sqrt(jnp.sum(norm, axis=(1, 2)) + _EPS)    # (b,)
+    scale = jnp.maximum(1.0 - thr / (nn_ + _EPS), 0.0)
+    return scale[:, None, None, None] * v
+
+
 class Factorization(nn.Module):
-    """Unrolled ISTA-style sparse factor extraction (rsfnet.py:82-208)."""
+    """rsfnet.py:90-205 ``factorize`` unrolled; scalar params per
+    (factor, iteration) named to match the torch ParameterLists."""
     factors: int = 5
     num_iters: int = 3
 
     @nn.compact
     def __call__(self, x):
-        lambdas = self.param("lambda_e", nn.initializers.zeros,
-                             (self.factors, self.num_iters))
-        steps = self.param("step", nn.initializers.ones,
-                           (self.factors, self.num_iters))
+        F, T = self.factors, self.num_iters
+        la_ = [[self.param(f"lambda_a_{f}_{t}", nn.initializers.zeros, ())
+                for t in range(T)] for f in range(F)]
+        le_ = [[self.param(f"lambda_e_{f}_{t}", nn.initializers.zeros, ())
+                for t in range(T)] for f in range(F)]
+        st_ = [[self.param(f"step_{f}_{t}", nn.initializers.ones, ())
+                for t in range(T)] for f in range(F)]
         a = x
         all_e = []
-        for f in range(self.factors):
-            e = jnp.zeros_like(a)
-            for t in range(self.num_iters):
-                thr = jax.nn.softplus(lambdas[f, t])
-                e = _soft_threshold(a - steps[f, t] * (e - a), thr)
-            a = a - e
+        for f in range(F):
+            xx = a
+            x_2 = jnp.linalg.norm(xx.reshape(-1))
+            e_t = _thres_e(xx, le_[f][0] / st_[f][0])
+            a_t = _thres_a(xx - e_t, la_[f][0] / st_[f][0])
+            y_t = xx / (x_2 + _EPS)
+            for t in range(1, T):
+                e_t = _thres_e(xx - a_t - y_t / st_[f][t],
+                               le_[f][t] / st_[f][t])
+                a_t = _thres_a(xx - e_t - y_t / st_[f][t],
+                               la_[f][t] / st_[f][t])
+                y_t = y_t + st_[f][t] * (e_t + a_t - xx)
+            e_t = nn.relu(e_t)
+            a = a - e_t
             if f > 0:
-                e = jnp.abs(e - all_e[-1])
-            all_e.append(e)
+                e_t = jnp.abs(e_t - all_e[-1])
+            all_e.append(e_t)
         return jnp.concatenate(all_e, axis=-1)
 
 
 class Fusion(nn.Module):
-    """Conv fusion of the stacked factors (rsfnet.py:210-256)."""
+    """rsfnet.py:208-249 with the e_conv3-twice quirk; e_conv4 exists for
+    checkpoint compatibility but is dead upstream."""
     factors: int = 5
 
     @nn.compact
     def __call__(self, s):
-        y = nn.relu(nn.Conv(3 * self.factors, (3, 3), name="conv1")(s))
-        y = nn.relu(nn.Conv(3 * self.factors, (3, 3), name="conv2")(y))
-        y = nn.Conv(3, (3, 3), name="conv3")(y)
-        return jax.nn.sigmoid(y)
+        nf = 3
+        out_ch = 3 * (self.factors + 1)
+        conv = lambda c, name: nn.Conv(c, (3, 3), name=name)  # noqa: E731
+        e_conv3 = conv(nf, "e_conv3")
+        e1 = nn.relu(conv(nf, "e_conv1")(s))
+        e2 = nn.relu(conv(nf, "e_conv2")(e1))
+        e3 = nn.relu(e_conv3(e2))
+        e4 = nn.relu(e_conv3(e3))        # upstream applies e_conv3 twice
+        d1 = nn.relu(conv(nf, "d_conv5")(jnp.concatenate([e3, e4], -1)))
+        d2 = nn.relu(conv(nf, "d_conv6")(jnp.concatenate([e2, d1], -1)))
+        o = jnp.tanh(conv(out_ch, "d_conv7")(jnp.concatenate([e1, d2], -1)))
+        rs = jnp.split(o, self.factors + 1, axis=-1)
+        x = s[..., :3]
+        for _ in range(5):
+            for r in rs:
+                x = x + r * (x ** 2 - x)
+        return x
 
 
 class RSFNetModule(nn.Module):
@@ -74,8 +120,10 @@ class RSFNetModule(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        s = Factorization(self.factors, self.num_iters, name="factorization")(x)
-        enhanced = Fusion(self.factors, name="fusion")(s)
+        s = Factorization(self.factors, self.num_iters,
+                          name="factorization")(x)
+        full = jnp.concatenate([x, s], axis=-1)
+        enhanced = Fusion(self.factors, name="fusion")(full)
         return {"factors": s, "enhanced": enhanced}
 
 

@@ -113,3 +113,40 @@ def resize_align_corners(image, size):
             + jnp.take(x, y1, axis=-3) * wy)
     return (jnp.take(rows, x0, axis=-2) * (1 - wx)
             + jnp.take(rows, x1, axis=-2) * wx)
+
+
+def _cubic_kernel_torch(x, a: float = -0.75):
+    """torch F.interpolate bicubic kernel (cubic convolution, a=-0.75)."""
+    ax = jnp.abs(x)
+    w1 = ((a + 2) * ax - (a + 3)) * ax * ax + 1
+    w2 = a * (((ax - 5) * ax + 8) * ax - 4)
+    return jnp.where(ax <= 1, w1, jnp.where(ax < 2, w2, 0.0))
+
+
+def resize_bicubic_torch(image, size, align_corners: bool = False):
+    """Bicubic resize matching torch ``F.interpolate(mode="bicubic")``:
+    cubic-convolution kernel a=-0.75 (jax's own bicubic uses Keys a=-0.5)
+    with index clamping at borders. (..., H, W, C) -> (..., h, w, C)."""
+
+    def axis_resize(x, axis, out_len):
+        in_len = x.shape[axis]
+        if align_corners and out_len > 1:
+            src = jnp.arange(out_len) * ((in_len - 1) / (out_len - 1))
+        else:
+            scale = in_len / out_len
+            src = (jnp.arange(out_len) + 0.5) * scale - 0.5
+        i0 = jnp.floor(src).astype(jnp.int32)
+        frac = (src - i0).astype(x.dtype)
+        out = 0.0
+        for k, dist in ((-1, frac + 1), (0, frac), (1, 1 - frac),
+                        (2, 2 - frac)):
+            idx = jnp.clip(i0 + k, 0, in_len - 1)
+            g = jnp.take(x, idx, axis=axis)
+            shape = [1] * x.ndim
+            shape[axis] = out_len
+            out = out + g * _cubic_kernel_torch(dist).reshape(shape)
+        return out
+
+    h, w = size
+    y = axis_resize(jnp.asarray(image), -3, h)
+    return axis_resize(y, -2, w)

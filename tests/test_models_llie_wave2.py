@@ -76,7 +76,7 @@ def test_zero_mie_ms_with_depth(dp, rng):
 
 
 def test_zid(dp):
-    m = build_model("zid")
+    m = build_model("zid", image_size=(64, 64))
     inputs = {"image": dp["image"]}
     params = m.init(jax.random.PRNGKey(0), inputs)
     out = m.apply(params, inputs)
