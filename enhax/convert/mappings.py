@@ -605,6 +605,22 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def zero_mie_name_map(hidden_layers: int = 2, out_layers: int = 1) -> dict:
+    """Zero-MIE (zero_mie.py:253-556 + inr.py:752-925 INR stacks). The
+    decoder's last layer is a sigmoid-linear INRLayer."""
+    m = {}
+    for net in ("value_net", "depth_net", "edge_net", "coords_net"):
+        for i in range(hidden_layers + 1):
+            m[f"mlp.{net}.net.{i}.nonlinear.linear."] = \
+                f"{net}_net{i}.Dense_0."
+    for i in range(out_layers):
+        m[f"mlp.output_net.net.{i}.nonlinear.linear."] = \
+            f"output_net_net{i}.Dense_0."
+    m[f"mlp.output_net.net.{out_layers}.nonlinear.linear."] = \
+        f"output_net_net{out_layers}."
+    return m
+
+
 def zid_name_map(skips=(0, 0, 0, 4, 4)) -> dict:
     """ZID (zid.py:79-189): the DIP hourglass is built with
     ``add_module(str(len+1))`` so container children are named 1..8 and
@@ -823,6 +839,8 @@ NAME_MAPS = {
     "rsfnet": rsfnet_name_map,
     "colie_re": colie_name_map,
     "zid": zid_name_map,
+    "zero_mie": zero_mie_name_map,
+    "zero_mie_hsv_d": zero_mie_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,
     "llunet++_re": llunetpp_name_map,

@@ -474,7 +474,8 @@ def _build_stub_mon():
             super().__init__()
             self.loss_weight = loss_weight
 
-        def forward(self, x, target=None):
+        def forward(self, input, target=None):
+            x = input
             b, c, h, w = x.shape
             h_tv = ((x[:, :, 1:] - x[:, :, :-1]) ** 2).sum()
             w_tv = ((x[:, :, :, 1:] - x[:, :, :, :-1]) ** 2).sum()
@@ -488,8 +489,8 @@ def _build_stub_mon():
             super().__init__()
             self.loss_weight = loss_weight
 
-        def forward(self, x, target=None):
-            m = x.mean(dim=[2, 3], keepdim=True)
+        def forward(self, input, target=None):
+            m = input.mean(dim=[2, 3], keepdim=True)
             mr, mg, mb = m[:, 0], m[:, 1], m[:, 2]
             loss = (((mr - mg) ** 2) ** 2 + ((mr - mb) ** 2) ** 2
                     + ((mb - mg) ** 2) ** 2) ** 0.5
@@ -771,6 +772,254 @@ def _build_stub_mon():
             return x if self.is_last else torch.sin(self.w0 * x)
 
     nn_mod.SIRENLayer = SIRENLayer
+
+    class _MonSineLayer(torch.nn.Module):
+        """mon.nn SineLayer (inr.py:293-347)."""
+
+        def __init__(self, in_f, out_f, bias=True, is_first=False,
+                     omega_0=30.0, **k):
+            super().__init__()
+            self.omega_0 = omega_0
+            self.linear = torch.nn.Linear(in_f, out_f, bias)
+            with torch.no_grad():
+                if is_first:
+                    self.linear.weight.uniform_(-1 / in_f, 1 / in_f)
+                else:
+                    b = (6 / in_f) ** 0.5 / omega_0
+                    self.linear.weight.uniform_(-b, b)
+
+        def forward(self, x):
+            return torch.sin(self.omega_0 * self.linear(x))
+
+    class _MonSigmoidLayer(torch.nn.Module):
+        """mon.nn SigmoidLayer (inr.py:264-290): linear + sigmoid."""
+
+        def __init__(self, in_f, out_f, bias=True, **k):
+            super().__init__()
+            self.linear = torch.nn.Linear(in_f, out_f, bias)
+
+        def forward(self, x):
+            return torch.sigmoid(self.linear(x))
+
+    class INRLayer(torch.nn.Module):
+        """mon.nn.INRLayer (inr.py:379-477), sine/sigmoid paths."""
+
+        def __init__(self, in_channels, out_channels, bias=True,
+                     is_first=False, is_last=False, omega_0=30.0,
+                     scale=10.0, first_bias_scale=None, nonlinear="sine",
+                     dropout=0.0):
+            super().__init__()
+            if is_last:
+                nonlinear = "sigmoid"
+            if nonlinear == "sine":
+                self.nonlinear = _MonSineLayer(in_channels, out_channels,
+                                               bias, is_first, omega_0)
+            elif nonlinear == "sigmoid":
+                self.nonlinear = _MonSigmoidLayer(in_channels, out_channels,
+                                                  bias)
+            else:
+                raise NotImplementedError(nonlinear)
+            self.dropout = torch.nn.Dropout(dropout)
+
+        def forward(self, x):
+            return self.dropout(self.nonlinear(x))
+
+    nn_mod.INRLayer = INRLayer
+
+    def _get_coords(size):
+        h, w = (size, size) if isinstance(size, int) else size
+        coords = _np.dstack(_np.meshgrid(_np.linspace(0, 1, h),
+                                         _np.linspace(0, 1, w)))
+        return torch.from_numpy(coords).float()
+
+    class ContextImplicitFeatureEncoder(torch.nn.Module):
+        """mon.nn.ContextImplicitFeatureEncoder (inr.py:752-828)."""
+
+        def __init__(self, window_size=1, out_channels=256, down_size=256,
+                     hidden_layers=2, omega_0=30.0, first_bias_scale=None,
+                     nonlinear="sine", weight_decay=0.0001, **k):
+            super().__init__()
+            self.window_size = window_size
+            self.down_size = down_size
+            in_ch = window_size ** 2
+            net = [INRLayer(in_ch, out_channels, is_first=True,
+                            omega_0=omega_0, nonlinear=nonlinear)]
+            for _ in range(1, hidden_layers):
+                net.append(INRLayer(out_channels, out_channels,
+                                    omega_0=omega_0, nonlinear=nonlinear))
+            net.append(INRLayer(out_channels, out_channels, omega_0=omega_0,
+                                nonlinear=nonlinear))
+            self.net = torch.nn.Sequential(*net)
+
+        def forward(self, image):
+            ds = self.down_size
+            image_lr = torch.nn.functional.interpolate(
+                image, size=(ds, ds), mode="bicubic")
+            ws = self.window_size
+            c = image_lr.shape[1]
+            kernel = torch.zeros((ws ** 2, c, ws, ws))
+            for i in range(ws):
+                for j in range(ws):
+                    kernel[int(torch.sum(kernel).item()), 0, i, j] = 1
+            pad = torch.nn.ReflectionPad2d(ws // 2)
+            patch = torch.nn.functional.conv2d(pad(image_lr), kernel).squeeze(0)
+            patch = torch.movedim(patch, 0, -1)
+            return image_lr, self.net(patch)
+
+    class ContextImplicitCoordinatesEncoder(torch.nn.Module):
+        """mon.nn.ContextImplicitCoordinatesEncoder (inr.py:829-885)."""
+
+        def __init__(self, out_channels=256, down_size=256, hidden_layers=2,
+                     omega_0=30.0, first_bias_scale=None, nonlinear="sine",
+                     weight_decay=0.1, **k):
+            super().__init__()
+            self.down_size = down_size
+            net = [INRLayer(2, out_channels, is_first=True, omega_0=omega_0,
+                            nonlinear=nonlinear)]
+            for _ in range(1, hidden_layers):
+                net.append(INRLayer(out_channels, out_channels,
+                                    omega_0=omega_0, nonlinear=nonlinear))
+            net.append(INRLayer(out_channels, out_channels, omega_0=omega_0,
+                                nonlinear=nonlinear))
+            self.net = torch.nn.Sequential(*net)
+
+        def forward(self, image):
+            return self.net(_get_coords((self.down_size, self.down_size)))
+
+    class ContextImplicitDecoder(torch.nn.Module):
+        """mon.nn.ContextImplicitDecoder (inr.py:886-925): sine hidden
+        layers + a sigmoid-linear head (INRLayer is_last)."""
+
+        def __init__(self, in_channels=256, out_channels=3, hidden_layers=1,
+                     omega_0=30.0, nonlinear="sine", weight_decay=0.001,
+                     **k):
+            super().__init__()
+            net = [INRLayer(in_channels, in_channels, omega_0=omega_0,
+                            nonlinear=nonlinear)
+                   for _ in range(hidden_layers)]
+            net.append(INRLayer(in_channels, out_channels, is_last=True,
+                                omega_0=omega_0))
+            self.net = torch.nn.Sequential(*net)
+
+        def forward(self, x):
+            return self.net(x)
+
+    nn_mod.ContextImplicitFeatureEncoder = ContextImplicitFeatureEncoder
+    nn_mod.ContextImplicitCoordinatesEncoder = ContextImplicitCoordinatesEncoder
+    nn_mod.ContextImplicitDecoder = ContextImplicitDecoder
+
+    class BoundaryAwarePrior(torch.nn.Module):
+        """mon.nn.BoundaryAwarePrior (prior/image.py:182-236): kornia
+        sobel magnitude (replicate pad, eps inside sqrt), / max, > eps."""
+
+        def __init__(self, eps=0.05, normalized=False):
+            super().__init__()
+            self.eps = eps
+            self.normalized = normalized
+
+        def forward(self, image):
+            kx = torch.tensor([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+            if self.normalized:
+                kx = kx / 8.0
+            ky = kx.t()
+            c = image.shape[1]
+            xp = torch.nn.functional.pad(image, (1, 1, 1, 1),
+                                         mode="replicate")
+            gx = torch.nn.functional.conv2d(
+                xp, kx.view(1, 1, 3, 3).repeat(c, 1, 1, 1), groups=c)
+            gy = torch.nn.functional.conv2d(
+                xp, ky.view(1, 1, 3, 3).repeat(c, 1, 1, 1), groups=c)
+            g = torch.sqrt(gx * gx + gy * gy + 1e-6)
+            g = g / g.max()
+            return (g > self.eps).float()
+
+    nn_mod.BoundaryAwarePrior = BoundaryAwarePrior
+
+    class ExposureControlLoss(torch.nn.Module):
+        """mon.nn.ExposureControlLoss (loss/image.py:535-569)."""
+
+        def __init__(self, patch_size=16, mean_val=0.6, loss_weight=1.0,
+                     reduction="mean", **k):
+            super().__init__()
+            self.pool = torch.nn.AvgPool2d(patch_size)
+            self.mean_val = mean_val
+            self.loss_weight = loss_weight
+
+        def forward(self, input):
+            x = torch.mean(input, 1, keepdim=True)
+            mean = self.pool(x)
+            return self.loss_weight * torch.mean(
+                (mean - self.mean_val) ** 2)
+
+    nn_mod.ExposureControlLoss = ExposureControlLoss
+
+    class SpatialConsistencyLoss(torch.nn.Module):
+        """mon.nn.SpatialConsistencyLoss (loss/image.py:905-1120),
+        4/8-region variant."""
+
+        def __init__(self, num_regions=4, patch_size=4, loss_weight=1.0,
+                     reduction="mean", **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+            self.pool = torch.nn.AvgPool2d(patch_size)
+            offs = [(0, -1), (0, 1), (-1, 0), (1, 0)]
+            if num_regions in (8, 16):
+                offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+            ks = []
+            for dy, dx in offs:
+                k3 = torch.zeros(1, 1, 3, 3)
+                k3[0, 0, 1, 1] = 1
+                k3[0, 0, 1 + dy, 1 + dx] = -1
+                ks.append(k3)
+            self.register_buffer("kernels", torch.cat(ks, 0))
+
+        def forward(self, input, target):
+            org = self.pool(torch.mean(input, 1, keepdim=True))
+            enh = self.pool(torch.mean(target, 1, keepdim=True))
+            loss = 0
+            for i in range(self.kernels.shape[0]):
+                k3 = self.kernels[i:i + 1]
+                do = torch.nn.functional.conv2d(org, k3, padding=1)
+                de = torch.nn.functional.conv2d(enh, k3, padding=1)
+                loss = loss + (do - de) ** 2
+            return self.loss_weight * torch.mean(loss)
+
+    nn_mod.SpatialConsistencyLoss = SpatialConsistencyLoss
+
+    class EdgeAwareDepthConsistencyLoss(torch.nn.Module):
+        """mon.nn.EdgeAwareDepthConsistencyLoss (loss/image.py:367-400)."""
+
+        def __init__(self, tau=0.1, loss_weight=1.0, reduction="mean", **k):
+            super().__init__()
+            self.tau = tau
+            self.loss_weight = loss_weight
+
+        @staticmethod
+        def _sobel(x):
+            kx = torch.tensor([[1.0, 0, -1], [2, 0, -2], [1, 0, -1]]
+                              ).view(1, 1, 3, 3)
+            ky = torch.tensor([[1.0, 2, 1], [0, 0, 0], [-1, -2, -1]]
+                              ).view(1, 1, 3, 3)
+            chans = torch.chunk(x, chunks=x.shape[1], dim=1)
+            gx = torch.cat([torch.nn.functional.conv2d(c, kx, padding=1)
+                            for c in chans], 1)
+            gy = torch.cat([torch.nn.functional.conv2d(c, ky, padding=1)
+                            for c in chans], 1)
+            return gx, gy
+
+        def forward(self, input, depth):
+            dx, dy = self._sobel(depth)
+            mask = (torch.sqrt(dx ** 2 + dy ** 2) > self.tau).float()
+            gx, gy = self._sobel(input)
+            return self.loss_weight * (mask * (gx ** 2 + gy ** 2)).mean()
+
+    nn_mod.EdgeAwareDepthConsistencyLoss = EdgeAwareDepthConsistencyLoss
+
+    def _rgb_to_grayscale(image, rgb_weights=None):
+        r, g, b = image.unbind(dim=-3)
+        return (0.299 * r + 0.587 * g + 0.114 * b).unsqueeze(-3)
+
+    core.rgb_to_grayscale = _rgb_to_grayscale
 
     class ExposureValueControlLoss(torch.nn.Module):
         """mon.nn.ExposureValueControlLoss (loss/image.py:572-607)."""

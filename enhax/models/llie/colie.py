@@ -28,7 +28,7 @@ from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.nn.inr import SineLayer
 from enhax.ops.color import hsv_to_rgb, rgb_to_hsv
-from enhax.ops.filtering import box_filter_sum, box_window_count
+from enhax.ops.filtering import fast_guided_filter_bicubic
 from enhax.ops.resize import resize_bicubic_torch
 
 
@@ -50,24 +50,6 @@ class SirenStack(nn.Module):
                 x = SineLayer(d, is_first=(i == 0 and self.is_first),
                               omega_0=self.omega_0, name=f"sine{i}")(x)
         return x
-
-
-def _fast_guided_filter_bicubic(x_lr, y_lr, x_hr, radius: int = 1,
-                                eps: float = 1e-8):
-    """FastGuidedFilter (guided_filter.py:150-203): cumsum box filter,
-    A/b upsampled with BICUBIC align_corners=True."""
-    n = box_window_count((x_lr.shape[-3], x_lr.shape[-2]), radius,
-                         x_lr.dtype)
-    mean_x = box_filter_sum(x_lr, radius) / n
-    mean_y = box_filter_sum(y_lr, radius) / n
-    cov_xy = box_filter_sum(x_lr * y_lr, radius) / n - mean_x * mean_y
-    var_x = box_filter_sum(x_lr * x_lr, radius) / n - mean_x * mean_x
-    a = cov_xy / (var_x + eps)
-    b = mean_y - a * mean_x
-    hr = (x_hr.shape[-3], x_hr.shape[-2])
-    mean_a = resize_bicubic_torch(a, hr, align_corners=True)
-    mean_b = resize_bicubic_torch(b, hr, align_corners=True)
-    return mean_a * x_hr + mean_b
 
 
 class CoLIEModule(nn.Module):
@@ -116,7 +98,7 @@ class CoLIEModule(nn.Module):
 
         illu_lr = illu_res_lr + v_lr
         v_fixed_lr = v_lr / (illu_lr + 1e-4)
-        v_fixed = _fast_guided_filter_bicubic(v_lr, v_fixed_lr, v,
+        v_fixed = fast_guided_filter_bicubic(v_lr, v_fixed_lr, v,
                                               radius=self.gf_radius,
                                               eps=self.gf_eps)
         v_fixed = jnp.clip(v_fixed, 0.0, 1.0)

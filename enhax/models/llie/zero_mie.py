@@ -25,11 +25,11 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.inr import INRNet, context_window_features, coordinate_grid
+from enhax.nn.inr import _LAYER_TYPES, FINERLayer, SineLayer
 from enhax.nn.layers import boundary_aware_prior
 from enhax.ops.color import hsv_to_rgb, rgb_to_grayscale, rgb_to_hsv
-from enhax.ops.filtering import fast_guided_filter
-from enhax.ops.resize import resize
+from enhax.ops.filtering import fast_guided_filter_bicubic
+from enhax.ops.resize import resize_bicubic_torch
 
 
 class FiLM(nn.Module):
@@ -84,17 +84,34 @@ class ZeroMIEModule(nn.Module):
     use_film: bool = False        # FiLM(value, depth) — ref :532 (commented)
     use_cross_attn: bool = False  # CrossAttention — ref :533-534 (commented)
 
-    def _encoder(self, x_lr, n, name):
-        """ContextImplicitFeatureEncoder (inr.py:752-828): channel-0 context
-        windows -> INR features. Returns (n, ds*ds, mid)."""
+    def _inr_stack(self, x, mid, n_layers, name):
+        """ContextImplicitFeatureEncoder/CoordinatesEncoder net
+        (inr.py:752-885): first sine layer + ``hidden_layers`` more sine
+        layers (NO trailing linear)."""
+        cls = _LAYER_TYPES[self.nonlinear]
+        for i in range(n_layers + 1):
+            kw = {}
+            if cls in (SineLayer, FINERLayer):
+                kw = dict(is_first=(i == 0), omega_0=self.omega_0)
+                if cls is FINERLayer:
+                    kw["first_bias_scale"] = self.first_bias_scale
+            x = cls(mid, name=f"{name}_net{i}", **kw)(x)
+        return x
+
+    def _encoder(self, x, n, name):
+        """ContextImplicitFeatureEncoder (inr.py:752-828): bicubic
+        downsample, reflection-padded context windows on channel 0,
+        sine INR. Returns (x_lr, features (n, ds, ds, mid))."""
         ds = self.down_size
         mid = self.hidden_channels // (4 if self.color_space.endswith("_d") else 2)
-        ctx = context_window_features(x_lr[..., 0:1], window=self.window_size // 2)
-        ctx = ctx.reshape(n, ds * ds, -1)
-        return INRNet(hidden_features=mid, hidden_layers=self.hidden_layers,
-                      out_features=mid, layer_type=self.nonlinear,
-                      omega_0=self.omega_0,
-                      first_bias_scale=self.first_bias_scale, name=name)(ctx)
+        x_lr = resize_bicubic_torch(x, (ds, ds))
+        w2 = self.window_size // 2
+        k = self.window_size
+        xp = jnp.pad(x_lr[..., 0:1], ((0, 0), (w2, w2), (w2, w2), (0, 0)),
+                     mode="reflect")
+        ctx = jnp.stack([xp[:, dy:dy + ds, dx:dx + ds, 0]
+                         for dy in range(k) for dx in range(k)], axis=-1)
+        return x_lr, self._inr_stack(ctx, mid, self.hidden_layers, name)
 
     @nn.compact
     def __call__(self, image, depth=None):
@@ -115,45 +132,54 @@ class ZeroMIEModule(nn.Module):
             base = image
             out_ch = 3
 
-        base_lr = resize(base, (ds, ds), method="bicubic")
-        depth_lr = resize(depth, (ds, ds), method="bicubic")
-        edge_lr = resize(edge, (ds, ds), method="bicubic")
+        base_lr, value_inr = self._encoder(base, n, "value_net")
+        depth_lr = resize_bicubic_torch(depth, (ds, ds))
+        edge_lr = resize_bicubic_torch(edge, (ds, ds))
 
-        value_inr = self._encoder(base_lr, n, "value_net")
-        coords = jnp.broadcast_to(coordinate_grid(ds, ds)[None], (n, ds * ds, 2))
-        coords_inr = INRNet(hidden_features=mid, hidden_layers=self.hidden_layers,
-                            out_features=mid, layer_type=self.nonlinear,
-                            omega_0=self.omega_0,
-                            first_bias_scale=self.first_bias_scale,
-                            name="coords_net")(coords)
+        # get_coords (inr.py:43-53): [0,1]^2, channel 0 varies along W
+        lin = jnp.linspace(0.0, 1.0, ds)
+        cx, cy = jnp.meshgrid(lin, lin)
+        coords = jnp.broadcast_to(jnp.stack([cx, cy], -1)[None],
+                                  (n, ds, ds, 2))
+        coords_inr = self._inr_stack(coords, mid, self.hidden_layers,
+                                     "coords_net")
 
         if multimodal:
-            depth_inr = self._encoder(depth_lr, n, "depth_net")
-            edge_inr = self._encoder(edge_lr, n, "edge_net")
+            _, depth_inr = self._encoder(depth, n, "depth_net")
+            _, edge_inr = self._encoder(edge, n, "edge_net")
             if self.use_film:
-                dflat = depth_lr.reshape(n, ds * ds, 1)
-                value_inr = FiLM(mid, name="film")(value_inr, dflat)
+                value_inr = FiLM(mid, name="film")(value_inr,
+                                                   depth_lr)
             if self.use_cross_attn:
                 value_inr = CrossAttentionLayer(mid, name="cross_attn")(
                     value_inr, edge_inr, depth_inr)
             if cs == "hsv_d":   # :535 order
                 feats = [value_inr, edge_inr, depth_inr, coords_inr]
-            else:               # rgb_d, :299 order
+            else:               # rgb_d, :380 order
                 feats = [value_inr, depth_inr, edge_inr, coords_inr]
         else:
             feats = [value_inr, coords_inr]
 
         joint = jnp.concatenate(feats, axis=-1)
-        illu_res = INRNet(hidden_features=self.hidden_channels,
-                          hidden_layers=self.out_layers - 1, out_features=out_ch,
-                          layer_type=self.nonlinear, omega_0=self.omega_0,
-                          name="output_net")(joint)
-        illu_res_lr = illu_res.reshape(n, ds, ds, out_ch)
+        # ContextImplicitDecoder (inr.py:886-925): out_layers sine layers
+        # (in->in) + a sigmoid-linear head (INRLayer is_last)
+        y = joint
+        cls = _LAYER_TYPES[self.nonlinear]
+        for i in range(self.out_layers):
+            kw = (dict(is_first=False, omega_0=self.omega_0)
+                  if cls in (SineLayer, FINERLayer) else {})
+            y = cls(joint.shape[-1], name=f"output_net_net{i}", **kw)(y)
+        y = jax.nn.sigmoid(nn.Dense(out_ch,
+                                    name=f"output_net_net{self.out_layers}")(y))
+        # zero_mie.py:305/389/462/544: .view(1, C, ds, ds) of a (ds,ds,C)
+        # tensor — a raw reinterpretation, NOT a transpose; replicated
+        illu_res_lr = jnp.moveaxis(
+            y.reshape(n, -1).reshape(n, out_ch, ds, ds), 1, -1)
 
         illu_lr = illu_res_lr + base_lr
         enhanced_lr = base_lr / (illu_lr + 1e-8)
-        enhanced_base = fast_guided_filter(enhanced_lr, base_lr, base,
-                                           radius=self.gf_radius)
+        enhanced_base = fast_guided_filter_bicubic(
+            base_lr, enhanced_lr, base, radius=self.gf_radius)
         enhanced_base = jnp.clip(enhanced_base, 0, 1)
         if cs.startswith("hsv"):
             # replace_v_component (:240-244) + hsv_to_rgb
@@ -161,7 +187,7 @@ class ZeroMIEModule(nn.Module):
                 [image_hsv[..., 0:2], enhanced_base], axis=-1))
         else:
             enhanced = enhanced_base
-        enhanced = enhanced / jnp.maximum(jnp.max(enhanced), 1e-8)
+        enhanced = enhanced / jnp.max(enhanced)
         return {"enhanced": enhanced, "illu_lr": illu_lr,
                 "image_lr": base_lr, "enhanced_lr": enhanced_lr,
                 "depth_lr": depth_lr, "edge_lr": edge_lr, "edge": edge}
@@ -169,23 +195,28 @@ class ZeroMIEModule(nn.Module):
 
 def zero_mie_loss(exp_mean: float = 0.6, exp_weight: float = 10.0,
                   spa_weight: float = 1.0, color_weight: float = 5.0,
-                  tv_weight: float = 1600.0, depth_weight: float = 1.0):
+                  tv_weight: float = 1600.0, depth_weight: float = 1.0,
+                  edge_weight: float = 1.0):
+    """Reference Loss (zero_mie.py:39-99) on the FULL-RES image/enhanced
+    pair (spa with 8 regions). NOTE: upstream's depth term calls
+    ``nn.MultiscaleDepthConsistencyLoss`` which does not exist in mon.nn
+    (AttributeError with the real runtime) — the depth term is therefore
+    dead upstream and omitted; the edge-aware term is real."""
     exp = LOSSES.build("exposure_control_loss", patch_size=16, mean_val=exp_mean)
-    spa = LOSSES.build("spatial_consistency_loss")
+    spa = LOSSES.build("spatial_consistency_loss", num_regions=8)
     col = LOSSES.build("color_constancy_loss")
     tv = LOSSES.build("total_variation_loss")
-    dws = LOSSES.build("depth_weighted_smoothness_loss")
+    edc = LOSSES.build("edge_aware_depth_consistency_loss")
 
     def fn(outputs, datapoint):
-        enhanced_lr = outputs["enhanced_lr"]
-        image_lr = outputs["image_lr"]
-        illu_lr = outputs["illu_lr"]
-        loss = (exp_weight * exp(enhanced_lr)
-                + spa_weight * spa(enhanced_lr, image_lr)
-                + color_weight * col(enhanced_lr)
-                + tv_weight * tv(illu_lr))
-        if "depth_lr" in outputs and outputs["depth_lr"] is not None:
-            loss = loss + depth_weight * dws(illu_lr, outputs["depth_lr"])
+        image = datapoint["image"]
+        enhanced = outputs["enhanced"]
+        loss = (exp_weight * exp(enhanced)
+                + spa_weight * spa(enhanced, image)
+                + color_weight * col(enhanced)
+                + tv_weight * tv(outputs["illu_lr"])
+                + edge_weight * edc(outputs["enhanced_lr"],
+                                    outputs["depth_lr"]))
         return loss
     return fn
 
@@ -194,34 +225,29 @@ def zero_mie_hsv_loss(exp_mean: float = 0.6, exp_weight: float = 8.0,
                       spa_weight: float = 1.0, tv_weight: float = 20.0,
                       spar_weight: float = 5.0, color_weight: float = 5.0,
                       depth_weight: float = 1.0, edge_weight: float = 1.0):
-    """LossHSV (zero_mie.py:101-170): exposure-value on the low-res
-    illumination (E = 1 - exp_mean, :646), squared spatial consistency,
-    TV on illumination, sparsity = mean(enhanced), color constancy, and
-    optional depth/edge terms. The reference's MultiscaleDepthConsistencyLoss
-    symbol does not exist in mon.nn (upstream bug); depth-weighted
-    smoothness stands in for it."""
+    """Reference LossHSV (zero_mie.py:101-170): exposure-value on the
+    low-res illumination (E = 1 - exp_mean, :646), squared spatial
+    consistency, TV on illumination, sparsity = mean(enhanced), color
+    constancy, edge-aware term on (enhanced_lr, depth_lr). The upstream
+    depth term (MultiscaleDepthConsistencyLoss) is absent from mon.nn
+    and omitted."""
     exp = LOSSES.build("exposure_value_control_loss", patch_size=16,
                        mean_val=1.0 - exp_mean)
     tv = LOSSES.build("total_variation_loss")
     col = LOSSES.build("color_constancy_loss")
-    dws = LOSSES.build("depth_weighted_smoothness_loss")
     edc = LOSSES.build("edge_aware_depth_consistency_loss")
 
     def fn(outputs, datapoint):
         illu_lr = outputs["illu_lr"]
         image_lr = outputs["image_lr"]
         enhanced = outputs["enhanced"]
-        enhanced_lr = outputs["enhanced_lr"]
         loss = (exp_weight * exp(illu_lr)
-                + spa_weight * jnp.mean((illu_lr - image_lr) ** 2)
+                + spa_weight * jnp.mean(jnp.abs((illu_lr - image_lr) ** 2))
                 + tv_weight * tv(illu_lr)
                 + spar_weight * jnp.mean(enhanced)
-                + color_weight * col(enhanced))
-        depth = datapoint.get("depth") if hasattr(datapoint, "get") else None
-        if depth is not None:
-            depth_lr = outputs["depth_lr"]
-            loss = loss + depth_weight * dws(enhanced_lr, depth_lr)
-            loss = loss + edge_weight * edc(enhanced_lr, depth_lr)
+                + color_weight * col(enhanced)
+                + edge_weight * edc(outputs["enhanced_lr"],
+                                    outputs["depth_lr"]))
         return loss
     return fn
 

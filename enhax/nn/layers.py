@@ -339,11 +339,22 @@ def brightness_attention_map(image, gamma: float = 2.5, ksize: int = 9):
 
 
 def boundary_aware_prior(image, eps: float = 0.05, normalized: bool = True):
-    """Thresholded Sobel edge prior (reference prior/image.py:221), used by
-    GCENet on the depth map: edges = sobel(x) > eps (binary, float)."""
-    g = sobel_filter(image, normalized=normalized)
-    if g.shape[-1] == 3:
-        g = jnp.max(g, axis=-1, keepdims=True)
+    """Thresholded Sobel edge prior (reference prior/image.py:182-236):
+    kornia-style sobel magnitude (replicate padding, eps inside the
+    sqrt), normalized by its global max, then thresholded."""
+    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    if normalized:
+        kx = kx / 8.0
+    ky = kx.T
+    xp = jnp.pad(image, [(0, 0)] * (image.ndim - 3) + [(1, 1), (1, 1), (0, 0)],
+                 mode="edge")
+    h, w = image.shape[-3], image.shape[-2]
+    gx = sum(kx[i, j] * xp[..., i:i + h, j:j + w, :]
+             for i in range(3) for j in range(3))
+    gy = sum(ky[i, j] * xp[..., i:i + h, j:j + w, :]
+             for i in range(3) for j in range(3))
+    g = jnp.sqrt(gx * gx + gy * gy + 1e-6)
+    g = g / jnp.max(g)
     return (g > eps).astype(image.dtype)
 
 

@@ -202,14 +202,26 @@ def edge_aware_depth_consistency_loss(tau: float = 0.1, loss_weight: float = 1.0
                                       reduction: str = "mean"):
     """Penalize image gradients where depth has strong (sobel) edges
     (image.py:367-400): mask = |sobel(depth)| > tau; mean(mask * |grad(x)|^2)."""
-    from enhax.ops.filtering import sobel_filter
+    import numpy as np
+
+    kx = np.array([[1.0, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32)
+    ky = np.array([[1.0, 2, 1], [0, 0, 0], [-1, -2, -1]], np.float32)
+
+    def _sobel_zero(x):
+        # reference uses F.conv2d(padding=1): ZERO padding, per channel
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        h, w = x.shape[-3], x.shape[-2]
+        gx = sum(kx[i, j] * xp[..., i:i + h, j:j + w, :]
+                 for i in range(3) for j in range(3))
+        gy = sum(ky[i, j] * xp[..., i:i + h, j:j + w, :]
+                 for i in range(3) for j in range(3))
+        return gx, gy
 
     def fn(input, depth, **_):
-        d_mag = sobel_filter(depth, normalized=False)
-        mask = (d_mag > tau).astype(input.dtype)
-        g_mag = sobel_filter(input, normalized=False)
-        # gx^2 + gy^2 == magnitude^2 (up to the stabilizing eps)
-        return loss_weight * jnp.mean(mask * g_mag ** 2)
+        dx, dy = _sobel_zero(depth)
+        mask = (jnp.sqrt(dx ** 2 + dy ** 2) > tau).astype(input.dtype)
+        gx, gy = _sobel_zero(input)
+        return loss_weight * jnp.mean(mask * (gx ** 2 + gy ** 2))
     return fn
 
 

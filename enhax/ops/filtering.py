@@ -87,6 +87,26 @@ def fast_guided_filter(image_lr, guide_lr, guide_hr, radius: int = 1, eps: float
     return mean_a * guide_hr + mean_b
 
 
+def fast_guided_filter_bicubic(x_lr, y_lr, x_hr, radius: int = 1,
+                               eps: float = 1e-8):
+    """FastGuidedFilter (guided_filter.py:150-203): cumsum box filter,
+    A/b upsampled with torch-exact BICUBIC align_corners=True (used by
+    CoLIE and Zero-MIE filter_up)."""
+    from enhax.ops.resize import resize_bicubic_torch
+    n = box_window_count((x_lr.shape[-3], x_lr.shape[-2]), radius,
+                         x_lr.dtype)
+    mean_x = box_filter_sum(x_lr, radius) / n
+    mean_y = box_filter_sum(y_lr, radius) / n
+    cov_xy = box_filter_sum(x_lr * y_lr, radius) / n - mean_x * mean_y
+    var_x = box_filter_sum(x_lr * x_lr, radius) / n - mean_x * mean_x
+    a = cov_xy / (var_x + eps)
+    b = mean_y - a * mean_x
+    hr = (x_hr.shape[-3], x_hr.shape[-2])
+    mean_a = resize_bicubic_torch(a, hr, align_corners=True)
+    mean_b = resize_bicubic_torch(b, hr, align_corners=True)
+    return mean_a * x_hr + mean_b
+
+
 def gaussian_kernel(kernel_size: int, sigma: float) -> np.ndarray:
     """Separable 1D Gaussian kernel (host-side constant)."""
     ax = np.arange(kernel_size) - (kernel_size - 1) / 2.0

@@ -1494,3 +1494,43 @@ def test_zid_reference_parity():
     loss, _ = model.forward_loss(params, dp)
     assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1) < 1e-3, \
         (float(loss), ref_loss)
+
+
+@pytest.mark.parametrize("cs", ["rgb", "hsv_d"])
+def test_zero_mie_reference_parity(cs):
+    """First-party Zero-MIE: context-window + coordinate sine INRs (all-
+    sine stacks, sigmoid-linear decoder head), torch-bicubic resamples,
+    boundary prior, the channel-scrambling .view reshape, guided-filter
+    upsample, and the Loss/LossHSV values. Upstream's depth term calls
+    the nonexistent nn.MultiscaleDepthConsistencyLoss (dummy -> 0 here,
+    omitted in enhax)."""
+    import jax
+    from enhax.convert.mappings import zero_mie_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/llie/zero_mie/zero_mie.py")
+    torch.manual_seed(0)
+    net = mod.ZeroMIE(color_space=cs, window_size=3, hidden_channels=32,
+                      down_size=32)
+    net.eval()
+    net.device = torch.device("cpu")
+    x = torch.rand(1, 3, 64, 64) * 0.5 + 0.05
+    with torch.no_grad():
+        ref = net({"image": x})
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    name = "zero_mie" if cs == "rgb" else "zero_mie_hsv_d"
+    model = MODELS.build(name, window_size=3, hidden_channels=32,
+                         down_size=32)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=zero_mie_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"zero_mie_{cs}: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for k in ("image_lr", "illu_lr", "enhanced_lr", "enhanced"):
+        _assert_close(_to_nhwc(ref[k]), np.asarray(got[k]), 5e-4,
+                      f"zero_mie_{cs}.{k}")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 2e-3, \
+        (cs, float(loss), ref_loss)
