@@ -661,9 +661,9 @@ def zid_name_map(skips=(0, 0, 0, 4, 4)) -> dict:
 def colie_name_map(num_layers: int = 4, add_layer: int = 2) -> dict:
     """CoLIE (colie.py:135-155 SIREN Sequential indices). The final
     output layer is plain linear (is_last)."""
-    m = {}
+    m = {"trans.density_k": "density_k"}
     n_branch = max(add_layer - 2, 0) + 2
-    for net in ("patch_net", "spatial_net"):
+    for net in ("patch_net", "patch_d_net", "patch_e_net", "spatial_net"):
         for i in range(n_branch):
             m[f"{net}.{i}.linear."] = f"{net}.sine{i}.Dense_0."
     n_out = (num_layers - 1 - add_layer) + 1
@@ -838,6 +838,8 @@ NAME_MAPS = {
     "psenet": psenet_name_map,
     "rsfnet": rsfnet_name_map,
     "colie_re": colie_name_map,
+    "colie_hvi": colie_name_map,
+    "colie_hvid": colie_name_map,
     "zid": zid_name_map,
     "zero_mie": zero_mie_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

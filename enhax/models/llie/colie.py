@@ -27,9 +27,10 @@ from flax import linen as nn
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.nn.inr import SineLayer
-from enhax.ops.color import hsv_to_rgb, rgb_to_hsv
+from enhax.nn.layers import boundary_aware_prior
+from enhax.ops.color import hsv_to_rgb, hvi_to_rgb, rgb_to_hsv, rgb_to_hvi
 from enhax.ops.filtering import fast_guided_filter_bicubic
-from enhax.ops.resize import resize_bicubic_torch
+from enhax.ops.resize import resize_bicubic_torch, resize_nearest_torch
 
 
 class SirenStack(nn.Module):
@@ -61,24 +62,36 @@ class CoLIEModule(nn.Module):
     num_layers: int = 4
     gf_radius: int = 1
     gf_eps: float = 1e-8
-    use_hvi: bool = False   # colie_hvi variant: fit intensity in HVI space
+    use_hvi: bool = False    # colie_hvi: fit intensity in HVI space
+    use_depth: bool = False  # colie_hvid: + depth/edge patch branches
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, depth=None):
         ds = self.down_size
-        hsv = rgb_to_hsv(x)
-        v = hsv[..., 2:3]
-        v_lr = resize_bicubic_torch(v, (ds, ds))
+        if self.use_hvi:
+            # colie_hvi.py:152-196: I channel of HVI, NEAREST downsample
+            k = self.param("density_k",
+                           nn.initializers.constant(0.2), (1,))[0]
+            hvi = rgb_to_hvi(x, density_k=k)
+            v = jax.lax.stop_gradient(hvi)[..., 2:3]   # image_i detached
+            v_lr = resize_nearest_torch(v, (ds, ds))
+        else:
+            hsv = rgb_to_hsv(x)
+            v = hsv[..., 2:3]
+            v_lr = resize_bicubic_torch(v, (ds, ds))
 
         # get_patches (colie.py:268-280): reflection-padded unfold
         w2 = self.window_size // 2
-        k = self.window_size
-        vp = jnp.pad(v_lr, ((0, 0), (w2, w2), (w2, w2), (0, 0)),
-                     mode="reflect")
-        patches = jnp.stack(
-            [vp[:, dy:dy + ds, dx:dx + ds, 0]
-             for dy in range(k) for dx in range(k)], axis=-1)
-        patches = patches.reshape(x.shape[0], ds * ds, -1)
+        kk = self.window_size
+
+        def patches_of(t):
+            tp = jnp.pad(t, ((0, 0), (w2, w2), (w2, w2), (0, 0)),
+                         mode="reflect")
+            p = jnp.stack([tp[:, dy:dy + ds, dx:dx + ds, 0]
+                           for dy in range(kk) for dx in range(kk)], axis=-1)
+            return p.reshape(x.shape[0], ds * ds, -1)
+
+        patches = patches_of(v_lr)
         # get_coords (colie.py:282-291): [0,1]^2, channel 0 = x (width)
         lin = jnp.linspace(0.0, 1.0, ds)
         cx, cy = jnp.meshgrid(lin, lin)   # default 'xy' like numpy
@@ -86,11 +99,24 @@ class CoLIEModule(nn.Module):
         coords = jnp.broadcast_to(coords, (x.shape[0], ds * ds, 2))
 
         mid = max(self.add_layer - 2, 0)
-        patch_feat = SirenStack((self.hidden_dim,) * (1 + mid) + (self.hidden_dim // 2,),
-                                name="patch_net")(patches)
-        spatial_feat = SirenStack((self.hidden_dim,) * (1 + mid) + (self.hidden_dim // 2,),
-                                  name="spatial_net")(coords)
-        joint = jnp.concatenate([patch_feat, spatial_feat], axis=-1)
+        tail = self.hidden_dim // (4 if self.use_depth else 2)
+        dims = (self.hidden_dim,) * (1 + mid) + (tail,)
+        patch_feat = SirenStack(dims, name="patch_net")(patches)
+        spatial_feat = SirenStack(dims, name="spatial_net")(coords)
+        feats = [patch_feat, spatial_feat]
+        if self.use_depth:
+            # colie_hvi.py:412-441: depth/edge patch branches; concat
+            # order [patch, edge, depth, spatial]
+            if depth is None:
+                depth = (0.299 * x[..., 0:1] + 0.587 * x[..., 1:2]
+                         + 0.114 * x[..., 2:3])
+            edge = boundary_aware_prior(depth, eps=0.05, normalized=False)
+            depth_lr = resize_nearest_torch(depth, (ds, ds))
+            edge_lr = resize_nearest_torch(edge, (ds, ds))
+            d_feat = SirenStack(dims, name="patch_d_net")(patches_of(depth_lr))
+            e_feat = SirenStack(dims, name="patch_e_net")(patches_of(edge_lr))
+            feats = [patch_feat, e_feat, d_feat, spatial_feat]
+        joint = jnp.concatenate(feats, axis=-1)
         out_dims = tuple(self.hidden_dim for _ in range(self.add_layer, self.num_layers - 1)) + (1,)
         illu_res = SirenStack(out_dims, is_first=False, final_linear=True,
                               name="output_net")(joint)
@@ -99,11 +125,15 @@ class CoLIEModule(nn.Module):
         illu_lr = illu_res_lr + v_lr
         v_fixed_lr = v_lr / (illu_lr + 1e-4)
         v_fixed = fast_guided_filter_bicubic(v_lr, v_fixed_lr, v,
-                                              radius=self.gf_radius,
-                                              eps=self.gf_eps)
+                                             radius=self.gf_radius,
+                                             eps=self.gf_eps)
         v_fixed = jnp.clip(v_fixed, 0.0, 1.0)
-        hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
-        rgb = hsv_to_rgb(hsv_fixed)
+        if self.use_hvi:
+            hvi_fixed = jnp.concatenate([hvi[..., :2], v_fixed], axis=-1)
+            rgb = hvi_to_rgb(hvi_fixed, density_k=k)
+        else:
+            hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
+            rgb = hsv_to_rgb(hsv_fixed)
         rgb = rgb / jnp.max(rgb)
         return {"enhanced": rgb, "illu_lr": illu_lr, "image_v_lr": v_lr,
                 "image_v_fixed_lr": v_fixed_lr}
@@ -138,7 +168,7 @@ def _avg_pool16(x):
     return x.reshape(*x.shape[:-3], h, k, w, k, x.shape[-1]).mean(axis=(-4, -2))
 
 
-def _make_colie(name, use_hvi=False, **kw):
+def _make_colie(name, use_hvi=False, use_depth=False, **kw):
     return Model(
         name=name, arch="colie",
         module=CoLIEModule(
@@ -147,7 +177,8 @@ def _make_colie(name, use_hvi=False, **kw):
             hidden_dim=kw.get("hidden_dim", 256),
             add_layer=kw.get("add_layer", 2),
             num_layers=kw.get("num_layers", 4),
-            use_hvi=use_hvi),
+            use_hvi=use_hvi,
+            use_depth=use_depth),
         tasks=(Task.LLIE,),
         schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE, Scheme.INSTANCE),
         loss_fn=colie_loss(L=kw.get("L", 0.3), alpha=kw.get("alpha", 1.0),
@@ -175,6 +206,6 @@ def colie_hvi(**kwargs) -> Model:
 @MODELS.register(name="colie_hvid", arch="colie",
                  tasks=(Task.LLIE,), schemes=(Scheme.INSTANCE,))
 def colie_hvid(**kwargs) -> Model:
-    m = _make_colie("colie_hvid", use_hvi=True, **kwargs)
-    m.required_inputs = ("image",)  # depth used when present (colie_hvi.py:282)
+    m = _make_colie("colie_hvid", use_hvi=True, use_depth=True, **kwargs)
+    m.optional_inputs = ("depth",)  # depth used when present (colie_hvi.py:412)
     return m

@@ -150,3 +150,13 @@ def resize_bicubic_torch(image, size, align_corners: bool = False):
     h, w = size
     y = axis_resize(jnp.asarray(image), -3, h)
     return axis_resize(y, -2, w)
+
+
+def resize_nearest_torch(image, size):
+    """Nearest resize matching torch ``F.interpolate`` default mode:
+    src index = floor(dst * in/out) per axis."""
+    x = jnp.asarray(image)
+    h, w = size
+    ih = jnp.floor(jnp.arange(h) * (x.shape[-3] / h)).astype(jnp.int32)
+    iw = jnp.floor(jnp.arange(w) * (x.shape[-2] / w)).astype(jnp.int32)
+    return jnp.take(jnp.take(x, ih, axis=-3), iw, axis=-2)

@@ -1534,3 +1534,55 @@ def test_zero_mie_reference_parity(cs):
     loss, _ = model.forward_loss(params, dp)
     assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 2e-3, \
         (cs, float(loss), ref_loss)
+
+
+@pytest.mark.parametrize("variant", ["hvi", "hvid"])
+def test_colie_hvi_reference_parity(variant):
+    """First-party CoLIE-HVI/HVID: learnable-density HVI intensity
+    channel (detached), NEAREST downsampling (F.interpolate default),
+    depth/edge patch branches for HVID, I-replacement + HVI->RGB."""
+    import jax
+    from enhax.convert.mappings import colie_name_map
+    colie_mod = refload.load_first_party(
+        "vision/enhance/llie/colie/colie.py")
+    pkg = type(colie_mod)("mon.vision.enhance.llie.colie")
+    pkg.colie = colie_mod
+    mod = refload.load_first_party(
+        "vision/enhance/llie/colie/colie_hvi.py",
+        extra_stubs={"mon.vision.enhance.llie": type(colie_mod)("x"),
+                     "mon.vision.enhance.llie.colie": pkg,
+                     "mon.vision.enhance.llie.colie.colie": colie_mod})
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(0)
+        cls = mod.CoLIE_HVI if variant == "hvi" else mod.CoLIE_HVID
+        net = cls(window_size=3, down_size=32, hidden_dim=32)
+        net.eval()
+        net.device = torch.device("cpu")
+        x = torch.rand(1, 3, 48, 48) * 0.5 + 0.05
+        with torch.no_grad():
+            ref = net({"image": x})
+            ref_loss = float(net.forward_loss({"image": x})["loss"])
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    name = "colie_hvi" if variant == "hvi" else "colie_hvid"
+    model = MODELS.build(name, window_size=3, down_size=32, hidden_dim=32)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=colie_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"colie_{variant}: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref["illu_lr"]), np.asarray(got["illu_lr"]),
+                  5e-4, f"colie_{variant}.illu_lr")
+    _assert_close(_to_nhwc(ref["image_i_lr"]),
+                  np.asarray(got["image_v_lr"]), 5e-4,
+                  f"colie_{variant}.i_lr")
+    _assert_close(_to_nhwc(ref["enhanced"]), np.asarray(got["enhanced"]),
+                  1e-3, f"colie_{variant}.enhanced")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 2e-3, \
+        (variant, float(loss), ref_loss)
