@@ -605,6 +605,15 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def gcenet_name_map() -> dict:
+    """GCENet (gcenet.py:203-233 DSConv blocks under ``en.``)."""
+    return {
+        "en.": "",
+        "*.conv.dw_conv.": ".DSConv_0.depthwise.",
+        "*.conv.pw_conv.": ".DSConv_0.pointwise.",
+    }
+
+
 def zero_mie_name_map(hidden_layers: int = 2, out_layers: int = 1) -> dict:
     """Zero-MIE (zero_mie.py:253-556 + inr.py:752-925 INR stacks). The
     decoder's last layer is a sigmoid-linear INRLayer."""
@@ -842,6 +851,9 @@ NAME_MAPS = {
     "colie_hvid": colie_name_map,
     "zid": zid_name_map,
     "zero_mie": zero_mie_name_map,
+    "gcenet": gcenet_name_map,
+    "gcenet_zsn2n": gcenet_name_map,
+    "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,
     "hvi_cidnet_re": hvi_cidnet_name_map,
     "lyt_net_re": lyt_net_name_map,

@@ -1020,6 +1020,30 @@ def _build_stub_mon():
         return (0.299 * r + 0.587 * g + 0.114 * b).unsqueeze(-3)
 
     core.rgb_to_grayscale = _rgb_to_grayscale
+    core.is_color_image = lambda img: img.shape[1] == 3
+
+    class BrightnessAttentionMap(torch.nn.Module):
+        """mon.nn.BrightnessAttentionMap (prior/image.py:243-317):
+        median denoise (kornia-style reflect padding), (1 - V_hsv)^g."""
+
+        def __init__(self, gamma=2.5, denoise_ksize=None):
+            super().__init__()
+            self.gamma = gamma
+            self.denoise_ksize = denoise_ksize
+
+        def forward(self, image):
+            x = image
+            if self.denoise_ksize:
+                k = self.denoise_ksize
+                k = k if isinstance(k, int) else k[0]
+                p = k // 2
+                xp = torch.nn.functional.pad(x, (p, p, p, p), mode="reflect")
+                patches = xp.unfold(2, k, 1).unfold(3, k, 1)
+                x = patches.reshape(*patches.shape[:4], -1).median(-1)[0]
+            v = x.max(dim=1, keepdim=True)[0]
+            return (1 - v) ** self.gamma
+
+    nn_mod.BrightnessAttentionMap = BrightnessAttentionMap
 
     class ExposureValueControlLoss(torch.nn.Module):
         """mon.nn.ExposureValueControlLoss (loss/image.py:572-607)."""
@@ -1249,6 +1273,33 @@ def _build_stub_mon():
             return up(a) * x_hr + up(b)
 
     filtering.FastGuidedFilter = FastGuidedFilter
+
+    class GuidedFilter(torch.nn.Module):
+        """Behavioral stub of mon.vision.filtering.GuidedFilter
+        (guided_filter.py:99-148): same-resolution cumsum-box variant."""
+
+        def __init__(self, radius, eps=1e-8):
+            super().__init__()
+            self.r = radius
+            self.eps = eps
+
+        def _box(self, x):
+            return _diff_y(_diff_x(x.cumsum(dim=2), self.r).cumsum(dim=3),
+                           self.r)
+
+        def forward(self, image, guide):
+            x, y = image, guide
+            _, _, h, w = x.shape
+            n = self._box(x.new_ones((1, 1, h, w)))
+            mean_x = self._box(x) / n
+            mean_y = self._box(y) / n
+            cov_xy = self._box(x * y) / n - mean_x * mean_y
+            var_x = self._box(x * x) / n - mean_x * mean_x
+            a = cov_xy / (var_x + self.eps)
+            b = mean_y - a * mean_x
+            return self._box(a) / n * x + self._box(b) / n
+
+    filtering.GuidedFilter = GuidedFilter
     vision.enhance = enhance
     vision.filtering = filtering
     mon.vision = vision

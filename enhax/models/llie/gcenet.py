@@ -97,10 +97,10 @@ class GCENetModule(nn.Module):
 
 
 def _gce_loss():
-    """GCENet symmetric loss = zero-reference quartet with SPA(num_regions=8?)
-    — reference gcenet.py Loss (:41-95) uses the same four terms."""
+    """GCENet Loss (gcenet.py:40-95): zero-reference quartet with
+    weight_tva=1600 on the adjust map, spa num_regions=4."""
     return zero_reference_loss(spa_weight=1.0, exp_weight=10.0,
-                               col_weight=5.0, tva_weight=200.0)
+                               col_weight=5.0, tva_weight=1600.0)
 
 
 def _make_gcenet(num_channels, num_iters, use_depth, use_edge, **kwargs):

@@ -331,11 +331,25 @@ def make_shift_attn_mask(h: int, w: int, window_size: int, shift: int):
 # Priors & MoE
 # ---------------------------------------------------------------------------
 
-def brightness_attention_map(image, gamma: float = 2.5, ksize: int = 9):
-    """blur(1 - gray^gamma): bright-region attention (reference prior/image.py)."""
-    from enhax.ops.color import rgb_to_grayscale
-    g = rgb_to_grayscale(image) if image.shape[-1] == 3 else image
-    return box_filter(1.0 - jnp.power(jnp.maximum(g, 1e-8), gamma), radius=ksize // 2)
+def median_blur(x, ksize: int):
+    """kornia-style median blur: reflect padding, per-channel window
+    median."""
+    p = ksize // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(p, p), (p, p), (0, 0)],
+                 mode="reflect")
+    h, w = x.shape[-3], x.shape[-2]
+    patches = jnp.stack([xp[..., dy:dy + h, dx:dx + w, :]
+                         for dy in range(ksize) for dx in range(ksize)],
+                        axis=-1)
+    return jnp.median(patches, axis=-1)
+
+
+def brightness_attention_map(image, gamma: float = 2.5, ksize: int | None = 9):
+    """BAM prior (reference prior/image.py:243-289): optional median
+    denoise, then (1 - V_hsv)^gamma where V = max(R,G,B)."""
+    x = median_blur(image, ksize) if ksize else image
+    v = jnp.max(x, axis=-1, keepdims=True)
+    return jnp.power(1.0 - v, gamma)
 
 
 def boundary_aware_prior(image, eps: float = 0.05, normalized: bool = True):

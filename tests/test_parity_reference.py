@@ -1586,3 +1586,49 @@ def test_colie_hvi_reference_parity(variant):
     loss, _ = model.forward_loss(params, dp)
     assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 2e-3, \
         (variant, float(loss), ref_loss)
+
+
+def test_gcenet_reference_parity():
+    """First-party GCENet (previously blocked on plum/ximgproc/fvcore —
+    all stubbed now): DSConv U-skip curve net over [image, depth, edge],
+    brightness-attention curve loop (median-blurred V), cumsum guided
+    filter, and the 4-term zero-reference loss (tva 1600 on adjust)."""
+    import jax
+    from enhax.convert.mappings import gcenet_name_map
+    mod = refload.load_first_party("vision/enhance/llie/gcenet/gcenet.py")
+    torch.manual_seed(0)
+    net = mod.GCENet(num_channels=8)
+    net.eval()
+    net.device = torch.device("cpu")
+    x = torch.rand(1, 3, 48, 48) * 0.5 + 0.05
+    d = torch.rand(1, 1, 48, 48)
+    with torch.no_grad():
+        ref = net({"image": x, "depth": d})
+        ref_loss = float(net.forward_loss({"image": x, "depth": d})["loss"])
+    model = MODELS.build("gcenet", num_channels=8)
+    dp = {"image": _to_nhwc(x), "depth": _to_nhwc(d)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=gcenet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"gcenet: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for k in ("adjust", "bam", "enhanced"):
+        _assert_close(_to_nhwc(ref[k]), np.asarray(got[k]), 5e-4,
+                      f"gcenet.{k}")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 1e-3, \
+        (float(loss), ref_loss)
+
+    # gcenet_zsn2n: pair-downsample residual/consistency + 0.5x enh loss
+    net_z = mod.GCENet_ZSN2N(num_channels=8)
+    net_z.load_state_dict(net.state_dict())
+    net_z.eval()
+    net_z.device = torch.device("cpu")
+    with torch.no_grad():
+        ref_zloss = float(net_z.forward_loss({"image": x, "depth": d})["loss"])
+    model_z = MODELS.build("gcenet_zsn2n", num_channels=8)
+    zloss, _ = model_z.forward_loss(params, dp)
+    assert abs(float(zloss) - ref_zloss) / max(abs(ref_zloss), 1e-6) < 1e-3, \
+        (float(zloss), ref_zloss)
