@@ -29,8 +29,8 @@ from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.nn.layers import DSConv
 from enhax.ops.color import hsv_to_rgb, rgb_to_hsv
-from enhax.ops.filtering import fast_guided_filter
-from enhax.ops.resize import resize
+from enhax.ops.filtering import fast_guided_filter_bicubic
+from enhax.ops.resize import resize, resize_nearest_torch
 
 
 def dce_init(key, shape, dtype=jnp.float32):
@@ -134,20 +134,20 @@ class ZeroDCEV(nn.Module):
     num_iters: int = 15
     down_size: int = 256
     radius: int = 1
-    eps: float = 1e-4
+    eps: float = 1e-8
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         hsv = rgb_to_hsv(x)
         v = hsv[..., 2:3]
-        v_lr = resize(v, (self.down_size, self.down_size), method="bilinear")
+        # zero_dce_v.py:207-209: F.interpolate default = NEAREST
+        v_lr = resize_nearest_torch(v, (self.down_size, self.down_size))
         curves = DCENet(self.num_channels, self.num_iters, "conv",
                         dtype=self.dtype, name="dce")(v_lr)
         v_fixed_lr = apply_curves(v_lr, curves, self.num_iters, shared=False)
-        v_fixed = jnp.clip(fast_guided_filter(v_fixed_lr, v_lr, v,
-                                              radius=self.radius, eps=self.eps),
-                           0.0, 1.0)
+        v_fixed = jnp.clip(fast_guided_filter_bicubic(
+            v_lr, v_fixed_lr, v, radius=self.radius, eps=self.eps), 0.0, 1.0)
         hsv_fixed = jnp.concatenate([hsv[..., :2], v_fixed], axis=-1)
         rgb = hsv_to_rgb(hsv_fixed)
         rgb = rgb / jnp.maximum(jnp.max(rgb), 1e-8)
@@ -223,7 +223,7 @@ def zero_dce_v(num_channels: int = 32, num_iters: int = 15, down_size: int = 256
                         down_size=down_size),
         tasks=(Task.LLIE,),
         schemes=(Scheme.UNSUPERVISED, Scheme.ZERO_REFERENCE, Scheme.INSTANCE),
-        loss_fn=zero_reference_loss(),
+        loss_fn=zero_reference_loss(exp_mean_val=0.8),  # zero_dce_v.py:42
         required_inputs=("image",),
         instance_steps=100, instance_lr=1e-4,
     )

@@ -1632,3 +1632,33 @@ def test_gcenet_reference_parity():
     zloss, _ = model_z.forward_loss(params, dp)
     assert abs(float(zloss) - ref_zloss) / max(abs(ref_zloss), 1e-6) < 1e-3, \
         (float(zloss), ref_zloss)
+
+
+def test_zero_dce_v_reference_parity():
+    """First-party Zero-DCE-V: 15-iteration per-channel curves on the
+    NEAREST-downsampled HSV value channel, guided-filter upsample
+    (bicubic align_corners=True), V replacement, exp E=0.8 loss."""
+    import jax
+    mod = refload.load_first_party("vision/enhance/llie/zero_dce/zero_dce_v.py")
+    torch.manual_seed(0)
+    net = mod.ZeroDCEV(num_channels=8, down_size=32)
+    net.eval()
+    net.device = torch.device("cpu")
+    x = torch.rand(1, 3, 48, 48) * 0.6 + 0.05
+    with torch.no_grad():
+        ref = net({"image": x})
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    model = MODELS.build("zero_dce_v", num_channels=8, down_size=32)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=zero_dce_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"zero_dce_v: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref["enhanced"]), np.asarray(got["enhanced"]),
+                  5e-4, "zero_dce_v.enhanced")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 1e-3, \
+        (float(loss), ref_loss)
