@@ -605,6 +605,35 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def lama_name_map(n_blocks: int = 9, n_downs: int = 3) -> dict:
+    """LaMa FFCResNetGenerator (ffc.py:305-369) Sequential indices ->
+    enhax names (ffc_resnet_075 layout)."""
+    m = {"model.1.ffc.convl2l.": "stem_conv.", "model.1.bn_l.": "stem_bn."}
+    for i in range(n_downs):
+        m[f"model.{2 + i}.ffc.convl2l."] = f"down{i}_l2l."
+        m[f"model.{2 + i}.bn_l."] = f"down{i}_bn_l."
+    last = n_downs - 1
+    m[f"model.{2 + last}.ffc.convl2g."] = f"down{last}_l2g."
+    m[f"model.{2 + last}.bn_g."] = f"down{last}_bn_g."
+    for i in range(n_blocks):
+        for c in (1, 2):
+            m[f"model.{2 + n_downs + i}.conv{c}."] = f"block{i}.c{c}."
+    up0 = 2 + n_downs + n_blocks + 1       # after ConcatTupleLayer
+    for i in range(n_downs):
+        m[f"model.{up0 + 3 * i}."] = f"up{i}_deconv."
+        m[f"model.{up0 + 3 * i + 1}."] = f"up{i}_bn."
+    m[f"model.{up0 + 3 * n_downs + 1}."] = "out_conv."
+    m["*.ffc.convl2l."] = ".l2l."
+    m["*.ffc.convl2g."] = ".l2g."
+    m["*.ffc.convg2l."] = ".g2l."
+    m["*.ffc.convg2g.conv1.0."] = ".g2g.conv1."
+    m["*.ffc.convg2g.conv1.1."] = ".g2g.bn1."
+    m["*.ffc.convg2g.fu.conv_layer."] = ".g2g.fu.conv."
+    m["*.ffc.convg2g.fu.bn."] = ".g2g.fu.bn."
+    m["*.ffc.convg2g.conv2."] = ".g2g.conv2."
+    return m
+
+
 def gcenet_name_map() -> dict:
     """GCENet (gcenet.py:203-233 DSConv blocks under ``en.``)."""
     return {
@@ -852,6 +881,7 @@ NAME_MAPS = {
     "zid": zid_name_map,
     "zero_mie": zero_mie_name_map,
     "gcenet": gcenet_name_map,
+    "lama": lama_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

@@ -1662,3 +1662,47 @@ def test_zero_dce_v_reference_parity():
     loss, _ = model.forward_loss(params, dp)
     assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 1e-3, \
         (float(loss), ref_loss)
+
+
+def test_lama_reference_parity():
+    """Vendored LaMa FFCResNetGenerator (ffc_resnet_075 config): local/
+    global FFC streams, spectral transform with ortho FFT and interleaved
+    re/im channels, reflect-padded convs, tanh head."""
+    import jax
+    import types as _types
+    from enhax.convert.mappings import lama_name_map
+    kg = _types.ModuleType("kornia.geometry")
+    kgt = _types.ModuleType("kornia.geometry.transform")
+    kgt.rotate = lambda *a, **k: None
+    kg.transform = kgt
+    pl = _types.ModuleType("pytorch_lightning")
+    pl.seed_everything = lambda *a, **k: None
+    arch = refload.load_vendored(
+        "vision/enhance/inpaint/lama",
+        "saicinpainting.training.modules.ffc",
+        extra_stubs={"kornia.geometry": kg,
+                     "kornia.geometry.transform": kgt,
+                     "pytorch_lightning": pl})
+    kw = dict(ratio_gin=0, ratio_gout=0, enable_lfu=False)
+    rkw = dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False)
+    torch.manual_seed(0)
+    net = arch.FFCResNetGenerator(4, 3, ngf=16, n_downsampling=3,
+                                  n_blocks=2, init_conv_kwargs=kw,
+                                  downsample_conv_kwargs=dict(kw),
+                                  resnet_conv_kwargs=rkw)
+    net.eval()
+    img = torch.rand(1, 3, 64, 64)
+    mask = (torch.rand(1, 1, 64, 64) > 0.7).float()
+    x = torch.cat([img * (1 - mask), mask], dim=1)
+    with torch.no_grad():
+        ref = net(x)
+    model = MODELS.build("lama", features=16, n_blocks=2)
+    dp = {"image": _to_nhwc(img), "mask": _to_nhwc(mask)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=lama_name_map(n_blocks=2),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"lama: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref), np.asarray(got["pred"]), 5e-4, "lama.pred")
