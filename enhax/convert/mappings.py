@@ -605,6 +605,22 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def srno_name_map(enc_blocks: int = 16) -> dict:
+    """SRNO (sronet.py:12-95 + galerkin.py + edsr.py baseline)."""
+    m = {"encoder.head.0.": "encoder.head."}
+    for i in range(enc_blocks):
+        m[f"encoder.body.{i}.body.0."] = f"encoder.b{i}_c1."
+        m[f"encoder.body.{i}.body.2."] = f"encoder.b{i}_c2."
+    m[f"encoder.body.{enc_blocks}."] = "encoder.tail."
+    for t, f in (("conv0", "attn0"), ("conv1", "attn1")):
+        m[f"{t}.qkv_proj."] = f"{f}.qkv."
+        m[f"{t}.o_proj1."] = f"{f}.o1."
+        m[f"{t}.o_proj2."] = f"{f}.o2."
+        m[f"{t}.kln."] = f"{f}.kln."
+        m[f"{t}.vln."] = f"{f}.vln."
+    return m
+
+
 def lama_name_map(n_blocks: int = 9, n_downs: int = 3) -> dict:
     """LaMa FFCResNetGenerator (ffc.py:305-369) Sequential indices ->
     enhax names (ffc_resnet_075 layout)."""
@@ -882,6 +898,7 @@ NAME_MAPS = {
     "zero_mie": zero_mie_name_map,
     "gcenet": gcenet_name_map,
     "lama": lama_name_map,
+    "srno": srno_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

@@ -1706,3 +1706,51 @@ def test_lama_reference_parity():
     assert not unmatched, f"lama: {unmatched[:10]}"
     got = model.apply(params, dp)
     _assert_close(_to_nhwc(ref), np.asarray(got["pred"]), 5e-4, "lama.pred")
+
+
+def test_srno_reference_parity():
+    """Vendored SRNO (edsr-baseline encoder + LIIF local ensemble +
+    Galerkin attention with its FFN-only residual quirk and diagonal
+    area swap), at x2 on a small image."""
+    import jax
+    import types as _types
+    from enhax.convert.mappings import srno_name_map
+    tbx = _types.ModuleType("tensorboardX")
+    tbx.SummaryWriter = object
+    pkg = refload.load_vendored(
+        "vision/enhance/sr/srno", "models",
+        extra_stubs={"tensorboardX": tbx})
+    arch = pkg.sronet
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        torch.manual_seed(0)
+        # conv00 hard-codes (64+2)*4+2 input channels (sronet.py:18),
+        # so the encoder width must stay 64; reduce depth instead
+        spec = {"name": "edsr-baseline",
+                "args": {"n_resblocks": 2, "n_feats": 64,
+                         "no_upsampling": True}}
+        net = arch.SRNO(spec, width=32, blocks=4)
+        net.eval()
+        x = torch.rand(1, 3, 16, 16)
+        # reference drives coord/cell from utils.make_coord at HR shape
+        hr = (32, 32)
+        mc = arch.make_coord
+        coord = mc(hr, flatten=False)[None]            # (1, H, W, 2)
+        cell = torch.tensor([[2.0 / hr[0], 2.0 / hr[1]]])
+        with torch.no_grad():
+            ref = net(x, coord, cell)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    model = MODELS.build("srno", features=64, width=32, heads=4,
+                         enc_blocks=2, scale=2)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=srno_name_map(2),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"srno: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref), np.asarray(got["enhanced"]), 5e-4,
+                  "srno.enhanced")
