@@ -605,6 +605,24 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def diinn_name_map(num_blocks: int = 16, num_convs: int = 8,
+                   depth: int = 4) -> dict:
+    """DIINN (diinn.py:7-188 + rdn.py config B)."""
+    m = {"encoder.SFENet1.": "encoder.sfe1.",
+         "encoder.SFENet2.": "encoder.sfe2.",
+         "encoder.GFF.0.": "encoder.gff1.",
+         "encoder.GFF.1.": "encoder.gff2.",
+         "decoder.last_layer.": "last."}
+    for i in range(num_blocks):
+        for j in range(num_convs):
+            m[f"encoder.RDBs.{i}.convs.{j}.conv.0."] = f"encoder.rdb{i}_c{j}."
+        m[f"encoder.RDBs.{i}.LFF."] = f"encoder.rdb{i}_lff."
+    for i in range(depth):
+        m[f"decoder.K.{i}.0."] = f"K{i}."
+        m[f"decoder.Q.{i}.0."] = f"Q{i}."
+    return m
+
+
 def srno_name_map(enc_blocks: int = 16) -> dict:
     """SRNO (sronet.py:12-95 + galerkin.py + edsr.py baseline)."""
     m = {"encoder.head.0.": "encoder.head."}
@@ -899,6 +917,7 @@ NAME_MAPS = {
     "gcenet": gcenet_name_map,
     "lama": lama_name_map,
     "srno": srno_name_map,
+    "diinn": diinn_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

@@ -67,7 +67,8 @@ def test_srno(rng):
 
 def test_diinn(rng):
     x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
-    m = build_model("diinn", features=16, scale=2)
+    m = build_model("diinn", g0=16, num_blocks=2, num_convs=2,
+                    growth=16, hidden=32, scale=2)
     params = m.init(jax.random.PRNGKey(0), {"image": x})
     out = m.apply(params, {"image": x})
     assert out["enhanced"].shape == (1, 32, 32, 3)

@@ -1754,3 +1754,35 @@ def test_srno_reference_parity():
     got = model.apply(params, dp)
     _assert_close(_to_nhwc(ref), np.asarray(got["enhanced"]), 5e-4,
                   "srno.enhanced")
+
+
+def test_diinn_reference_parity():
+    """Vendored DIINN (mode 1, the sr_module default): RDN encoder,
+    3x3-unfolded nearest-exact-upsampled features, K/Q multiplicative
+    implicit decoder with sine queries."""
+    import jax
+    import types as _types
+    from enhax.convert.mappings import diinn_name_map
+    src = _types.ModuleType("src")
+    src.__path__ = [str(refload.REFERENCE_ROOT
+                        / "src/mon_extra/vision/enhance/sr/diinn/src")]
+    arch = refload.load_vendored(
+        "vision/enhance/sr/diinn",
+        "src.models.components.diinn")
+    torch.manual_seed(0)
+    net = arch.DIINN(mode=1, init_q=False)   # full config-B RDN; tiny input
+    net.eval()
+    x = torch.rand(1, 3, 12, 12)
+    with torch.no_grad():
+        ref = net(x, (24, 24))
+    model = MODELS.build("diinn", scale=2)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=diinn_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"diinn: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref), np.asarray(got["enhanced"]), 5e-4,
+                  "diinn.enhanced")
