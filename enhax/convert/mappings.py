@@ -605,6 +605,33 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def depth_anything_v2_name_map(depth: int = 12) -> dict:
+    """Depth Anything V2 (dpt.py + dinov2.py timm-style keys)."""
+    m = {"pretrained.patch_embed.proj.": "vit.patch_embed.",
+         "pretrained.cls_token": "vit.cls_token",
+         "pretrained.pos_embed": "vit.pos_embed",
+         "pretrained.norm.": "vit.norm."}
+    for i in range(depth):
+        m[f"pretrained.blocks.{i}."] = f"vit.block{i}."
+    for i in range(4):
+        m[f"depth_head.projects.{i}."] = f"proj{i}."
+        m[f"depth_head.resize_layers.{i}."] = f"resize{i}."
+        m[f"depth_head.scratch.layer{i + 1}_rn."] = f"layer{i + 1}_rn."
+        m[f"depth_head.scratch.refinenet{i + 1}.resConfUnit1."] =             f"refinenet{i + 1}.rcu1."
+        m[f"depth_head.scratch.refinenet{i + 1}.resConfUnit2."] =             f"refinenet{i + 1}.rcu2."
+        m[f"depth_head.scratch.refinenet{i + 1}.out_conv."] =             f"refinenet{i + 1}.out_conv."
+    m["depth_head.scratch.output_conv1."] = "output_conv1."
+    m["depth_head.scratch.output_conv2.0."] = "output_conv2a."
+    m["depth_head.scratch.output_conv2.2."] = "output_conv2b."
+    m["*.attn.qkv."] = ".qkv."
+    m["*.attn.proj."] = ".proj."
+    m["*.mlp.fc1."] = ".fc1."
+    m["*.mlp.fc2."] = ".fc2."
+    m["*.ls1.gamma"] = ".ls1"
+    m["*.ls2.gamma"] = ".ls2"
+    return m
+
+
 def diinn_name_map(num_blocks: int = 16, num_convs: int = 8,
                    depth: int = 4) -> dict:
     """DIINN (diinn.py:7-188 + rdn.py config B)."""
@@ -918,6 +945,9 @@ NAME_MAPS = {
     "lama": lama_name_map,
     "srno": srno_name_map,
     "diinn": diinn_name_map,
+    "depth_anything_v2_vits": depth_anything_v2_name_map,
+    "depth_anything_v2_vitb": depth_anything_v2_name_map,
+    "depth_anything_v2_vitl": depth_anything_v2_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

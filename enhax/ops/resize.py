@@ -123,17 +123,21 @@ def _cubic_kernel_torch(x, a: float = -0.75):
     return jnp.where(ax <= 1, w1, jnp.where(ax < 2, w2, 0.0))
 
 
-def resize_bicubic_torch(image, size, align_corners: bool = False):
+def resize_bicubic_torch(image, size, align_corners: bool = False,
+                         scale_factor=None):
     """Bicubic resize matching torch ``F.interpolate(mode="bicubic")``:
     cubic-convolution kernel a=-0.75 (jax's own bicubic uses Keys a=-0.5)
-    with index clamping at borders. (..., H, W, C) -> (..., h, w, C)."""
+    with index clamping at borders. (..., H, W, C) -> (..., h, w, C).
+    ``scale_factor`` (a 2-tuple) reproduces torch's scale_factor= call
+    form, where the source mapping uses the GIVEN factor rather than the
+    size ratio (recompute_scale_factor=False)."""
 
-    def axis_resize(x, axis, out_len):
+    def axis_resize(x, axis, out_len, sf=None):
         in_len = x.shape[axis]
         if align_corners and out_len > 1:
             src = jnp.arange(out_len) * ((in_len - 1) / (out_len - 1))
         else:
-            scale = in_len / out_len
+            scale = (1.0 / sf) if sf else (in_len / out_len)
             src = (jnp.arange(out_len) + 0.5) * scale - 0.5
         i0 = jnp.floor(src).astype(jnp.int32)
         frac = (src - i0).astype(x.dtype)
@@ -148,8 +152,9 @@ def resize_bicubic_torch(image, size, align_corners: bool = False):
         return out
 
     h, w = size
-    y = axis_resize(jnp.asarray(image), -3, h)
-    return axis_resize(y, -2, w)
+    sfh, sfw = scale_factor if scale_factor else (None, None)
+    y = axis_resize(jnp.asarray(image), -3, h, sfh)
+    return axis_resize(y, -2, w, sfw)
 
 
 def resize_nearest_torch(image, size):

@@ -1786,3 +1786,34 @@ def test_diinn_reference_parity():
     got = model.apply(params, dp)
     _assert_close(_to_nhwc(ref), np.asarray(got["enhanced"]), 5e-4,
                   "diinn.enhanced")
+
+
+def test_depth_anything_v2_reference_parity():
+    """Vendored Depth Anything V2 (vits config): DINOv2 trunk with
+    interpolated position embedding (266px -> 19x19 grid, exercising the
+    +0.1 scale-factor bicubic), shared-norm intermediate taps, full DPT
+    head with align-corners fusions."""
+    import jax
+    arch = refload.load_vendored(
+        "vision/depth/depth_anything_v2", "depth_anything_v2.dpt")
+    from enhax.convert.mappings import depth_anything_v2_name_map
+    torch.manual_seed(0)
+    net = arch.DepthAnythingV2(encoder="vits", features=64,
+                               out_channels=[48, 96, 192, 384])
+    net.eval()
+    x = torch.rand(1, 3, 266, 266)
+    with torch.no_grad():
+        ref = net(x)                      # (1, 266, 266)
+    model = MODELS.build("depth_anything_v2_vits")
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    sd = {k: v for k, v in net.state_dict().items()
+          if not k.startswith("pretrained.mask_token")}
+    params, report = convert_state_dict(sd, template,
+                                        name_map=depth_anything_v2_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"dav2: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(ref.numpy()[..., None], np.asarray(got["depth"]), 1e-3,
+                  "dav2.depth")
