@@ -605,6 +605,49 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def sam_name_map(depth: int = 12) -> dict:
+    """SAM (segment_anything/modeling): vit encoder + prompt encoder +
+    two-way mask decoder."""
+    m = {"image_encoder.patch_embed.proj.": "image_encoder.patch_embed.",
+         "image_encoder.pos_embed": "image_encoder.pos_embed",
+         "image_encoder.neck.0.": "image_encoder.neck_conv1.",
+         "image_encoder.neck.1.": "image_encoder.neck_ln1.",
+         "image_encoder.neck.2.": "image_encoder.neck_conv2.",
+         "image_encoder.neck.3.": "image_encoder.neck_ln2."}
+    for i in range(depth):
+        m[f"image_encoder.blocks.{i}.mlp.lin1."] =             f"image_encoder.block{i}.lin1."
+        m[f"image_encoder.blocks.{i}.mlp.lin2."] =             f"image_encoder.block{i}.lin2."
+        m[f"image_encoder.blocks.{i}."] = f"image_encoder.block{i}."
+    pe = "prompt_encoder."
+    m[pe + "pe_layer.positional_encoding_gaussian_matrix"] = pe + "pe_gauss"
+    for i in range(4):
+        m[pe + f"point_embeddings.{i}.weight"] = pe + f"point_embed{i}"
+    m[pe + "not_a_point_embed.weight"] = pe + "not_a_point"
+    m[pe + "no_mask_embed.weight"] = pe + "no_mask"
+    for t, f in ((0, "md_conv1"), (1, "md_ln1"), (3, "md_conv2"),
+                 (4, "md_ln2"), (6, "md_conv3")):
+        m[pe + f"mask_downscaling.{t}."] = pe + f"{f}."
+    d = "mask_decoder."
+    m[d + "iou_token.weight"] = d + "iou_token"
+    m[d + "mask_tokens.weight"] = d + "mask_tokens"
+    for i in range(2):
+        m[d + f"transformer.layers.{i}."] = d + f"layer{i}."
+    m[d + "transformer.final_attn_token_to_image."] = d + "final_t2i."
+    m[d + "transformer.norm_final_attn."] = d + "norm_final."
+    m[d + "output_upscaling.0."] = d + "up1."
+    m[d + "output_upscaling.1."] = d + "up_ln."
+    m[d + "output_upscaling.3."] = d + "up2."
+    for i in range(4):
+        for j in range(3):
+            m[d + f"output_hypernetworks_mlps.{i}.layers.{j}."] =                 d + f"hyper{i}_l{j}."
+        m[d + f"iou_prediction_head.layers.{i}."] = d + f"iou_l{i}."
+    m["*.cross_attn_token_to_image."] = ".t2i."
+    m["*.cross_attn_image_to_token."] = ".i2t."
+    m["*.mlp.lin1."] = ".lin1."
+    m["*.mlp.lin2."] = ".lin2."
+    return m
+
+
 def depth_anything_v2_name_map(depth: int = 12) -> dict:
     """Depth Anything V2 (dpt.py + dinov2.py timm-style keys)."""
     m = {"pretrained.patch_embed.proj.": "vit.patch_embed.",
@@ -948,6 +991,9 @@ NAME_MAPS = {
     "depth_anything_v2_vits": depth_anything_v2_name_map,
     "depth_anything_v2_vitb": depth_anything_v2_name_map,
     "depth_anything_v2_vitl": depth_anything_v2_name_map,
+    "sam_vit_b": sam_name_map,
+    "sam_vit_l": sam_name_map,
+    "sam_vit_h": sam_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

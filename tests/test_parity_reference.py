@@ -1817,3 +1817,60 @@ def test_depth_anything_v2_reference_parity():
     got = model.apply(params, dp)
     _assert_close(ref.numpy()[..., None], np.asarray(got["depth"]), 1e-3,
                   "dav2.depth")
+
+
+def test_sam_reference_parity():
+    """Vendored SAM (segment_anything/modeling): ViTDet encoder with
+    decomposed relative positions and windowed attention, random-Fourier
+    prompt encoder (point + padding sentinel), two-way transformer mask
+    decoder with hypernetwork heads — full promptable pipeline."""
+    import jax
+    from enhax.convert.mappings import sam_name_map
+    modeling = refload.load_vendored(
+        "vision/segment/sam", "segment_anything.modeling")
+    torch.manual_seed(0)
+    enc = modeling.image_encoder.ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=64, depth=4, num_heads=4,
+        out_chans=32, use_rel_pos=True, window_size=2,
+        global_attn_indexes=(1, 3))
+    pe = modeling.prompt_encoder.PromptEncoder(
+        embed_dim=32, image_embedding_size=(4, 4),
+        input_image_size=(64, 64), mask_in_chans=16)
+    dec = modeling.mask_decoder.MaskDecoder(
+        transformer_dim=32,
+        transformer=modeling.transformer.TwoWayTransformer(
+            depth=2, embedding_dim=32, num_heads=4, mlp_dim=64),
+        num_multimask_outputs=3)
+    enc.eval(); pe.eval(); dec.eval()
+    x = torch.rand(1, 3, 64, 64)
+    pts = torch.tensor([[[20.0, 36.0], [50.0, 10.0]]])
+    lbl = torch.tensor([[1, 0]])
+    with torch.no_grad():
+        embed = enc(x)
+        sparse, dense = pe(points=(pts, lbl), boxes=None, masks=None)
+        masks, iou = dec(embed, pe.get_dense_pe(), sparse, dense,
+                         multimask_output=True)
+    from enhax.models.segment.sam import SAMModule
+    from enhax.models.base import Model
+    from enhax.constants import Task, Scheme
+    mod = SAMModule(img_size=64, enc_dim=64, enc_depth=4, enc_heads=4,
+                    enc_window=2, global_idx=(1, 3), dim=32, dec_heads=4,
+                    dec_mlp_dim=64)
+    dp = {"image": _to_nhwc(x), "points": pts.numpy(), "labels": lbl.numpy()}
+    import jax.numpy as jnp
+    template = mod.init(jax.random.PRNGKey(0), dp["image"], dp["points"],
+                        dp["labels"])
+    sd = {}
+    sd.update({f"image_encoder.{k}": v for k, v in enc.state_dict().items()})
+    sd.update({f"prompt_encoder.{k}": v for k, v in pe.state_dict().items()})
+    sd.update({f"mask_decoder.{k}": v for k, v in dec.state_dict().items()})
+    params, report = convert_state_dict(sd, template,
+                                        name_map=sam_name_map(4),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"sam: {unmatched[:10]}"
+    got = mod.apply(params, dp["image"], dp["points"], dp["labels"])
+    _assert_close(masks.numpy(), np.asarray(got["low_res_masks"]), 5e-4,
+                  "sam.masks")
+    _assert_close(iou.numpy(), np.asarray(got["iou_predictions"]), 5e-4,
+                  "sam.iou")
