@@ -38,7 +38,7 @@ from flax import linen as nn
 
 from enhax.constants import MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.models.segment.sam import MaskDecoder, PromptEncoder
+from enhax.models.segment.sam import SAMMaskDecoder, SAMPromptEncoder
 
 _STRIDE1_DIMS = (320, 448, 576)  # tiny_vit_sam.py:127-129
 
@@ -229,13 +229,18 @@ class MobileSAM(nn.Module):
 
     @nn.compact
     def __call__(self, image, points, labels):
+        h, w = image.shape[-3], image.shape[-2]
         embed = TinyViT(self.embed_dims, self.depths, self.heads,
                         self.windows, self.dim, name="image_encoder")(image)
-        prompts = PromptEncoder(self.dim, name="prompt_encoder")(points,
-                                                                 labels)
-        masks, iou = MaskDecoder(self.dim, self.num_masks,
-                                 name="mask_decoder")(embed, prompts)
-        h, w = image.shape[-3], image.shape[-2]
+        eh, ew = embed.shape[1:3]
+        # points arrive normalized (y, x) (enhax convention); the SAM
+        # prompt encoder takes pixel (x, y)
+        pts = jnp.stack([points[..., 1] * w, points[..., 0] * h], axis=-1)
+        sparse, dense, dense_pe = SAMPromptEncoder(
+            self.dim, (h, w), (eh, ew), name="prompt_encoder")(pts, labels)
+        masks, iou = SAMMaskDecoder(
+            self.dim, num_multimask=self.num_masks,
+            name="mask_decoder")(embed, dense_pe, sparse, dense)
         masks = jax.image.resize(masks, masks.shape[:2] + (h, w), "bilinear")
         return {"masks": masks, "iou_predictions": iou,
                 "logits": jnp.moveaxis(masks, 1, -1)}
