@@ -106,6 +106,29 @@ _SLOW_TESTS = {
     "test_niqe.py::test_features_shape",
     "test_parity_reference.py::test_yolov8_reference_parity",
     "test_parity_reference.py::test_llflow_reference_parity",
+    "test_parity_reference.py::test_mprnet_reference_parity",
+    "test_parity_reference.py::test_uformer_reference_parity",
+    "test_parity_reference.py::test_zero_restore_reference_parity[llie]",
+    "test_parity_reference.py::test_zero_restore_reference_parity[dehaze]",
+    "test_parity_reference.py::test_zero_restore_reference_parity[uie]",
+    "test_parity_reference.py::test_zero_ig_reference_parity",
+    "test_parity_reference.py::test_psenet_reference_parity",
+    "test_parity_reference.py::test_rsfnet_reference_parity",
+    "test_parity_reference.py::test_colie_reference_parity",
+    "test_parity_reference.py::test_colie_hvi_reference_parity[hvi]",
+    "test_parity_reference.py::test_colie_hvi_reference_parity[hvid]",
+    "test_parity_reference.py::test_zid_reference_parity",
+    "test_parity_reference.py::test_zero_mie_reference_parity[rgb]",
+    "test_parity_reference.py::test_zero_mie_reference_parity[hsv_d]",
+    "test_parity_reference.py::test_gcenet_reference_parity",
+    "test_parity_reference.py::test_zero_dce_v_reference_parity",
+    "test_parity_reference.py::test_lama_reference_parity",
+    "test_parity_reference.py::test_srno_reference_parity",
+    "test_parity_reference.py::test_diinn_reference_parity",
+    "test_parity_reference.py::test_depth_anything_v2_reference_parity",
+    "test_parity_reference.py::test_sam_reference_parity",
+    "test_parity_reference.py::test_rrdnet_reference_parity",
+    "test_parity_reference.py::test_neurop_reference_parity",
     "test_models_zoo3.py::test_sam2_lite_video_propagation",
     "test_models_zoo3.py::test_yolov8_param_counts_match_published",
     "test_models_zoo3.py::test_yolov8_detect_track_pipeline",
