@@ -605,6 +605,15 @@ def lllinet_name_map(levels: int = 5) -> dict:
     return m
 
 
+def unet_name_map() -> dict:
+    """UNet (unet.py:35-199): down{i}.conv / up{i}.conv wrappers."""
+    m = {"inc.": "inc.", "outc.conv.": "outc."}
+    for i in range(1, 5):
+        m[f"down{i}.conv."] = f"down{i}."
+        m[f"up{i}.conv."] = f"up{i}."
+    return m
+
+
 def sam_name_map(depth: int = 12) -> dict:
     """SAM (segment_anything/modeling): vit encoder + prompt encoder +
     two-way mask decoder."""
@@ -994,6 +1003,7 @@ NAME_MAPS = {
     "sam_vit_b": sam_name_map,
     "sam_vit_l": sam_name_map,
     "sam_vit_h": sam_name_map,
+    "unet": unet_name_map,
     "gcenet_zsn2n": gcenet_name_map,
     "gcenet_instance": gcenet_name_map,
     "zero_mie_hsv_d": zero_mie_name_map,

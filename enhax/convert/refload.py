@@ -1230,6 +1230,12 @@ def _build_stub_mon():
     enhance_utils.PseudoGTGenerator = PseudoGTGenerator
     enhance.utils = enhance_utils
 
+    seg_base = types.ModuleType("mon.vision.segment.base")
+    seg_base.SegmentationModel = _StubModel
+    segment = types.ModuleType("mon.vision.segment")
+    segment.base = seg_base
+    vision.segment = segment
+
     filtering = types.ModuleType("mon.vision.filtering")
     filtering.__getattr__ = lambda name: _make_dummy_module_class(name)
 
@@ -1311,6 +1317,8 @@ def _build_stub_mon():
         "mon.vision.enhance.multitask": multitask,
         "mon.vision.enhance.multitask.base": base,
         "mon.vision.enhance.utils": enhance_utils,
+        "mon.vision.segment": segment,
+        "mon.vision.segment.base": seg_base,
         "mon.vision.filtering": filtering,
         "mon.nn.functional": torch.nn.functional,
         "mon.nn.model": nn_model,

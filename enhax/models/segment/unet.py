@@ -1,4 +1,9 @@
-"""UNet segmentation (reference vision/segment/unet/unet.py:115)."""
+"""UNet segmentation — faithful rebuild of reference
+``vision/segment/unet/unet.py:35-199`` (milesial layout, bilinear=True):
+conv-BN-ReLU double blocks, maxpool downs, bilinear align_corners=True
+upsampling with halved mid channels in the decoder double convs,
+center-padded skip concat [skip, up], 1x1 head. Output key ``semantic``
+(reference :195) with ``logits``/``mask`` aliases."""
 
 from __future__ import annotations
 
@@ -9,41 +14,60 @@ from flax import linen as nn
 
 from enhax.constants import MODELS, Scheme, Task
 from enhax.models.base import Model
+from enhax.ops.resize import resize_align_corners
 
 
 class DoubleConv(nn.Module):
+    """(conv -> BN -> ReLU) x2 (unet.py:35-57)."""
     features: int
+    mid: int | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn1")(
-            nn.Conv(self.features, (3, 3), use_bias=False, name="conv1")(x)))
-        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn2")(
-            nn.Conv(self.features, (3, 3), use_bias=False, name="conv2")(x)))
+        mid = self.mid or self.features
+        bn = lambda name: nn.BatchNorm(use_running_average=True,  # noqa: E731
+                                       epsilon=1e-5, name=name)
+        x = nn.relu(bn("norm1")(nn.Conv(mid, (3, 3), use_bias=False,
+                                        name="conv1")(x)))
+        x = nn.relu(bn("norm2")(nn.Conv(self.features, (3, 3),
+                                        use_bias=False, name="conv2")(x)))
         return x
 
 
 class UNetModule(nn.Module):
     num_classes: int = 21
-    base: int = 64
-    depth: int = 4
+    filters: tuple = (64, 128, 256, 512, 1024)
 
     @nn.compact
     def __call__(self, x):
-        skips = []
-        y = x
-        for i in range(self.depth):
-            y = DoubleConv(self.base * 2**i, name=f"enc{i}")(y)
-            skips.append(y)
-            y = nn.max_pool(y, (2, 2), strides=(2, 2))
-        y = DoubleConv(self.base * 2**self.depth, name="bottleneck")(y)
-        for i in reversed(range(self.depth)):
-            y = nn.ConvTranspose(self.base * 2**i, (2, 2), strides=(2, 2),
-                                 name=f"up{i}", transpose_kernel=True)(y)
-            y = DoubleConv(self.base * 2**i, name=f"dec{i}")(
-                jnp.concatenate([y, skips[i]], axis=-1))
-        logits = nn.Conv(self.num_classes, (1, 1), name="head")(y)
-        return {"logits": logits, "mask": jnp.argmax(logits, axis=-1)}
+        f = self.filters
+        pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))  # noqa: E731
+        x1 = DoubleConv(f[0], name="inc")(x)
+        x2 = DoubleConv(f[1], name="down1")(pool(x1))
+        x3 = DoubleConv(f[2], name="down2")(pool(x2))
+        x4 = DoubleConv(f[3], name="down3")(pool(x3))
+        x5 = DoubleConv(f[4] // 2, name="down4")(pool(x4))
+
+        def up(a, skip, out, inc):
+            a = resize_align_corners(a, (a.shape[-3] * 2, a.shape[-2] * 2))
+            dy = skip.shape[-3] - a.shape[-3]
+            dx = skip.shape[-2] - a.shape[-2]
+            if dy or dx:
+                a = jnp.pad(a, ((0, 0), (dy // 2, dy - dy // 2),
+                                (dx // 2, dx - dx // 2), (0, 0)))
+            return jnp.concatenate([skip, a], axis=-1), inc // 2
+
+        y, mid = up(x5, x4, f[3] // 2, f[4])
+        y = DoubleConv(f[3] // 2, mid, name="up1")(y)
+        y, mid = up(y, x3, f[2] // 2, f[3])
+        y = DoubleConv(f[2] // 2, mid, name="up2")(y)
+        y, mid = up(y, x2, f[1] // 2, f[2])
+        y = DoubleConv(f[1] // 2, mid, name="up3")(y)
+        y, mid = up(y, x1, f[0], f[1])
+        y = DoubleConv(f[0], mid, name="up4")(y)
+        logits = nn.Conv(self.num_classes, (1, 1), name="outc")(y)
+        return {"semantic": logits, "logits": logits,
+                "mask": jnp.argmax(logits, axis=-1)}
 
 
 def segmentation_loss():
@@ -58,10 +82,11 @@ def segmentation_loss():
 
 @MODELS.register(name="unet", arch="unet",
                  tasks=(Task.SEGMENT,), schemes=(Scheme.SUPERVISED,))
-def unet(num_classes: int = 21, base: int = 64, depth: int = 4, **kwargs) -> Model:
+def unet(num_classes: int = 21, base: int = 64, **kwargs) -> Model:
+    filters = tuple(base * 2 ** i for i in range(5))
     return Model(
         name="unet", arch="unet",
-        module=UNetModule(num_classes=num_classes, base=base, depth=depth),
+        module=UNetModule(num_classes=num_classes, filters=filters),
         tasks=(Task.SEGMENT,), schemes=(Scheme.SUPERVISED,),
         loss_fn=segmentation_loss(),
         required_inputs=("image",),

@@ -129,6 +129,7 @@ _SLOW_TESTS = {
     "test_parity_reference.py::test_sam_reference_parity",
     "test_parity_reference.py::test_rrdnet_reference_parity",
     "test_parity_reference.py::test_neurop_reference_parity",
+    "test_parity_reference.py::test_unet_reference_parity",
     "test_models_zoo3.py::test_sam2_lite_video_propagation",
     "test_models_zoo3.py::test_yolov8_param_counts_match_published",
     "test_models_zoo3.py::test_yolov8_detect_track_pipeline",

@@ -76,7 +76,7 @@ def test_diinn(rng):
 
 def test_unet_segmentation(rng):
     x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
-    m = build_model("unet", num_classes=4, base=8, depth=2)
+    m = build_model("unet", num_classes=4, base=8)
     dp = {"image": x, "segmentation": jnp.zeros((1, 32, 32, 1), jnp.int32)}
     params = m.init(jax.random.PRNGKey(0), {"image": x})
     out = m.apply(params, {"image": x})

@@ -1874,3 +1874,32 @@ def test_sam_reference_parity():
                   "sam.masks")
     _assert_close(iou.numpy(), np.asarray(got["iou_predictions"]), 5e-4,
                   "sam.iou")
+
+
+def test_unet_reference_parity():
+    """First-party UNet (milesial layout, bilinear=True): BN double
+    convs, halved decoder mid channels, align-corners upsampling."""
+    import jax
+    from enhax.convert.mappings import unet_name_map
+    mod = refload.load_first_party("vision/segment/unet/unet.py")
+    # upstream typo: DoubleConvBlock.forward calls self.con1 (unet.py:51)
+    # -> AttributeError; restore the intended conv1 chain
+    mod.DoubleConvBlock.forward = lambda self, x: self.relu2(self.norm2(
+        self.conv2(self.relu1(self.norm1(self.conv1(x))))))
+    torch.manual_seed(0)
+    net = mod.UNet(num_classes=4)
+    net.eval()
+    x = torch.rand(1, 3, 48, 48)
+    with torch.no_grad():
+        ref = net({"image": x})["semantic"]
+    model = MODELS.build("unet", num_classes=4)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=unet_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"unet: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    _assert_close(_to_nhwc(ref), np.asarray(got["semantic"]), 5e-4,
+                  "unet.semantic")
