@@ -303,3 +303,30 @@ for _nl in ("finer", "gauss", "relu"):
         return _make(f"zero_mie_{nl}", nonlinear=nl, **kwargs)
     MODELS.register(name=f"zero_mie_{_nl}", obj=_builder, arch="zero_mie",
                     tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
+
+
+# zero_mie_ms loss ablations (zero_mie_ms.py:614-622): eight stacked
+# registrations of the same class — the config per NAME zeroes one loss
+# term (use_ff already defaults off upstream, so wo_ff == the base ms)
+_MS_ABLATIONS = {
+    "zero_mie_ms_wo_color": {"color_weight": 0.0},
+    "zero_mie_ms_wo_depth": {"depth_weight": 0.0},
+    "zero_mie_ms_wo_edge": {"edge_weight": 0.0},
+    "zero_mie_ms_wo_exp": {"exp_weight": 0.0},
+    "zero_mie_ms_wo_ff": {},
+    "zero_mie_ms_wo_spa": {"spa_weight": 0.0},
+    "zero_mie_ms_wo_spar": {"spar_weight": 0.0},
+    "zero_mie_ms_wo_tv": {"tv_weight": 0.0},
+}
+
+for _aname, _loss_kw in _MS_ABLATIONS.items():
+    def _ab_builder(nm=_aname, lkw=_loss_kw, **kwargs):
+        m = _make(nm, color_space="hsv_d", **kwargs)
+        keep = {k: v for k, v in lkw.items()
+                if k in ("exp_weight", "spa_weight", "tv_weight",
+                         "spar_weight", "color_weight", "depth_weight",
+                         "edge_weight")}
+        m.loss_fn = zero_mie_hsv_loss(**keep)
+        return m
+    MODELS.register(name=_aname, obj=_ab_builder, arch="zero_mie",
+                    tasks=(Task.LLIE,), schemes=(Scheme.ZERO_SHOT,))
