@@ -10,7 +10,10 @@ from enhax.ops.layout import (
     get_image_size, make_divisible, pad_to_divisible, unpad, to_4d, to_3d,
     chw_to_hwc, hwc_to_chw, image_local_mean, image_local_variance,
 )
-from enhax.ops.resize import resize, resize_divisible
+from enhax.ops.resize import (
+    resize, resize_divisible, resize_align_corners, resize_bicubic_torch,
+    resize_nearest_torch, resize_nearest_exact_torch,
+)
 from enhax.ops.color import (
     rgb_to_grayscale, grayscale_to_rgb, rgb_to_hsv, hsv_to_rgb,
     rgb_to_hvi, hvi_to_rgb, rgb_to_ycbcr, ycbcr_to_rgb, rgb_to_yuv,
@@ -25,6 +28,7 @@ from enhax.ops.photometry import (
 )
 from enhax.ops.geometry import pair_downsample, flip_horizontal, flip_vertical
 from enhax.ops.filtering import (
-    box_filter, guided_filter, fast_guided_filter, sobel_filter,
+    box_filter, guided_filter, fast_guided_filter,
+    fast_guided_filter_bicubic, sobel_filter,
     gaussian_kernel, gaussian_filter,
 )
