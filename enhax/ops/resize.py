@@ -165,3 +165,17 @@ def resize_nearest_torch(image, size):
     ih = jnp.floor(jnp.arange(h) * (x.shape[-3] / h)).astype(jnp.int32)
     iw = jnp.floor(jnp.arange(w) * (x.shape[-2] / w)).astype(jnp.int32)
     return jnp.take(jnp.take(x, ih, axis=-3), iw, axis=-2)
+
+
+def resize_nearest_exact_torch(image, size):
+    """torch F.interpolate(mode='nearest-exact'): src = floor((dst+0.5)
+    * in/out)... exact form: round-half-down of (dst+0.5)*scale - 0.5."""
+    x = jnp.asarray(image)
+    h, w = size
+
+    def idx(out_len, in_len):
+        src = (jnp.arange(out_len) + 0.5) * (in_len / out_len) - 0.5
+        return jnp.clip(jnp.floor(src + 0.5), 0, in_len - 1).astype(jnp.int32)
+
+    return jnp.take(jnp.take(x, idx(h, x.shape[-3]), axis=-3),
+                    idx(w, x.shape[-2]), axis=-2)
