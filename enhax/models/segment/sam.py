@@ -204,12 +204,13 @@ class SAMPromptEncoder(nn.Module):
         no_mask = self.param("no_mask", nn.initializers.normal(1.0),
                              (1, self.dim))
         b = points.shape[0]
+        labels = jnp.asarray(labels, jnp.int32)
         if boxes is None:
             # prompt_encoder.py:83-89 pad with a (0,0)/-1 sentinel
             points = jnp.concatenate(
                 [points, jnp.zeros((b, 1, 2), points.dtype)], axis=1)
             labels = jnp.concatenate(
-                [labels, -jnp.ones((b, 1), labels.dtype)], axis=1)
+                [labels, -jnp.ones((b, 1), jnp.int32)], axis=1)
         coords = (points + 0.5) / jnp.array(
             [self.input_size[1], self.input_size[0]], points.dtype)
         emb = self._pe(coords, gauss)
