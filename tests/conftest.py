@@ -130,6 +130,11 @@ _SLOW_TESTS = {
     "test_parity_reference.py::test_rrdnet_reference_parity",
     "test_parity_reference.py::test_neurop_reference_parity",
     "test_parity_reference.py::test_unet_reference_parity",
+    "test_models_zoo3.py::test_unet_segmentation",
+    "test_models_zoo3.py::test_diinn",
+    "test_models_zoo3.py::test_mobile_sam_promptable",
+    "test_ops_resize_torch.py::test_bicubic_matches_torch[size0-False]",
+    "test_ops_resize_torch.py::test_bicubic_matches_torch[size0-True]",
     "test_models_zoo3.py::test_sam2_lite_video_propagation",
     "test_models_zoo3.py::test_yolov8_param_counts_match_published",
     "test_models_zoo3.py::test_yolov8_detect_track_pipeline",
