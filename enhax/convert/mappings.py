@@ -972,6 +972,78 @@ def mprnet_name_map(num_cab: int = 8) -> dict:
     return m
 
 
+def resnet_name_map(layers=(2, 2, 2, 2)) -> dict:
+    """torchvision ResNet/ResNeXt/WideResNet checkpoints
+    (conv1/bn1/layer{1-4}.{j}/fc; reference resnet.py:44-474 wraps these)."""
+    m = {"conv1.": "conv1.", "bn1.": "bn1.", "fc.": "fc."}
+    for i, n in enumerate(layers):
+        # descending j: prefix rules break on FIRST match, so "layer3.2."
+        # must not shadow "layer3.22." (resnet101's 23-block stage)
+        for j in sorted(range(n), reverse=True):
+            m[f"layer{i + 1}.{j}."] = f"layer{i + 1}_{j}."
+    m["*.downsample.0."] = ".downsample_conv."
+    m["*.downsample.1."] = ".downsample_bn."
+    return m
+
+
+def mobilenet_v2_name_map() -> dict:
+    """torchvision MobileNetV2 (features.{i}.conv.{j} ConvBNReLU nesting)."""
+    m = {"features.0.0.": "stem.", "features.0.1.": "bn0.",
+         "features.18.0.": "conv_last.", "features.18.1.": "bn_last.",
+         "classifier.1.": "classifier."}
+    cfg = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
+    i = 1
+    for bi, (t, n) in enumerate(cfg):
+        for j in range(n):
+            if t == 1:  # no expansion: conv.0=ConvBNReLU(dw), conv.1/2=pw
+                m[f"features.{i}.conv.0.0."] = f"block{bi}_{j}.dw."
+                m[f"features.{i}.conv.0.1."] = f"block{bi}_{j}.bn1."
+                m[f"features.{i}.conv.1."] = f"block{bi}_{j}.project."
+                m[f"features.{i}.conv.2."] = f"block{bi}_{j}.bn2."
+            else:
+                m[f"features.{i}.conv.0.0."] = f"block{bi}_{j}.expand."
+                m[f"features.{i}.conv.0.1."] = f"block{bi}_{j}.bn0."
+                m[f"features.{i}.conv.1.0."] = f"block{bi}_{j}.dw."
+                m[f"features.{i}.conv.1.1."] = f"block{bi}_{j}.bn1."
+                m[f"features.{i}.conv.2."] = f"block{bi}_{j}.project."
+                m[f"features.{i}.conv.3."] = f"block{bi}_{j}.bn2."
+            i += 1
+    return m
+
+
+def vit_name_map(depth: int = 12, flavor: str = "timm") -> dict:
+    """ViT encoder checkpoints -> enhax classify ViT (fused qkv layout).
+
+    ``flavor='timm'``: blocks.{i}.attn.qkv naming (timm/DeiT releases).
+    ``flavor='torchvision'``: encoder.layers.encoder_layer_{i} naming with
+    self_attention.in_proj_weight fused qkv.
+    """
+    if flavor == "timm":
+        m = {"cls_token": "cls", "pos_embed": "pos_embed",
+             "patch_embed.proj.": "embed.", "norm.": "norm.",
+             "head.": "head."}
+        for i in range(depth):
+            m[f"blocks.{i}."] = f"block{i}."
+        m["*.attn.qkv."] = ".qkv."
+        m["*.attn.proj."] = ".proj."
+        m["*.mlp.fc1."] = ".mlp1."
+        m["*.mlp.fc2."] = ".mlp2."
+        return m
+    m = {"class_token": "cls", "encoder.pos_embedding": "pos_embed",
+         "conv_proj.": "embed.", "encoder.ln.": "norm.",
+         "heads.head.": "head."}
+    for i in range(depth):
+        m[f"encoder.layers.encoder_layer_{i}."] = f"block{i}."
+    m["*.ln_1."] = ".norm1."
+    m["*.ln_2."] = ".norm2."
+    m["*.self_attention.in_proj_weight"] = ".qkv.weight"
+    m["*.self_attention.in_proj_bias"] = ".qkv.bias"
+    m["*.self_attention.out_proj."] = ".proj."
+    m["*.mlp.linear_1."] = ".mlp1."
+    m["*.mlp.linear_2."] = ".mlp2."
+    return m
+
+
 NAME_MAPS = {
     "zero_dce_re": zero_dce_name_map,
     "mprnet": mprnet_name_map,
@@ -1040,6 +1112,21 @@ NAME_MAPS = {
     "yolov8m": yolov8_name_map,
     "yolov8l": yolov8_name_map,
     "yolov8x": yolov8_name_map,
+    "resnet18": resnet_name_map,
+    "resnet34": lambda: resnet_name_map((3, 4, 6, 3)),
+    "resnet50": lambda: resnet_name_map((3, 4, 6, 3)),
+    "resnet101": lambda: resnet_name_map((3, 4, 23, 3)),
+    "resnet152": lambda: resnet_name_map((3, 8, 36, 3)),
+    "resnext50_32x4d": lambda: resnet_name_map((3, 4, 6, 3)),
+    "resnext101_32x8d": lambda: resnet_name_map((3, 4, 23, 3)),
+    "wide_resnet50_2": lambda: resnet_name_map((3, 4, 6, 3)),
+    "wide_resnet101_2": lambda: resnet_name_map((3, 4, 23, 3)),
+    "mobilenet_v2": mobilenet_v2_name_map,
+    "vit_b_16": vit_name_map,
+    "vit_b_32": vit_name_map,
+    "vit_l_16": lambda: vit_name_map(24),
+    "vit_l_32": lambda: vit_name_map(24),
+    "vit_h_14": lambda: vit_name_map(32),
 }
 
 

@@ -158,6 +158,13 @@ class Predictor:
         if self.bf16 and self.model.instance_steps:
             # per-image optimization needs f32 master params — the inner
             # Adam loop diverges on bf16 weights; bf16 stays inference-only
+            if not getattr(self, "_warned_bf16_instance", False):
+                from enhax.utils.console import console
+                console.print(
+                    f"[yellow]bf16 requested but {self.model.name} is an "
+                    "instance-optimization model; keeping float32 master "
+                    "params (bf16 ignored).[/yellow]")
+                self._warned_bf16_instance = True
             return
         if self.bf16 and not getattr(self, "_vars_bf16", False):
             cast = lambda a: (a.astype(jnp.bfloat16)  # noqa: E731

@@ -69,8 +69,12 @@ def remove_anything(
     ph = -h % div
     pw = -w % div
     sam_in = np.pad(image, [(0, ph), (0, pw), (0, 0)], mode="reflect")
+    # the click arrives as pixel (x, y); every enhax SAM variant takes
+    # NORMALIZED (y, x) over the image actually fed (here: padded)
+    py = float(point[1]) / sam_in.shape[0]
+    px = float(point[0]) / sam_in.shape[1]
     dp = {"image": jnp.asarray(sam_in[None]),
-          "points": jnp.asarray([[list(point)]], jnp.float32),
+          "points": jnp.asarray([[[py, px]]], jnp.float32),
           "labels": jnp.asarray([[1]], jnp.int32)}
     if sam_variables is None:
         sam_variables = sam_model.init(jax.random.PRNGKey(0), dp)

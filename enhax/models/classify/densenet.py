@@ -37,7 +37,8 @@ class DenseNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
-        y = nn.Conv(2 * self.growth, (7, 7), strides=(2, 2), use_bias=False,
+        y = nn.Conv(2 * self.growth, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
                     name="stem")(x)
         y = nn.relu(bn(name="bn0")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -32,8 +32,10 @@ class MBConv(nn.Module):
         if self.expand != 1:
             y = nn.silu(bn(name="bn0")(
                 nn.Conv(mid, (1, 1), use_bias=False, name="expand")(y)))
+        p = (self.kernel - 1) // 2   # torch-symmetric; flax SAME skews at s=2
         y = nn.Conv(mid, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), feature_group_count=mid,
+                    strides=(self.stride, self.stride), padding=((p, p), (p, p)),
+                    feature_group_count=mid,
                     use_bias=False, name="dw")(y)
         y = nn.silu(bn(name="bn1")(y))
         s = jnp.mean(y, axis=(-3, -2))
@@ -66,6 +68,7 @@ class FusedMBConv(nn.Module):
         if self.expand != 1:
             y = nn.silu(bn(name="bn0")(
                 nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, name="fused")(x)))
             y = bn(name="bn1")(nn.Conv(self.features, (1, 1), use_bias=False,
                                        name="project")(y))
@@ -73,6 +76,7 @@ class FusedMBConv(nn.Module):
             y = nn.silu(bn(name="bn0")(
                 nn.Conv(self.features, (3, 3),
                         strides=(self.stride, self.stride),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, name="fused")(x)))
         if self.stride == 1 and c_in == self.features:
             y = y + x
@@ -102,8 +106,8 @@ class EfficientNetV2(nn.Module):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         stem, stages = _V2[self.size]
         y = nn.silu(bn(name="bn0")(
-            nn.Conv(stem, (3, 3), strides=(2, 2), use_bias=False,
-                    name="stem")(x)))
+            nn.Conv(stem, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         for bi, (e, c, n, s_, fused) in enumerate(stages):
             for j in range(n):
                 if fused:
@@ -135,7 +139,8 @@ class EfficientNet(nn.Module):
             return int(math.ceil(d * self.depth))
 
         y = nn.silu(bn(name="bn0")(
-            nn.Conv(rc(32), (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(rc(32), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         for bi, (e, c, n, s, k) in enumerate(_BASE):
             for j in range(rd(n)):
                 y = MBConv(rc(c), e, k, s if j == 0 else 1,

@@ -34,6 +34,7 @@ class ShuffleUnit(nn.Module):
         else:
             # both branches process full input
             x1 = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)),
                          feature_group_count=x.shape[-1], use_bias=False,
                          name="b1_dw")(x)
             x1 = bn(name="b1_bn0")(x1)
@@ -43,6 +44,7 @@ class ShuffleUnit(nn.Module):
         y = nn.relu(bn(name="b2_bn0")(
             nn.Conv(half, (1, 1), use_bias=False, name="b2_pw1")(x2)))
         y = nn.Conv(half, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)),
                     feature_group_count=half, use_bias=False, name="b2_dw")(y)
         y = bn(name="b2_bn1")(y)
         y = nn.relu(bn(name="b2_bn2")(
@@ -60,7 +62,8 @@ class ShuffleNetV2(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         y = nn.relu(bn(name="bn0")(
-            nn.Conv(24, (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(24, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for si, (n, c) in enumerate(zip(self.stages, self.channels)):
             y = ShuffleUnit(c, stride=2, name=f"stage{si}_0")(y, train=train)
@@ -83,7 +86,8 @@ class MNASNet(nn.Module):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         w = lambda c: int(c * self.width)
         y = nn.relu(bn(name="bn0")(
-            nn.Conv(w(32), (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(w(32), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         y = nn.Conv(w(32), (3, 3), feature_group_count=w(32), use_bias=False,
                     name="sep_dw")(y)
         y = nn.relu(bn(name="bn1")(y))
@@ -119,7 +123,8 @@ class RegNetX(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         y = nn.relu(bn(name="bn0")(
-            nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         for si, (wd, dp) in enumerate(zip(self.widths, self.depths)):
             groups = max(wd // self.group_width, 1)
             for j in range(dp):
@@ -129,6 +134,7 @@ class RegNetX(nn.Module):
                     nn.Conv(wd, (1, 1), use_bias=False, name=f"s{si}b{j}_c1")(y)))
                 z = nn.relu(bn(name=f"s{si}b{j}_bn2")(
                     nn.Conv(wd, (3, 3), strides=(stride, stride),
+                            padding=((1, 1), (1, 1)),
                             feature_group_count=groups, use_bias=False,
                             name=f"s{si}b{j}_c2")(z)))
                 if self.se_ratio > 0:

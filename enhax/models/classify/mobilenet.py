@@ -35,8 +35,9 @@ class InvertedResidual(nn.Module):
         if self.expand != c_in:
             y = act(bn(name="bn0")(nn.Conv(self.expand, (1, 1), use_bias=False,
                                            name="expand")(y)))
+        p = (self.kernel - 1) // 2   # torch-symmetric; flax SAME skews at s=2
         y = nn.Conv(self.expand, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
+                    strides=(self.stride, self.stride), padding=((p, p), (p, p)),
                     feature_group_count=self.expand, use_bias=False, name="dw")(y)
         y = act(bn(name="bn1")(y))
         if self.use_se:
@@ -63,7 +64,8 @@ class MobileNetV2(nn.Module):
             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
         c = int(32 * self.width_mult)
         y = jax.nn.relu6(bn(name="bn0")(
-            nn.Conv(c, (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         for bi, (t, ch, n, s) in enumerate(cfg):
             ch = int(ch * self.width_mult)
             for j in range(n):
@@ -103,7 +105,8 @@ class MobileNetV3(nn.Module):
                 (5, 960, 160, True, "hswish", 1)]
             last = 960
         y = hswish(bn(name="bn0")(
-            nn.Conv(16, (3, 3), strides=(2, 2), use_bias=False, name="stem")(x)))
+            nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem")(x)))
         for i, (k, e, c, se, act, s) in enumerate(cfg):
             y = InvertedResidual(c, s, expand=e, kernel=k, use_se=se, act=act,
                                  name=f"block{i}")(y, train=train)

@@ -28,8 +28,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         residual = x
+        # torch pads 3x3/stride-2 convs symmetrically (p=1); flax SAME pads
+        # (0,1) at stride 2 — explicit padding keeps checkpoint parity
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    use_bias=False, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
         y = nn.relu(bn(name="bn1")(y))
         y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv2")(y)
         y = bn(name="bn2")(y)
@@ -55,7 +57,8 @@ class Bottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(bn(name="bn1")(y))
         y = nn.Conv(width, (3, 3), strides=(self.strides, self.strides),
-                    feature_group_count=self.groups, use_bias=False, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), feature_group_count=self.groups,
+                    use_bias=False, name="conv2")(y)
         y = nn.relu(bn(name="bn2")(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
         y = bn(name="bn3")(y)
@@ -76,7 +79,8 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, name="conv1")(x)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
         y = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n in enumerate(self.layers):

@@ -52,7 +52,8 @@ class SqueezeNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.version == "1_0":
-            y = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2), name="conv1")(x))
+            y = nn.relu(nn.Conv(96, (7, 7), strides=(2, 2),
+                                padding="VALID", name="conv1")(x))
             y = nn.max_pool(y, (3, 3), strides=(2, 2))
             for i, (s, e) in enumerate([(16, 64), (16, 64), (32, 128)]):
                 y = Fire(s, e, name=f"fire{i + 2}")(y)
@@ -62,7 +63,8 @@ class SqueezeNet(nn.Module):
             y = nn.max_pool(y, (3, 3), strides=(2, 2))
             y = Fire(64, 256, name="fire9")(y)
         else:
-            y = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), name="conv1")(x))
+            y = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2),
+                                padding="VALID", name="conv1")(x))
             y = nn.max_pool(y, (3, 3), strides=(2, 2))
             for i, (s, e) in enumerate([(16, 64), (16, 64)]):
                 y = Fire(s, e, name=f"fire{i + 2}")(y)
@@ -102,7 +104,8 @@ class GoogLeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.relu(nn.Conv(64, (7, 7), strides=(2, 2), name="conv1")(x))
+        y = nn.relu(nn.Conv(64, (7, 7), strides=(2, 2),
+                            padding=((3, 3), (3, 3)), name="conv1")(x))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
         y = nn.relu(nn.Conv(64, (1, 1), name="conv2")(y))
         y = nn.relu(nn.Conv(192, (3, 3), name="conv3")(y))

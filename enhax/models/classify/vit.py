@@ -11,18 +11,32 @@ from enhax.models.classify.base import make_classifier
 
 
 class TransformerBlock(nn.Module):
+    """Pre-LN encoder block with a FUSED qkv projection (the torch-side
+    ``attn.qkv`` layout of timm/torchvision ViT encoders), so released
+    checkpoints convert through the generic matcher without per-head
+    reshapes."""
     dim: int
     heads: int
     mlp_dim: int
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(name="norm1")(x)
-        y = nn.MultiHeadDotProductAttention(num_heads=self.heads, name="attn")(y, y)
-        x = x + y
-        y = nn.LayerNorm(name="norm2")(x)
+        b, n, c = x.shape
+        hd = c // self.heads
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        qkv = nn.Dense(c * 3, name="qkv")(y)
+        q, k, v = jnp.split(
+            qkv.reshape(b, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4),
+            3, axis=0)
+        q, k, v = q[0], k[0], v[0]                   # (b, heads, n, hd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(hd), axis=-1)
+        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
+        x = x + nn.Dense(c, name="proj")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(self.mlp_dim, name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp2")(y)
         return x + y
 

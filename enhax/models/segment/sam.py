@@ -393,6 +393,12 @@ class SAMImageEncoderViT(nn.Module):
         g = self.img_size // self.patch
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, g, g, self.dim))
+        gh, gw = h // self.patch, w // self.patch
+        if (gh, gw) != (g, g):
+            # checkpoints store a (img_size/patch)^2 grid; interpolate to the
+            # actual token grid (standard ViTDet practice) so any
+            # size_divisor=16 input works
+            pos = jax.image.resize(pos, (1, gh, gw, self.dim), "bilinear")
         y = y + pos
         for i in range(self.depth):
             win = 0 if i in tuple(self.global_idx) else self.window
@@ -471,7 +477,13 @@ class _SAMRelAttention(nn.Module):
 
 
 class SAMModule(nn.Module):
-    """sam.py:17-107 pipeline (prompt coords are pixel (x, y))."""
+    """sam.py:17-107 pipeline.
+
+    Prompt coords in the datapoint are NORMALIZED (y, x) — the enhax
+    convention shared by every SAM variant (sam_lite, mobile_sam,
+    sam_vit_*), so models swap without changing prompt semantics; the
+    conversion to the reference prompt encoder's pixel (x, y) happens
+    here."""
     img_size: int = 1024
     enc_dim: int = 768
     enc_depth: int = 12
@@ -491,8 +503,10 @@ class SAMModule(nn.Module):
             heads=self.enc_heads, out_chans=self.dim, window=self.enc_window,
             global_idx=self.global_idx, name="image_encoder")(image)
         eh, ew = embed.shape[1:3]
+        # normalized (y, x) datapoint -> pixel (x, y) for the prompt encoder
+        pts = jnp.stack([points[..., 1] * w, points[..., 0] * h], axis=-1)
         sparse, dense, dense_pe = SAMPromptEncoder(
-            self.dim, (h, w), (eh, ew), name="prompt_encoder")(points, labels)
+            self.dim, (h, w), (eh, ew), name="prompt_encoder")(pts, labels)
         masks, iou = SAMMaskDecoder(
             self.dim, heads=self.dec_heads, mlp_dim=self.dec_mlp_dim,
             num_multimask=self.num_multimask,

@@ -1856,7 +1856,11 @@ def test_sam_reference_parity():
     mod = SAMModule(img_size=64, enc_dim=64, enc_depth=4, enc_heads=4,
                     enc_window=2, global_idx=(1, 3), dim=32, dec_heads=4,
                     dec_mlp_dim=64)
-    dp = {"image": _to_nhwc(x), "points": pts.numpy(), "labels": lbl.numpy()}
+    # enhax datapoint convention: normalized (y, x); torch side keeps
+    # pixel (x, y) — SAMModule converts internally
+    pts_norm = np.stack([pts.numpy()[..., 1] / 64.0,
+                         pts.numpy()[..., 0] / 64.0], axis=-1)
+    dp = {"image": _to_nhwc(x), "points": pts_norm, "labels": lbl.numpy()}
     import jax.numpy as jnp
     template = mod.init(jax.random.PRNGKey(0), dp["image"], dp["points"],
                         dp["labels"])
