@@ -22,6 +22,7 @@ from enhax.utils.pathlib import Path
 
 FR_METRICS = ("psnr", "ssim", "ms_ssim", "mae", "mse", "rmse")
 NR_METRICS = ("brightness", "contrast", "entropy", "niqe", "brisque")
+SEG_METRICS = ("miou", "mpa", "pa", "fwiou")
 
 
 def parse_metric_args(argv=None) -> dict:
@@ -42,6 +43,14 @@ def parse_metric_args(argv=None) -> dict:
     p.add_argument("--save-csv", type=str, default=None,
                    help="also write per-image scores to this CSV file")
     p.add_argument("--backend", type=str, default="jax")
+    p.add_argument("--task", choices=["enhance", "segment"], default="enhance",
+                   help="segment = confusion-matrix mIoU/mPA over label maps "
+                        "(reference metric_darkcityscapes.py)")
+    p.add_argument("--seg-classes", type=int, default=19,
+                   help="number of segmentation classes (cityscapes: 19)")
+    p.add_argument("--seg-binarize", type=float, default=None,
+                   help="threshold in [0,1]: grayscale+binarize inputs first "
+                        "(darkcityscapes pseudo_color flow, thresh 125/255)")
     p.add_argument("--verbose", action="store_true")
     return vars(p.parse_args(argv))
 
@@ -55,6 +64,64 @@ def _nr_metrics(img) -> dict:
     entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-12)), 0.0))
     return {"brightness": float(jnp.mean(g)), "contrast": float(jnp.std(g)),
             "entropy": float(entropy)}
+
+
+def _read_labels(path, binarize: float | None):
+    """Load a label map: int class-id image, or thresholded grayscale
+    (metric_darkcityscapes.py:77-84 color_to_gray flow)."""
+    from enhax.ops.io import read_image
+    img = np.asarray(read_image(path))
+    if binarize is not None:
+        g = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+             if img.ndim == 3 and img.shape[-1] == 3 else img[..., 0]
+             if img.ndim == 3 else img)
+        return (g > binarize).astype(np.int64)
+    # read_image normalizes to [0,1]; recover int class ids
+    lab = np.round(img * 255.0).astype(np.int64)
+    return lab[..., 0] if lab.ndim == 3 else lab
+
+
+def measure_segment_metric(args: dict) -> dict:
+    """Directory-level segmentation eval: accumulate a confusion matrix
+    across result/GT label-map pairs (metric_darkcityscapes.py:105-169)."""
+    from enhax.nn.metrics import SegmentationMetric
+
+    input_dir = Path(args["input"])
+    target_dir = Path(args["target"]) if args.get("target") else None
+    if target_dir is None:
+        raise SystemExit("--task segment needs --target (GT label dir)")
+    binarize = args.get("seg_binarize")
+    num_class = 2 if binarize is not None else int(args.get("seg_classes", 19))
+
+    target_index = {f.stem: f for f in target_dir.image_files()}
+    files = input_dir.image_files()
+    if not files:
+        raise SystemExit(f"no images under {input_dir}")
+
+    sm = SegmentationMetric(num_class)
+    n = 0
+    for f in files:
+        # darkcityscapes stems: *_leftImg8bit -> *_gtFine_color
+        stem = f.stem.replace("_leftImg8bit", "_gtFine_color")
+        tf = target_index.get(stem) or target_index.get(f.stem)
+        if tf is None:
+            continue
+        pred = _read_labels(f, binarize)
+        tgt = _read_labels(tf, binarize)
+        if pred.shape != tgt.shape:
+            continue
+        sm.add_batch(pred, tgt)
+        n += 1
+    if n == 0:
+        raise SystemExit("no result/GT pairs matched by stem")
+    results = {"miou": sm.mean_iou(), "mpa": sm.mean_pixel_accuracy(),
+               "pa": sm.pixel_accuracy(), "fwiou": sm.frequency_weighted_iou()}
+    names = args.get("metric") or ["miou", "mpa"]
+    results = {m: results[m] for m in names if m in results}
+    rows = [{"metric": m, "value": f"{v:.6f}", "items": n}
+            for m, v in results.items()]
+    print_table(rows, title=f"{input_dir} (segment, {num_class} classes)")
+    return results
 
 
 def measure_metric(args: dict) -> dict:
@@ -155,7 +222,11 @@ def measure_metric(args: dict) -> dict:
 
 
 def main(argv=None):
-    measure_metric(parse_metric_args(argv))
+    args = parse_metric_args(argv)
+    if args.get("task") == "segment":
+        measure_segment_metric(args)
+    else:
+        measure_metric(args)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,9 @@ def parse_predict_args(argv=None) -> dict:
     p.add_argument("--resize", action="store_true")
     p.add_argument("--tile", type=int, default=None, help="tile size for tiled inference")
     p.add_argument("--tile-overlap", type=int, default=32)
+    p.add_argument("--tile-blend", choices=["hann", "uniform"], default="hann",
+                   help="hann = seam-free; uniform = reference-exact "
+                        "unweighted accumulation (my_predict.py:157-167)")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--buckets", type=int, nargs="*", default=None,
                    help="shape buckets, e.g. --buckets 256 512 1024 (pads up; bounds recompiles)")
@@ -88,6 +91,7 @@ def predict(args: dict):
     pred = Predictor(model, variables=variables,
                      image_size=(args["imgsz"], args["imgsz"]) if args.get("imgsz") else None,
                      resize=bool(args.get("resize")), tile=tile,
+                     tile_blend=args.get("tile_blend", "hann"),
                      bucket_sizes=tuple(args["buckets"]) if args.get("buckets") else None,
                      mesh=mesh, spatial=bool(args.get("spatial") and mesh),
                      bf16=bool(args.get("bf16")))

@@ -42,6 +42,12 @@ def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple,
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(target_shape):
             return t
+        # 1x1 conv (O, I, 1, 1) -> Dense-lowered pointwise (I, O)
+        # (enhax lowers 1x1 convs to channel matmuls; see layers.conv1x1)
+        if a.shape[2] == a.shape[3] == 1 and len(target_shape) == 2:
+            t = a[:, :, 0, 0].T
+            if t.shape == tuple(target_shape):
+                return t
     if a.ndim == 3 and target_kind == "kernel":
         # conv1d (O, I/g, k) -> (k, I/g, O)
         t = a.transpose(2, 1, 0)

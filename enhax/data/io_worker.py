@@ -28,8 +28,8 @@ def parse_io_worker(src, dst=None, split=Split.TEST, transform=None, **kwargs):
     if path.is_file() and path.is_video_file():
         loader = VideoLoader(path, transform=transform)
         if dst is not None:
-            from enhax.ops.video import VideoWriterCV
-            writer = VideoWriterCV(Path(dst), fps=loader.fps)
+            from enhax.ops.video import make_video_writer
+            writer = make_video_writer(Path(dst), fps=loader.fps)
         return loader, writer
     raise ValueError(f"cannot resolve data source {src!r} "
                      f"(not a registered dataset, directory, image, or video)")

@@ -96,7 +96,8 @@ class Predictor:
     def __init__(self, model: Model, variables=None, image_size=None,
                  resize: bool = False, tile: tuple | None = None, seed: int = 0,
                  bucket_sizes: tuple | None = None, mesh=None,
-                 spatial: bool = False, bf16: bool = False):
+                 spatial: bool = False, bf16: bool = False,
+                 tile_blend: str = "hann"):
         self.model = model
         # bfloat16 inference: params + activations in bf16 (outputs cast
         # back to f32). On the TPU bench this is within 1 uint8 LSB of the
@@ -108,6 +109,9 @@ class Predictor:
         self.image_size = image_size
         self.resize = resize
         self.tile = tile
+        # 'hann' (default, seam-free) or 'uniform' (the reference's exact
+        # unweighted accumulate/divide, my_predict.py:157-167)
+        self.tile_blend = tile_blend
         self.seed = seed
         # Optional shape buckets: padded H/W are rounded UP to the nearest
         # bucket so arbitrary folders compile at most len(buckets)^2 graphs
@@ -237,7 +241,8 @@ class Predictor:
             t0 = time.perf_counter()
             enhanced = tiled_apply(
                 lambda x: self._jitted(self.variables, {**dp, "image": x})[self.model.out_key],
-                dp["image"], tile=self.tile[0:2], overlap=self.tile[2])
+                dp["image"], tile=self.tile[0:2], overlap=self.tile[2],
+                blend=self.tile_blend)
             outputs = {self.model.out_key: jax.block_until_ready(enhanced)}
             dt = time.perf_counter() - t0
         else:

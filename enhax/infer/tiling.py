@@ -36,10 +36,26 @@ def _hann_window(tile_h: int, tile_w: int):
     return jnp.asarray(w)[None, :, :, None]
 
 
-def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32):
+def _blend_window(tile_h: int, tile_w: int, blend: str):
+    """``blend='hann'``: raised-cosine (seamless, enhax default).
+    ``blend='uniform'``: ones — the reference contract, matching
+    Restormer's unweighted accumulate / count divide EXACTLY
+    (my_predict.py:157-167), for bit-close tiled parity runs."""
+    if blend == "uniform":
+        return jnp.ones((1, tile_h, tile_w, 1), jnp.float32)
+    if blend == "hann":
+        return _hann_window(tile_h, tile_w)
+    raise ValueError(f"unknown blend mode: {blend!r}")
+
+
+def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32,
+                blend: str = "hann"):
     """Apply ``fn`` (NHWC -> NHWC) over overlapping tiles and blend.
 
-    ``fn`` must be shape-preserving. Same contract as Restormer's --tile.
+    ``fn`` must be shape-preserving. Same contract as Restormer's --tile;
+    ``blend='uniform'`` reproduces the reference's unweighted accumulation
+    bit-for-bit (my_predict.py:157-167), ``'hann'`` (default) trades that
+    for seam-free blending.
     """
     n, h, w, c = image.shape
     th = min(tile[0], h)
@@ -48,7 +64,7 @@ def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32
     stride_w = max(tw - overlap, 1)
     ys = _tile_starts(h, th, stride_h)
     xs = _tile_starts(w, tw, stride_w)
-    win = _hann_window(th, tw)
+    win = _blend_window(th, tw, blend).astype(image.dtype)
 
     out = jnp.zeros_like(image)
     acc = jnp.zeros((1, h, w, 1), image.dtype)
@@ -66,7 +82,8 @@ def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32
 
 
 def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
-                        overlap: int = 32, chunk: int = 8):
+                        overlap: int = 32, chunk: int = 8,
+                        blend: str = "hann"):
     """Overlap-tiled apply with tiles BATCHED through ``fn``.
 
     TPU-friendly variant of :func:`tiled_apply`: instead of unrolling one
@@ -74,7 +91,8 @@ def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
     all tiles are stacked into a batch and run through ``fn`` in chunks of
     ``chunk``, then Hann-blended back. ``fn`` maps (B, th, tw, C) ->
     (B, th, tw, C). Same contract as Restormer's tiled test path
-    (my_predict.py:157-167).
+    (my_predict.py:157-167); ``blend='uniform'`` matches its unweighted
+    accumulate/divide exactly, ``'hann'`` (default) blends seam-free.
     """
     n, h, w, c = image.shape
     assert n == 1, "batched tiling operates on a single image"
@@ -102,7 +120,7 @@ def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
     preds = jax.lax.map(fn, groups)
     preds = preds.reshape((n_groups * chunk,) + preds.shape[2:])[:n_tiles]
 
-    win = _hann_window(th, tw).astype(image.dtype)
+    win = _blend_window(th, tw, blend).astype(image.dtype)
     out = jnp.zeros_like(image)
     acc = jnp.zeros((1, h, w, 1), image.dtype)
     for k, (y, x) in enumerate(coords):

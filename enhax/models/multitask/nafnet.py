@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.layers import LayerNorm2d, pixel_shuffle
+from enhax.nn.layers import LayerNorm2d, conv1x1, pixel_shuffle
 from enhax.ops.filtering import box_filter
 
 
@@ -49,21 +49,21 @@ class NAFBlock(nn.Module):
         c = self.features
         dw = c * self.dw_expand
         y = LayerNorm2d(name="norm1")(x)
-        y = nn.Conv(dw, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = conv1x1(dw, dtype=self.dtype, name="conv1")(y)
         y = nn.Conv(dw, (3, 3), feature_group_count=dw, dtype=self.dtype,
                     name="conv2")(y)
         y = simple_gate(y)
         # simplified channel attention (global or TLC-local mean)
-        att = nn.Conv(dw // 2, (1, 1), dtype=self.dtype, name="sca")(self._pool(y))
+        att = conv1x1(dw // 2, dtype=self.dtype, name="sca")(self._pool(y))
         y = y * att
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = conv1x1(c, dtype=self.dtype, name="conv3")(y)
         beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
         x = x + y * beta
 
         y = LayerNorm2d(name="norm2")(x)
-        y = nn.Conv(c * self.ffn_expand, (1, 1), dtype=self.dtype, name="conv4")(y)
+        y = conv1x1(c * self.ffn_expand, dtype=self.dtype, name="conv4")(y)
         y = simple_gate(y)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv5")(y)
+        y = conv1x1(c, dtype=self.dtype, name="conv5")(y)
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
         return x + y * gamma
 
@@ -93,7 +93,7 @@ class NAFNetModule(nn.Module):
         for j in range(self.middle_blk_num):
             y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype, name=f"mid_{j}")(y)
         for i, n in enumerate(self.dec_blk_nums):
-            y = nn.Conv(c * 2, (1, 1), use_bias=False, dtype=self.dtype,
+            y = conv1x1(c * 2, use_bias=False, dtype=self.dtype,
                         name=f"up{i}")(y)
             y = pixel_shuffle(y, 2)
             c //= 2

@@ -22,6 +22,20 @@ from flax import linen as nn
 from enhax.ops.filtering import box_filter, sobel_filter
 
 
+def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
+            name: str | None = None) -> nn.Dense:
+    """1x1 conv lowered to a channel matmul (``nn.Dense`` over NHWC).
+
+    XLA's TPU conv op runs small-channel 1x1 convs at ~1 TF/s / 60 GB/s
+    (measured on v5e at C=32), while the identical contraction expressed
+    as a dot runs ~5x faster (docs/PERF.md round-3 probes). Parameter is
+    "kernel" (C_in, C_out); the checkpoint converter's shape fitter maps
+    torch (C_out, C_in, 1, 1) conv weights onto it transparently, so name
+    maps are unchanged.
+    """
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class ConvBlock(nn.Module):
     """Conv -> (norm) -> (act). The reference's conv/base.py workhorse."""
     features: int

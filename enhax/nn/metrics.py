@@ -238,6 +238,58 @@ def lpips(input, target, params: dict, lin_weights: list,
 METRICS.register(name="lpips", obj=lpips)
 
 
+class SegmentationMetric:
+    """Confusion-matrix segmentation scorer across a result set.
+
+    Rebuild of the reference's darkcityscapes harness
+    (project/runml/metric_darkcityscapes.py:21-75): accumulate per-image
+    label maps with ``add_batch`` and read ``mean_iou`` / pixel-accuracy
+    aggregates, with identical numpy semantics (nanmean over absent
+    classes; out-of-range labels masked out).
+    """
+
+    def __init__(self, num_class: int):
+        self.num_class = num_class
+        self.confusion_matrix = np.zeros((num_class, num_class))
+
+    def add_batch(self, pred, label):
+        pred = np.asarray(pred).reshape(-1).astype(np.int64)
+        label = np.asarray(label).reshape(-1).astype(np.int64)
+        assert pred.shape == label.shape
+        mask = (label >= 0) & (label < self.num_class)
+        idx = self.num_class * label[mask] + pred[mask]
+        count = np.bincount(idx, minlength=self.num_class ** 2)
+        self.confusion_matrix += count.reshape(self.num_class, self.num_class)
+
+    def pixel_accuracy(self) -> float:
+        cm = self.confusion_matrix
+        return float(np.diag(cm).sum() / cm.sum())
+
+    def mean_pixel_accuracy(self) -> float:
+        cm = self.confusion_matrix
+        with np.errstate(divide="ignore", invalid="ignore"):
+            class_acc = np.diag(cm) / cm.sum(axis=0)
+        return float(np.nanmean(class_acc))
+
+    def mean_iou(self) -> float:
+        cm = self.confusion_matrix
+        inter = np.diag(cm)
+        union = cm.sum(axis=1) + cm.sum(axis=0) - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = inter / union
+        return float(np.nanmean(iou))
+
+    def frequency_weighted_iou(self) -> float:
+        cm = self.confusion_matrix
+        freq = cm.sum(axis=1) / cm.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iu = np.diag(cm) / (cm.sum(axis=1) + cm.sum(axis=0) - np.diag(cm))
+        return float((freq[freq > 0] * iu[freq > 0]).sum())
+
+    def reset(self):
+        self.confusion_matrix = np.zeros((self.num_class, self.num_class))
+
+
 @METRICS.register(name="miou")
 def miou(pred_labels, target_labels, num_classes: int, ignore_index: int | None = 255):
     """Mean intersection-over-union for segmentation label maps.

@@ -1,8 +1,10 @@
-"""Host-side video I/O over OpenCV.
+"""Host-side video I/O over OpenCV and ffmpeg.
 
-Rebuild of reference ``core/video/io.py`` (VideoLoaderCV :138 frame streaming,
-VideoWriterCV :196). The ffmpeg-python path (io.py:33,317) is replaced by
-cv2's VideoWriter; frames are RGB HWC numpy on the host.
+Rebuild of reference ``core/video/io.py``: VideoLoaderCV (:138) frame
+streaming, VideoWriterCV (:196), and VideoWriterFFmpeg (:317) — the latter
+as a raw subprocess pipe (rawvideo rgb24 in -> encoder out) instead of the
+ffmpeg-python wrapper, for codecs/containers beyond cv2's support. Frames
+are RGB HWC numpy on the host.
 """
 
 from __future__ import annotations
@@ -89,3 +91,87 @@ class VideoWriterCV:
         if self.writer is not None:
             self.writer.release()
             self.writer = None
+
+
+def is_ffmpeg_available(binary: str = "ffmpeg") -> bool:
+    import shutil
+    return shutil.which(binary) is not None
+
+
+class VideoWriterFFmpeg:
+    """Pipe RGB frames into an ffmpeg encoder subprocess.
+
+    Rebuild of reference ``core/video/io.py:317 VideoWriterFFmpeg``: frames
+    enter as rawvideo rgb24 over stdin; ffmpeg encodes to ``pix_fmt``
+    (default yuv420p) at ``fps``, overwriting the destination. Extra
+    ``ffmpeg_args`` are passed to the output verbatim (the reference passes
+    kwargs to ffmpeg-python the same way). Lazily sizes from the first
+    frame like VideoWriterCV.
+    """
+
+    def __init__(self, path, fps: float = 30.0,
+                 size: tuple[int, int] | None = None,
+                 pix_fmt: str = "yuv420p", codec: str | None = None,
+                 binary: str = "ffmpeg", extra_args: tuple = (),
+                 verbose: bool = False):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.fps = fps
+        self.size = size  # (h, w)
+        self.pix_fmt = pix_fmt
+        self.codec = codec
+        self.binary = binary
+        self.extra_args = tuple(extra_args)
+        self.verbose = verbose
+        self.proc = None
+
+    def _ensure(self, frame):
+        import subprocess
+        if self.proc is not None:
+            return
+        if not is_ffmpeg_available(self.binary):
+            raise RuntimeError(
+                f"{self.binary!r} not found on PATH; use VideoWriterCV or "
+                "install ffmpeg")
+        h, w = (self.size if self.size else frame.shape[:2])
+        self.size = (h, w)
+        cmd = [self.binary, "-y",
+               "-f", "rawvideo", "-pix_fmt", "rgb24",
+               "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "pipe:"]
+        if not self.verbose:
+            cmd += ["-loglevel", "quiet"]
+        if self.codec:
+            cmd += ["-c:v", self.codec]
+        cmd += ["-pix_fmt", self.pix_fmt, *self.extra_args, str(self.path)]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def write(self, frame) -> None:
+        frame = np.asarray(frame)
+        if frame.dtype in (np.float32, np.float64, np.float16):
+            frame = np.clip(frame * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        frame = np.ascontiguousarray(frame)
+        self._ensure(frame)
+        if frame.shape[:2] != self.size:
+            import cv2
+            frame = cv2.resize(frame, (self.size[1], self.size[0]))
+        self.proc.stdin.write(frame.tobytes())
+
+    def write_batch(self, frames) -> None:
+        for f in frames:
+            self.write(f)
+
+    def close(self):
+        if self.proc is not None:
+            self.proc.stdin.close()
+            self.proc.wait()
+            self.proc = None
+
+
+def make_video_writer(path, fps: float = 30.0, size=None,
+                      prefer: str = "auto", **kwargs):
+    """``prefer='auto'``: ffmpeg pipe when the binary exists (broader codec
+    and container support), else cv2. ``'ffmpeg'``/``'cv2'`` force a path.
+    Mirrors the reference's writer selection (core/video/io.py:196,317)."""
+    if prefer == "ffmpeg" or (prefer == "auto" and is_ffmpeg_available()):
+        return VideoWriterFFmpeg(path, fps=fps, size=size, **kwargs)
+    return VideoWriterCV(path, fps=fps, size=size)

@@ -48,7 +48,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from enhax.models.base import build_model
-    from enhax.ops.video import VideoWriterCV
+    from enhax.ops.video import make_video_writer
 
     kwargs = {"scale_factor": args.scale_factor} if "dce++" in args.model else {}
     model = build_model(args.model, **kwargs)
@@ -69,7 +69,9 @@ def main(argv=None):
                 yield np.clip(rng.uniform(0, 1, (args.height, args.width, 3))
                               ** 3 * 0.4, 0, 1).astype(np.float32)
 
-    writer = None if args.no_write else VideoWriterCV(args.output, fps=fps)
+    # ffmpeg pipe when available (1080p streams beyond cv2's codecs),
+    # else cv2 (core/video/io.py:317 VideoWriterFFmpeg equivalent)
+    writer = None if args.no_write else make_video_writer(args.output, fps=fps)
     # serving-format I/O: frames cross host<->device as uint8 (4x less
     # RPC/HBM traffic than f32); normalize/quantize fuse into the graph
     cdt = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -78,3 +78,62 @@ def test_plot_cli_diff_and_zoom(image_dir, tmp_path):
                 "zoom": [0.25, 0.25, 0.3, 0.3]})
     files = list(out.glob("*-diff.png"))
     assert len(files) == 3
+
+
+def test_metric_cli_segment_miou(tmp_path):
+    """--task segment: confusion-matrix mIoU/mPA on synthetic label maps
+    matches a hand-computed golden (metric_darkcityscapes.py:21-75)."""
+    import cv2
+    import numpy as np
+    from enhax.cli.metric import measure_segment_metric
+
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    # 4x4, 3 classes. pred: left half class 0, right half class 1, one px 2
+    pred = np.zeros((4, 4), np.uint8)
+    pred[:, 2:] = 1
+    pred[3, 3] = 2
+    gt = np.zeros((4, 4), np.uint8)
+    gt[:, 2:] = 1
+    cv2.imwrite(str(pred_dir / "a.png"), pred)
+    cv2.imwrite(str(gt_dir / "a.png"), gt)
+
+    out = measure_segment_metric({"input": str(pred_dir),
+                                  "target": str(gt_dir),
+                                  "seg_classes": 3,
+                                  "metric": ["miou", "mpa", "pa"]})
+    # golden: class0 IoU 8/8=1, class1 inter 7 union 8 -> 7/8, class2 0/1=0
+    assert abs(out["miou"] - np.nanmean([1.0, 7 / 8, 0.0])) < 1e-9
+    # pixel accuracy: 15/16 correct
+    assert abs(out["pa"] - 15 / 16) < 1e-9
+    # mPA (precision per predicted class): c0 8/8, c1 7/7, c2 0/1
+    assert abs(out["mpa"] - np.nanmean([1.0, 1.0, 0.0])) < 1e-9
+
+
+def test_metric_cli_segment_binarize(tmp_path):
+    """--seg-binarize reproduces the darkcityscapes color_to_gray flow
+    (grayscale threshold -> binary maps, 2-class confusion matrix)."""
+    import cv2
+    import numpy as np
+    from enhax.cli.metric import measure_segment_metric
+
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    pred = np.zeros((8, 8, 3), np.uint8)
+    pred[:4] = 200   # bright -> class 1
+    gt = np.zeros((8, 8, 3), np.uint8)
+    gt[:4] = 200
+    gt[4, :] = 180   # one extra bright row in GT only
+    cv2.imwrite(str(pred_dir / "x_leftImg8bit.png"), pred)
+    cv2.imwrite(str(gt_dir / "x_gtFine_color.png"), gt)
+    out = measure_segment_metric({"input": str(pred_dir),
+                                  "target": str(gt_dir),
+                                  "seg_binarize": 125 / 255.0,
+                                  "metric": ["miou"]})
+    # class1: inter 32, union 40; class0: inter 24, union 32
+    golden = np.mean([24 / 32, 32 / 40])
+    assert abs(out["miou"] - golden) < 1e-9

@@ -54,6 +54,41 @@ def test_tiled_apply_matches_global_for_local_fn(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(f(x)), atol=1e-5)
 
 
+def test_tiled_apply_uniform_matches_reference_accumulation(rng):
+    """blend='uniform' == the reference's unweighted accumulate / count
+    divide EXACTLY (restormer/my_predict.py:157-167), hand-computed here."""
+    from enhax.infer.tiling import _tile_starts, tiled_apply_batched
+    x = jnp.asarray(rng.uniform(0, 1, (1, 70, 90, 3)).astype(np.float32))
+    f = lambda t: t * 0.5 + 0.1
+    th = tw = 32
+    overlap = 8
+    out = tiled_apply(f, x, tile=(th, tw), overlap=overlap, blend="uniform")
+    # reference algorithm: E[h1:h2, w1:w2] += out_patch; W += 1; E / W
+    e = np.zeros_like(np.asarray(x))
+    wsum = np.zeros((1, 70, 90, 1), np.float32)
+    for y in _tile_starts(70, th, th - overlap):
+        for xx in _tile_starts(90, tw, tw - overlap):
+            patch = np.asarray(x)[:, y:y + th, xx:xx + tw]
+            e[:, y:y + th, xx:xx + tw] += np.asarray(f(jnp.asarray(patch)))
+            wsum[:, y:y + th, xx:xx + tw] += 1.0
+    np.testing.assert_allclose(np.asarray(out), e / wsum, atol=1e-6)
+    # batched path agrees with unbatched in uniform mode too
+    outb = tiled_apply_batched(f, x, tile=(th, tw), overlap=overlap,
+                               chunk=4, blend="uniform")
+    np.testing.assert_allclose(np.asarray(outb), e / wsum, atol=1e-6)
+
+
+def test_tiled_apply_both_blends_close_to_untiled(rng):
+    """Both blend modes stay close to the untiled result for a local fn;
+    hann (default) additionally has no seam discontinuities."""
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    f = lambda t: jnp.clip(t * 1.5, 0, 1)
+    for blend in ("hann", "uniform"):
+        out = tiled_apply(f, x, tile=(32, 32), overlap=16, blend=blend)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f(x)),
+                                   atol=1e-5, err_msg=blend)
+
+
 def test_predictor_tile_mode(rng):
     m = build_model("zero_dce_re", num_channels=8)
     pred_full = Predictor(m)

@@ -111,3 +111,57 @@ def test_remove_anything_pipeline(rng):
     m[4, 4] = 1
     d = dilate_mask(m, 3)
     assert d.sum() == 9 and d[3:6, 3:6].all()
+
+
+def test_ffmpeg_writer_pipes_rawvideo(tmp_path, monkeypatch):
+    """VideoWriterFFmpeg feeds rgb24 rawvideo over stdin with the reference's
+    arg contract (core/video/io.py:317). Runs against a stub ffmpeg binary
+    so the pipe mechanics are tested without the real encoder."""
+    import os
+    import stat
+    import numpy as np
+    from enhax.ops.video import VideoWriterFFmpeg, is_ffmpeg_available
+
+    stub = tmp_path / "bin" / "ffmpeg"
+    stub.parent.mkdir()
+    # writes argv to <out>.args and byte count of stdin to <out>
+    stub.write_text(
+        "#!/bin/sh\n"
+        'out=""\n'
+        'for a in "$@"; do out="$a"; done\n'
+        'printf "%s\\n" "$@" > "$out.args"\n'
+        "wc -c > \"$out\"\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+    assert is_ffmpeg_available()
+
+    out = tmp_path / "vid.mp4"
+    w = VideoWriterFFmpeg(out, fps=24.0)
+    frames = np.random.default_rng(0).uniform(0, 1, (3, 8, 12, 3)).astype(np.float32)
+    w.write_batch(frames)
+    w.close()
+    n_bytes = int(out.read_text().split()[0])
+    assert n_bytes == 3 * 8 * 12 * 3  # rgb24 rawvideo payload
+    args = (tmp_path / "vid.mp4.args").read_text().split("\n")
+    assert "rawvideo" in args and "rgb24" in args and "12x8" in args
+    assert "yuv420p" in args
+
+
+def test_ffmpeg_writer_real_roundtrip(tmp_path):
+    """Full encode/decode roundtrip when a real ffmpeg binary exists."""
+    import shutil
+    import numpy as np
+    import pytest as _pytest
+    from enhax.ops.video import VideoReaderCV, VideoWriterFFmpeg
+    if shutil.which("ffmpeg") is None:
+        _pytest.skip("ffmpeg binary not installed")
+    out = tmp_path / "vid.mp4"
+    w = VideoWriterFFmpeg(out, fps=10.0)
+    frames = np.stack([np.full((32, 48, 3), v, np.float32)
+                       for v in (0.1, 0.5, 0.9)])
+    w.write_batch(frames)
+    w.close()
+    r = VideoReaderCV(out)
+    got = list(r)
+    assert len(got) == 3
+    assert abs(float(got[1].mean()) - 0.5) < 0.05
