@@ -972,6 +972,107 @@ def mprnet_name_map(num_cab: int = 8) -> dict:
     return m
 
 
+def sam2_hiera_name_map(depth: int = 12, trunk_prefix: str = "trunk.") -> dict:
+    """SAM2 released checkpoints' image-encoder naming
+    (sam2/modeling/backbones/hieradet.py + image_encoder.py FpnNeck) ->
+    enhax Hiera/SAM2ImageEncoder module names. ``trunk_prefix=''`` maps a
+    bare-trunk state dict onto the standalone Hiera module."""
+    tp = trunk_prefix
+    m = {f"{tp}patch_embed.proj.": f"{tp}patch_embed.",
+         f"{tp}pos_embed_window": f"{tp}pos_embed_window",
+         f"{tp}pos_embed": f"{tp}pos_embed"}
+    for i in sorted(range(depth), reverse=True):  # two-digit indices first
+        m[f"{tp}blocks.{i}."] = f"{tp}block{i}."
+    for j in range(4):
+        m[f"neck.convs.{j}.conv."] = f"neck.conv{j}."
+    m["*.mlp.layers.0."] = ".mlp1."
+    m["*.mlp.layers.1."] = ".mlp2."
+    return m
+
+
+def sam2_full_name_map(depth: int = 12) -> dict:
+    """Full SAM2 released checkpoints (SAM2Base state dict naming,
+    sam2_base.py) -> enhax SAM2Hiera module names. Image size must match
+    the checkpoint's (1024). ``depth``: trunk block count (t: 12, s: 16,
+    b+: 24, l: 48)."""
+    m = {"image_encoder.trunk.patch_embed.proj.":
+         "image_encoder.trunk.patch_embed.",
+         "image_encoder.trunk.pos_embed_window":
+         "image_encoder.trunk.pos_embed_window",
+         "image_encoder.trunk.pos_embed": "image_encoder.trunk.pos_embed"}
+    for i in sorted(range(depth), reverse=True):
+        m[f"image_encoder.trunk.blocks.{i}."] = f"image_encoder.trunk.block{i}."
+    for j in range(4):
+        m[f"image_encoder.neck.convs.{j}.conv."] = f"image_encoder.neck.conv{j}."
+    # memory attention
+    for i in range(4):
+        m[f"memory_attention.layers.{i}."] = f"memory_attention.layer{i}."
+    m["memory_attention.norm."] = "memory_attention.norm."
+    # memory encoder: mask_downsampler Sequential indices 0,1 / 3,4 / 6,7 /
+    # 9,10 (conv, LN) + final conv 12; fuser CXBlocks
+    me = "memory_encoder."
+    for lyr in range(4):
+        m[me + f"mask_downsampler.encoder.{3 * lyr}."] = me + f"down{lyr}."
+        m[me + f"mask_downsampler.encoder.{3 * lyr + 1}."] = \
+            me + f"down_norm{lyr}."
+    m[me + "mask_downsampler.encoder.12."] = me + "down_out."
+    m[me + "pix_feat_proj."] = me + "pix_feat_proj."
+    for i in range(2):
+        m[me + f"fuser.layers.{i}.dwconv."] = me + f"fuse{i}_dwconv."
+        m[me + f"fuser.layers.{i}.norm."] = me + f"fuse{i}_norm."
+        m[me + f"fuser.layers.{i}.pwconv1."] = me + f"fuse{i}_pwconv1."
+        m[me + f"fuser.layers.{i}.pwconv2."] = me + f"fuse{i}_pwconv2."
+        m[me + f"fuser.layers.{i}.gamma"] = me + f"fuse{i}_gamma"
+    m[me + "out_proj."] = me + "out_proj."
+    # prompt encoder (same naming as SAM)
+    pe = "sam_prompt_encoder."
+    m[pe + "pe_layer.positional_encoding_gaussian_matrix"] = pe + "pe_gauss"
+    for i in range(4):
+        m[pe + f"point_embeddings.{i}.weight"] = pe + f"point_embed{i}"
+    m[pe + "not_a_point_embed.weight"] = pe + "not_a_point"
+    m[pe + "no_mask_embed.weight"] = pe + "no_mask"
+    for t, f in ((0, "md_conv1"), (1, "md_ln1"), (3, "md_conv2"),
+                 (4, "md_ln2"), (6, "md_conv3")):
+        m[pe + f"mask_downscaling.{t}."] = pe + f"{f}."
+    # mask decoder (SAM naming + obj score + high-res convs)
+    d = "sam_mask_decoder."
+    m[d + "conv_s0."] = "conv_s0."
+    m[d + "conv_s1."] = "conv_s1."
+    m[d + "iou_token.weight"] = d + "iou_token"
+    m[d + "mask_tokens.weight"] = d + "mask_tokens"
+    m[d + "obj_score_token.weight"] = d + "obj_score_token"
+    for i in range(2):
+        # sam2's transformer MLP is sam2_utils.MLP (mlp.layers.{j}), not
+        # SAM's MLPBlock (mlp.lin{j}); more-specific prefixes FIRST (prefix
+        # rules break on first match)
+        m[d + f"transformer.layers.{i}.mlp.layers.0."] = d + f"layer{i}.lin1."
+        m[d + f"transformer.layers.{i}.mlp.layers.1."] = d + f"layer{i}.lin2."
+        m[d + f"transformer.layers.{i}."] = d + f"layer{i}."
+    m[d + "transformer.final_attn_token_to_image."] = d + "final_t2i."
+    m[d + "transformer.norm_final_attn."] = d + "norm_final."
+    m[d + "output_upscaling.0."] = d + "up1."
+    m[d + "output_upscaling.1."] = d + "up_ln."
+    m[d + "output_upscaling.3."] = d + "up2."
+    for i in range(4):
+        for j in range(3):
+            m[d + f"output_hypernetworks_mlps.{i}.layers.{j}."] = \
+                d + f"hyper{i}_l{j}."
+    for j in range(3):
+        m[d + f"iou_prediction_head.layers.{j}."] = d + f"iou_l{j}."
+        m[d + f"pred_obj_score_head.layers.{j}."] = d + f"obj_l{j}."
+        m[f"obj_ptr_proj.layers.{j}."] = f"obj_ptr_proj_l{j}."
+    m["maskmem_tpos_enc"] = "maskmem_tpos_enc"
+    m["no_mem_embed"] = "no_mem_embed"
+    m["no_obj_ptr"] = "no_obj_ptr"
+    m["*.cross_attn_token_to_image."] = ".t2i."
+    m["*.cross_attn_image_to_token."] = ".i2t."
+    m["*.mlp.lin1."] = ".lin1."
+    m["*.mlp.lin2."] = ".lin2."
+    m["*.mlp.layers.0."] = ".mlp1."
+    m["*.mlp.layers.1."] = ".mlp2."
+    return m
+
+
 def resnet_name_map(layers=(2, 2, 2, 2)) -> dict:
     """torchvision ResNet/ResNeXt/WideResNet checkpoints
     (conv1/bn1/layer{1-4}.{j}/fc; reference resnet.py:44-474 wraps these)."""
@@ -1127,6 +1228,10 @@ NAME_MAPS = {
     "vit_l_16": lambda: vit_name_map(24),
     "vit_l_32": lambda: vit_name_map(24),
     "vit_h_14": lambda: vit_name_map(32),
+    "sam2_hiera_t": lambda: sam2_full_name_map(12),
+    "sam2_hiera_s": lambda: sam2_full_name_map(16),
+    "sam2_hiera_b+": lambda: sam2_full_name_map(24),
+    "sam2_hiera_l": lambda: sam2_full_name_map(48),
 }
 
 

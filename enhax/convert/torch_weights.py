@@ -59,6 +59,11 @@ def torch_to_flax_array(name: str, arr: np.ndarray, target_shape: tuple,
         t = a.transpose(2, 3, 1, 0)
         if t.shape == tuple(target_shape):
             return t
+        # NCHW feature-map param (e.g. SAM2's (1, C, h, w) pos embeds)
+        # -> NHWC
+        t = a.transpose(0, 2, 3, 1)
+        if t.shape == tuple(target_shape):
+            return t
     if a.ndim == 2:
         t = a.T
         if t.shape == tuple(target_shape):

@@ -246,9 +246,11 @@ def sam2_lite(dim: int = 256, mem_dim: int = 64, depth: int = 4,
     )
 
 
-# EXTRA_MODELS size presets (globals.py sam2_hiera_* rows) on the lite arch
-for _name, _dim, _depth in (("sam2_hiera_t", 96, 2), ("sam2_hiera_s", 96, 3),
-                            ("sam2_hiera_b+", 112, 3), ("sam2_hiera_l", 144, 4)):
+# Compact size presets; the faithful released architecture lives in
+# sam2_hiera.py under the sam2_hiera_* names (r2 VERDICT #1 / advisor:
+# checkpoint-named variants must take the checkpoint)
+for _name, _dim, _depth in (("sam2_lite_t", 96, 2), ("sam2_lite_s", 96, 3),
+                            ("sam2_lite_b+", 112, 3), ("sam2_lite_l", 144, 4)):
     def _sized2(dim=_dim, depth=_depth, nm=_name, **kwargs):
         m = sam2_lite(dim=max(dim, 64), depth=depth,
                       **{k: v for k, v in kwargs.items()
