@@ -69,6 +69,14 @@ ZOO: dict[str, dict[str, ZooEntry]] = {
             {"enc_blk_nums": (1, 1, 1, 28), "middle_blk_num": 1,
              "dec_blk_nums": (1, 1, 1, 1)}),
     },
+    "uformer_b": {
+        "sidd": ZooEntry("uformer_b_sidd.pth",
+                         "github.com/ZhendongWang6/Uformer (Uformer_B.pth)",
+                         _maps.uformer_name_map),
+        "gopro": ZooEntry("uformer_b_gopro.pth",
+                          "github.com/ZhendongWang6/Uformer (Uformer_B.pth)",
+                          _maps.uformer_name_map),
+    },
     "restormer": {
         "deraining": ZooEntry("restormer_deraining.pth",
                               "github.com/swz30/Restormer",
