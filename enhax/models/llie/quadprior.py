@@ -329,7 +329,10 @@ class ControlledUNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, t, context, control):
+    def __call__(self, x, t, context, control=None):
+        # control=None runs the plain SD UNet (no residual taps) with an
+        # identical param tree — reused by the SD-inpainting pipeline
+        # (enhax/models/inpaint/sd_inpaint.py) on a 9-channel x.
         d = self.dtype
         mc = self.model_channels
         temb = timestep_embedding(t, mc).astype(x.dtype)
@@ -338,14 +341,17 @@ class ControlledUNet(nn.Module):
         h, hs = _ControlledCore(mc, self.channel_mult, self.num_res,
                                 self.num_heads, dtype=d,
                                 name="core")(x, emb, context)
-        control = list(control)
-        h = h + control.pop()
+        control = list(control) if control is not None else None
+        if control is not None:
+            h = h + control.pop()
         i = 0
         n_levels = len(self.channel_mult)
         for level in reversed(range(n_levels)):
             ch = self.channel_mult[level] * mc
             for r in range(self.num_res + 1):
-                skip = hs.pop() + control.pop()
+                skip = hs.pop()
+                if control is not None:
+                    skip = skip + control.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = _ResBlock(ch, dtype=d, name=f"ob{i}_res")(h, emb)
                 if level < n_levels - 1:

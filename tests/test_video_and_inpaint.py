@@ -113,6 +113,89 @@ def test_remove_anything_pipeline(rng):
     assert d.sum() == 9 and d[3:6, 3:6].all()
 
 
+def test_crop_for_filling_roundtrip(rng):
+    """crop pre/post match the reference mask_processing.py geometry:
+    the filled crop lands back exactly on the mask pixels."""
+    from enhax.infer.inpaint_anything import (crop_for_filling_post,
+                                              crop_for_filling_pre)
+    img = rng.uniform(0, 1, (96, 80, 3)).astype(np.float32)
+    mask = np.zeros((96, 80), bool)
+    mask[30:50, 20:44] = True
+    crop, mcrop = crop_for_filling_pre(img, mask, crop_size=64)
+    assert crop.shape == (64, 64, 3) and mcrop.shape == (64, 64)
+    assert mcrop.sum() == mask.sum()  # bbox fits: no rescale
+    out = crop_for_filling_post(img, mask, np.ones_like(crop), crop_size=64)
+    np.testing.assert_allclose(out[mask], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[~mask], img[~mask], atol=1e-6)
+    # oversize-bbox branch: mask wider than the crop -> shrink path
+    bigmask = np.zeros((96, 80), bool)
+    bigmask[10:90, 4:76] = True
+    crop2, mcrop2 = crop_for_filling_pre(img, bigmask, crop_size=64)
+    assert crop2.shape == (64, 64, 3) and mcrop2.any()
+
+
+def test_resize_and_pad_roundtrip(rng):
+    from enhax.infer.inpaint_anything import recover_size, resize_and_pad
+    # smooth image: the down/up bilinear hops preserve low frequencies
+    yy, xx = np.mgrid[0:60, 0:96].astype(np.float32)
+    img = np.stack([yy / 60, xx / 96, (yy + xx) / 156], axis=-1)
+    mask = np.zeros((60, 96), np.float32)
+    mask[20:40, 30:60] = 1.0
+    ip, mp, pads = resize_and_pad(img, mask, target_size=64)
+    assert ip.shape == (64, 64, 3) and mp.shape == (64, 64)
+    tp, bp, lp, rp = pads
+    assert tp + bp == 64 - 40 and lp + rp == 0
+    ir, mr = recover_size(ip, mp, (60, 96), pads)
+    assert ir.shape == (60, 96, 3)
+    np.testing.assert_allclose(ir, img, atol=0.06)  # two bilinear hops
+
+
+@pytest.mark.slow
+def test_fill_and_replace_anything_pipelines(rng):
+    """fill/replace (fill_anything.py / replace_img_with_sd) at random
+    init with tiny SD + SAM configs: geometry + compositing contracts."""
+    from enhax.infer.inpaint_anything import fill_anything, replace_anything
+    img = rng.uniform(0, 1, (96, 80, 3)).astype(np.float32)
+    sd_kwargs = dict(model_channels=32, context_dim=32, vae_ch=32,
+                     num_heads=2, steps=2)
+    out = fill_anything(
+        img, (40.0, 48.0), dilate_kernel_size=5, crop_size=64,
+        sam_kwargs=dict(dim=32, depth=2), sd_kwargs=sd_kwargs)
+    assert out["filled"].shape == img.shape
+    assert np.isfinite(out["filled"]).all()
+    outside = ~out["mask"].astype(bool)
+    np.testing.assert_allclose(out["filled"][outside], img[outside],
+                               atol=1e-6)
+    rep = replace_anything(
+        img, (40.0, 48.0), target_size=64,
+        sam_kwargs=dict(dim=32, depth=2), sd_kwargs=sd_kwargs)
+    assert rep["replaced"].shape == img.shape
+    assert np.isfinite(rep["replaced"]).all()
+
+
+@pytest.mark.slow
+def test_sd_inpaint_model(rng):
+    """The 9-channel SD-inpainting backbone: shapes, finiteness, and the
+    paste contract (unmasked pixels untouched)."""
+    import jax
+    import jax.numpy as jnp
+    from enhax.models.base import build_model
+    m = build_model("sd_inpaint", model_channels=32, context_dim=32,
+                    vae_ch=32, num_heads=2, steps=2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    mask = jnp.zeros((1, 64, 64, 1), jnp.float32).at[:, 16:48, 16:48].set(1.0)
+    dp = {"image": x, "mask": mask}
+    v = m.init(jax.random.PRNGKey(0), dp)
+    out = m.apply(v, dp)
+    assert out["enhanced"].shape == (1, 64, 64, 3)
+    assert out["latent"].shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out["enhanced"])).all()
+    got = np.asarray(out["enhanced"])[0]
+    ref = np.asarray(x)[0]
+    keep = np.asarray(mask)[0, :, :, 0] < 0.5
+    np.testing.assert_allclose(got[keep], ref[keep], atol=1e-6)
+
+
 def test_ffmpeg_writer_pipes_rawvideo(tmp_path, monkeypatch):
     """VideoWriterFFmpeg feeds rgb24 rawvideo over stdin with the reference's
     arg contract (core/video/io.py:317). Runs against a stub ffmpeg binary
