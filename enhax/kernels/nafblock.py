@@ -8,7 +8,7 @@ These kernels keep one row-tile's activation chain in VMEM across the
 block (SURVEY.md §5.7 / r2 VERDICT #1):
 
   K1: LayerNorm -> 1x1 (c->2c) -> depthwise 3x3 -> SimpleGate      [halo 1]
-  box: border-truncated window mean for TLC, H-pass + W-pass        [2 kernels]
+  box: TLC local mean via enhax.kernels.box carry-cumsum kernels
   K2: SCA (pooled 1x1, *) -> 1x1 -> +x*beta -> LayerNorm -> 1x1
       (c->2c) -> SimpleGate -> 1x1 -> +*gamma                       [no halo]
 
@@ -24,23 +24,26 @@ TLC's AvgPool2d local statistics (local_arch.py:20-55).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-6
 
 
-def _rows_per_tile(w: int, c: int, dtype_bytes: int = 4) -> int:
-    """Row tile so K1's buffers (~4 row-sized f32 arrays at 2c lanes,
-    lane-padded to 128) stay within ~10 MB of VMEM."""
-    lane_c = max(2 * c, 128)
-    row_bytes = w * lane_c * dtype_bytes
-    th = max(int((10 * 2 ** 20) // (4 * row_bytes)), 1)
+def _rows_per_tile(w: int, c: int, n_bufs: int = 7,
+                   budget_mb: int = 72) -> int:
+    """Row tile sized against the raised Mosaic VMEM limit (the r2 value
+    budgeted only 7 MB and produced 2-row tiles at stage-0 shapes — 368
+    sequential grid steps of pure dispatch overhead).
+
+    ``n_bufs`` counts live row-sized f32 buffers including double-buffered
+    I/O blocks; every buffer is lane-padded to a multiple of 128."""
+    lane_c = ((2 * c + 127) // 128) * 128
+    row_bytes = w * lane_c * 4
+    th = max(int((budget_mb * 2 ** 20) // (n_bufs * row_bytes)), 1)
     return int(min(th, 64))
 
 
@@ -71,12 +74,14 @@ def _k1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, w1, b1, dww, dwb,
     uses standard blocked specs."""
     i = pl.program_id(1)
     f32 = jnp.float32
+    cdt = w1.dtype  # matmul operand dtype: params' dtype (bf16 on the MXU
+    # native path, f32 in the f32 parity tests); accumulation is always f32
     prev = jnp.where(i > 0, xprev_ref[0].astype(f32), 0.0)
     nxt = jnp.where(i < n_tiles - 1, xnext_ref[0].astype(f32), 0.0)
     xb = jnp.concatenate([prev, x_ref[0].astype(f32), nxt], axis=0)
     y = _layer_norm(xb, ln_s[0].astype(jnp.float32),
                     ln_b[0].astype(jnp.float32))
-    y = jnp.dot(y.reshape(-1, c), w1[:].astype(jnp.float32),
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), w1[:],
                 preferred_element_type=jnp.float32)
     y = (y + b1[0].astype(jnp.float32)).reshape(tile_h + 2, w, 2 * c)
     dwwf = dww[:].astype(jnp.float32)                   # (3, 3, 2c)
@@ -97,78 +102,29 @@ def _k2_kernel(x_ref, g_ref, pool_ref, sca_w, sca_b, w3, b3, beta,
                tile_h, w, c, pooled_spatial):
     """SCA apply + 1x1 + residual + LN2 + gated FFN for one row tile."""
     f32 = jnp.float32
+    cdt = w3.dtype  # see _k1_kernel: operands in param dtype, f32 accum
     x = x_ref[0].astype(f32)
     g = g_ref[0].astype(f32)
-    pool = pool_ref[0].astype(f32)
-    att = jnp.dot(pool.reshape(-1, c), sca_w[:].astype(f32),
+    pool = pool_ref[0]
+    att = jnp.dot(pool.astype(cdt).reshape(-1, c), sca_w[:],
                   preferred_element_type=f32) + sca_b[0].astype(f32)
     if pooled_spatial:
         att = att.reshape(tile_h, w, c)
     else:
         att = att.reshape(1, 1, c)
     y = g * att
-    y = jnp.dot(y.reshape(-1, c), w3[:].astype(f32),
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), w3[:],
                 preferred_element_type=f32) + b3[0].astype(f32)
     x1 = x + y.reshape(tile_h, w, c) * beta[0].astype(f32)
     y = _layer_norm(x1, ln2_s[0].astype(f32), ln2_b[0].astype(f32))
-    y = jnp.dot(y.reshape(-1, c), w4[:].astype(f32),
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), w4[:],
                 preferred_element_type=f32) + b4[0].astype(f32)
     y = y.reshape(tile_h, w, 2 * c)
     y = y[..., :c] * y[..., c:]
-    y = jnp.dot(y.reshape(-1, c), w5[:].astype(f32),
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), w5[:],
                 preferred_element_type=f32) + b5[0].astype(f32)
     out = x1 + y.reshape(tile_h, w, c) * gamma[0].astype(f32)
     out_ref[0] = out.astype(out_ref.dtype)
-
-
-def _cumsum(x, axis: int, n: int):
-    """Hillis-Steele inclusive scan via log2(n) shift-adds; Mosaic has no
-    cumsum lowering, but static concat/slice steps in VMEM are cheap."""
-    d = 1
-    while d < n:
-        pad_shape = list(x.shape)
-        pad_shape[axis] = d
-        zeros = jnp.zeros(pad_shape, x.dtype)
-        shifted = jax.lax.slice_in_dim(x, 0, n - d, axis=axis)
-        x = x + jnp.concatenate([zeros, shifted], axis=axis)
-        d *= 2
-    return x
-
-
-def _box_h_kernel(x_ref, o_ref, *, r, h):
-    """Border-truncated window SUM along H (full-H block)."""
-    x = x_ref[0].astype(jnp.float32)                    # (H, wt, C)
-    if r >= h - 1:  # window always spans the full axis (deep NAFNet stages)
-        total = jnp.sum(x, axis=0, keepdims=True)
-        o_ref[0] = jnp.broadcast_to(total, x.shape).astype(o_ref.dtype)
-        return
-    cs = _cumsum(x, 0, h)
-    hi = jnp.concatenate(
-        [cs[r:], jnp.broadcast_to(cs[-1:], (r,) + cs.shape[1:])], axis=0)
-    lo = jnp.concatenate(
-        [jnp.zeros((r + 1,) + cs.shape[1:], cs.dtype), cs[:-(r + 1)]],
-        axis=0)
-    o_ref[0] = (hi - lo).astype(o_ref.dtype)
-
-
-def _box_w_kernel(x_ref, cnt_ref, o_ref, *, r, w):
-    """Border-truncated window SUM along W, then divide by window count."""
-    x = x_ref[0].astype(jnp.float32)                    # (th, W, C)
-    if r >= w - 1:
-        total = jnp.sum(x, axis=1, keepdims=True)
-        o_ref[0] = (jnp.broadcast_to(total, x.shape)
-                    / cnt_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
-        return
-    cs = _cumsum(x, 1, w)
-    hi = jnp.concatenate(
-        [cs[:, r:], jnp.broadcast_to(cs[:, -1:],
-                                     cs.shape[:1] + (r,) + cs.shape[2:])],
-        axis=1)
-    lo = jnp.concatenate(
-        [jnp.zeros(cs.shape[:1] + (r + 1,) + cs.shape[2:], cs.dtype),
-         cs[:, :-(r + 1)]], axis=1)
-    o_ref[0] = ((hi - lo) / cnt_ref[0].astype(jnp.float32)).astype(
-        o_ref.dtype)
 
 
 def _vec2(a):
@@ -176,73 +132,10 @@ def _vec2(a):
     return jnp.asarray(a).reshape(1, -1)
 
 
-@functools.lru_cache(maxsize=None)
-def _window_count(h: int, w: int, r: int):
-    def axis_count(n):
-        i = np.arange(n)
-        return np.minimum(i + r, n - 1) - np.maximum(i - r - 1, -1)
-    # numpy (not jnp): this is lru_cached, and a jnp array created inside a
-    # jit trace would leak a tracer into later traces
-    cnt = np.outer(axis_count(h), axis_count(w)).astype(np.float32)
-    return cnt[None, :, :, None]
-
-
-def box_mean_pallas(x, radius: int, interpret: bool = False):
-    """Border-truncated window mean == ops.filtering.box_filter, as two
-    full-axis Pallas passes (cumsum in VMEM instead of XLA's log-N
-    full-tensor passes)."""
+def k1_apply(x, p: dict, interpret: bool = False):
+    """K1 alone: LN1 -> 1x1 -> dw3x3 -> SimpleGate, returns g."""
     b, h, w, c = x.shape
-    r = int(radius)
-    # Mosaic: the block's second-to-last dim (W here) must be a multiple
-    # of 8 or the full axis; keep the full-H column strip near ~1 MB
-    wt = max(8 * (1024 * 1024 // max(h * c * 4 * 8, 1)), 8)
-    wt = min(wt, w)
-    while wt > 8 and w % wt:
-        wt -= 8
-    if w % wt:
-        wt = w
-    colsum = pl.pallas_call(
-        functools.partial(_box_h_kernel, r=r, h=h),
-        grid=(b, w // wt),
-        in_specs=[pl.BlockSpec((1, h, wt, c), lambda bi, wi: (bi, 0, wi, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, wt, c), lambda bi, wi: (bi, 0, wi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
-        interpret=interpret,
-    )(x)
-    th = max(min(512 * 1024 // max(w * c * 4, 1), h), 1)
-    while h % th:
-        th -= 1
-    cnt = _window_count(h, w, r)
-    out = pl.pallas_call(
-        functools.partial(_box_w_kernel, r=r, w=w),
-        grid=(b, h // th),
-        in_specs=[
-            pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, 1), lambda bi, hi: (0, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(colsum, cnt)
-    return out
-
-
-def nafblock_fast(x, p: dict, tlc_window: int | None,
-                  interpret: bool = False):
-    """One NAFBlock forward through the fused kernels.
-
-    ``p``: the block's converted flax params —
-    norm1/{scale,bias}, conv1/{kernel,bias} (Dense (c,2c)),
-    conv2/{kernel,bias} (dw conv (3,3,1,2c)), sca, conv3, norm2, conv4,
-    conv5, beta, gamma. Matches NAFBlock.__call__ exactly.
-    """
-    b, h, w, c = x.shape
-    tile_h = _rows_per_tile(w, c)
+    tile_h = _rows_per_tile(w, c, n_bufs=7)
     while h % tile_h:
         tile_h -= 1
     n_tiles = h // tile_h
@@ -284,23 +177,31 @@ def nafblock_fast(x, p: dict, tlc_window: int | None,
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(x, x, x, _vec2(p["norm1"]["scale"]), _vec2(p["norm1"]["bias"]),
       jnp.asarray(p["conv1"]["kernel"]), _vec2(p["conv1"]["bias"]),
       dww, _vec2(p["conv2"]["bias"]))
+    return g
 
-    if tlc_window is None:
-        pooled = jnp.mean(g, axis=(1, 2), keepdims=True)
-        pooled_spatial = False
-        pool_spec = pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        pooled = box_mean_pallas(g, tlc_window // 2, interpret=interpret)
-        pooled_spatial = True
+
+def k2_apply(x, g, pooled, p: dict, pooled_spatial: bool,
+             interpret: bool = False):
+    """K2 alone: SCA apply -> 1x1 -> residual -> LN2 -> gated FFN."""
+    b, h, w, c = x.shape
+    tile_h = _rows_per_tile(w, c, n_bufs=10)
+    while h % tile_h:
+        tile_h -= 1
+    n_tiles = h // tile_h
+    if pooled_spatial:
         pool_spec = pl.BlockSpec((1, tile_h, w, c),
                                  lambda bi, i: (bi, i, 0, 0),
                                  memory_space=pltpu.VMEM)
-
+    else:
+        pool_spec = pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     blk = lambda: pl.BlockSpec((1, tile_h, w, c),   # noqa: E731
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -324,6 +225,9 @@ def nafblock_fast(x, p: dict, tlc_window: int | None,
         ],
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(x, g, pooled,
       jnp.asarray(p["sca"]["kernel"]), _vec2(p["sca"]["bias"]),
@@ -336,16 +240,98 @@ def nafblock_fast(x, p: dict, tlc_window: int | None,
     return out
 
 
+def nafblock_fast(x, p: dict, tlc_window: int | None,
+                  interpret: bool = False):
+    """One NAFBlock forward through the fused kernels: K1, then the TLC
+    local mean (MXU banded-matmul box) or global mean, then K2.
+
+    ``p``: the block's converted flax params —
+    norm1/{scale,bias}, conv1/{kernel,bias} (Dense (c,2c)),
+    conv2/{kernel,bias} (dw conv (3,3,1,2c)), sca, conv3, norm2, conv4,
+    conv5, beta, gamma. Matches NAFBlock.__call__ exactly.
+    """
+    from enhax.kernels.box import box_mean_fast
+
+    g = k1_apply(x, p, interpret=interpret)
+    if tlc_window is None:
+        pooled = jnp.mean(g, axis=(1, 2), keepdims=True)
+        pooled_spatial = False
+    else:
+        pooled = box_mean_fast(g, tlc_window // 2, interpret=interpret)
+        pooled_spatial = True
+    return k2_apply(x, g, pooled, p, pooled_spatial, interpret=interpret)
+
+
+def nafblock_xla(x, p: dict, tlc_window: int | None):
+    """NAFBlock.__call__ in plain jnp (1x1s as Dense matmuls, grouped lax
+    dw conv, banded-matmul box for TLC). The on-device probes
+    (run/probe_nafblock.py) show XLA beats the row-tile Pallas kernels at
+    the deep stages (C >= 128, small spatial: full-lane matmuls fuse well,
+    while the Pallas grid pays fixed dispatch per tile) — the hybrid
+    nafnet_fast_apply uses this above ``fused_max_c``."""
+    from enhax.kernels.box import box_mean_fast
+
+    f32 = jnp.float32
+    c = x.shape[-1]
+
+    def ln(y, q):
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mean) ** 2, axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + LN_EPS)
+        return y * q["scale"].astype(f32) + q["bias"].astype(f32)
+
+    def dense(y, q):
+        k = jnp.asarray(q["kernel"])
+        out = jnp.dot(y.astype(k.dtype), k, preferred_element_type=f32)
+        return out + q["bias"].astype(f32)
+
+    xf = x.astype(f32)
+    y = ln(xf, p["norm1"])
+    y = dense(y, p["conv1"])
+    k2w = jnp.asarray(p["conv2"]["kernel"])             # (3, 3, 1, 2c)
+    y = jax.lax.conv_general_dilated(
+        y.astype(k2w.dtype), k2w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=2 * c,
+        preferred_element_type=f32)
+    y = y + p["conv2"]["bias"].astype(f32)
+    y = y[..., :c] * y[..., c:]
+    if tlc_window is None:
+        pooled = jnp.mean(y, axis=(1, 2), keepdims=True)
+    else:
+        pooled = box_mean_fast(y, tlc_window // 2)
+    att = dense(pooled, p["sca"])
+    y = y * att
+    y = dense(y, p["conv3"])
+    x1 = xf + y * p["beta"].astype(f32)
+
+    y = ln(x1, p["norm2"])
+    y = dense(y, p["conv4"])
+    y = y[..., :c] * y[..., c:]
+    y = dense(y, p["conv5"])
+    out = x1 + y * p["gamma"].astype(f32)
+    return out.astype(x.dtype)
+
+
 def nafnet_fast_apply(variables, x, width: int = 32,
                       enc_blk_nums=(2, 2, 4, 8), middle_blk_num: int = 12,
                       dec_blk_nums=(2, 2, 2, 2), tlc_window: int | None = None,
-                      interpret: bool = False):
-    """Full NAFNet forward with fused NAFBlock kernels; the macro
-    structure (intro/down/up/ending convs, pixel shuffle, skips) stays in
-    XLA. Numerically equal to NAFNetModule.apply (tests assert it)."""
+                      fused_max_c: int = 64, interpret: bool = False):
+    """Full NAFNet forward, hybrid per stage: fused Pallas NAFBlocks where
+    XLA's small-channel conv op underperforms (C <= ``fused_max_c``; probes
+    in run/probe_nafblock.py: 1.4x at stage-0 C=32), plain-XLA block math
+    at the deep stages (full-lane matmuls, where the Pallas grid's fixed
+    dispatch loses). The macro structure (intro/down/up/ending convs,
+    pixel shuffle, skips) stays in XLA. Numerically equal to
+    NAFNetModule.apply (tests assert it)."""
     from enhax.nn.layers import pixel_shuffle
 
     params = variables["params"] if "params" in variables else variables
+
+    def block(y, p):
+        if y.shape[-1] <= fused_max_c:
+            return nafblock_fast(y, p, tlc_window, interpret=interpret)
+        return nafblock_xla(y, p, tlc_window)
 
     def conv(name, y, stride=1):
         p = params[name]
@@ -370,8 +356,7 @@ def nafnet_fast_apply(variables, x, width: int = 32,
     c = width
     for i, n in enumerate(enc_blk_nums):
         for j in range(n):
-            y = nafblock_fast(y, params[f"enc{i}_{j}"], tlc_window,
-                              interpret=interpret)
+            y = block(y, params[f"enc{i}_{j}"])
         skips.append(y)
         p = params[f"down{i}"]
         y = jax.lax.conv_general_dilated(
@@ -380,15 +365,13 @@ def nafnet_fast_apply(variables, x, width: int = 32,
         y = y + jnp.asarray(p["bias"]).astype(y.dtype)
         c *= 2
     for j in range(middle_blk_num):
-        y = nafblock_fast(y, params[f"mid_{j}"], tlc_window,
-                          interpret=interpret)
+        y = block(y, params[f"mid_{j}"])
     for i, n in enumerate(dec_blk_nums):
         y = dense(f"up{i}", y)
         y = pixel_shuffle(y, 2)
         c //= 2
         y = y + skips[-(i + 1)]
         for j in range(n):
-            y = nafblock_fast(y, params[f"dec{i}_{j}"], tlc_window,
-                              interpret=interpret)
+            y = block(y, params[f"dec{i}_{j}"])
     out = conv("ending", y)
     return {"enhanced": out + inp}

@@ -20,6 +20,7 @@ jit, at the engine boundary.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -66,6 +67,12 @@ class Model:
     # pair-downsample consistency, reference gcenet.py:505-536). Signature:
     # (model, variables, datapoint, rngs) -> (loss, outputs).
     forward_loss_fn: Callable | None = None
+    # Optional fused inference path (variables, *inputs) -> outputs dict,
+    # e.g. the Pallas NAFBlock kernels (enhax/kernels/nafblock.py). Used
+    # by ``apply`` for inference on TPU backends (no VJP is defined for
+    # the fused kernels, so training keeps the flax path); disable with
+    # ENHAX_FUSED=0.
+    fast_apply_fn: Callable | None = None
 
     # -- parameter lifecycle -------------------------------------------------
 
@@ -82,7 +89,12 @@ class Model:
         kwargs = self._optional_inputs(datapoint)
         if rngs:
             kwargs["rngs"] = rngs
-        out = self.module.apply(variables, *inputs, **kwargs)
+        if (self.fast_apply_fn is not None and not training and not kwargs
+                and jax.default_backend() == "tpu"
+                and os.environ.get("ENHAX_FUSED", "1") != "0"):
+            out = self.fast_apply_fn(variables, *inputs)
+        else:
+            out = self.module.apply(variables, *inputs, **kwargs)
         if isinstance(out, dict):
             return out
         return {self.out_key: out}

@@ -114,6 +114,14 @@ def _nafnet_loss():
 
 
 def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
+    def fast_apply(variables, image):
+        # fused Pallas NAFBlock path (enhax/kernels/nafblock.py) — picked
+        # by Model.apply for TPU inference (r2 VERDICT #1)
+        from enhax.kernels.nafblock import nafnet_fast_apply
+        return nafnet_fast_apply(variables, image, width=width,
+                                 enc_blk_nums=enc, middle_blk_num=mid,
+                                 dec_blk_nums=dec, tlc_window=tlc_window)
+
     return Model(
         name=name, arch="nafnet",
         module=NAFNetModule(width=width, middle_blk_num=mid,
@@ -124,6 +132,7 @@ def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
         loss_fn=_nafnet_loss(),
         required_inputs=("image",),
         size_divisor=2 ** len(enc),
+        fast_apply_fn=fast_apply,
     )
 
 

@@ -13,6 +13,7 @@ All ops take (..., H, W, C).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,18 +24,33 @@ def box_filter_sum(x, radius: int):
     """Sum over a (2r+1)^2 window, truncated at borders (box_filter.py diff-of-cumsum)."""
     r = int(radius)
 
+    def _edge(c, axis, k):
+        last = jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
+                                    axis=axis)
+        reps = [1] * c.ndim
+        reps[axis] = k
+        return jnp.tile(last, reps)
+
     def _1d(v, axis):
+        # out[i] = c[min(i+r, n-1)] - (c[i-r-1] if i-r-1 >= 0 else 0)
+        # Shifted slices + concat instead of jnp.take: clipped-iota gathers
+        # don't fuse on TPU, slice/concat do (one pass, no gather).
         n = v.shape[axis]
         c = jnp.cumsum(v, axis=axis)
-        # out[i] = c[min(i+r, n-1)] - (c[i-r-1] if i-r-1 >= 0 else 0)
-        idx_hi = jnp.clip(jnp.arange(n) + r, 0, n - 1)
-        hi = jnp.take(c, idx_hi, axis=axis)
-        idx_lo = jnp.arange(n) - r - 1
-        lo = jnp.take(c, jnp.clip(idx_lo, 0, n - 1), axis=axis)
-        mask_shape = [1] * v.ndim
-        mask_shape[axis] = n
-        mask = (idx_lo >= 0).reshape(mask_shape)
-        return hi - jnp.where(mask, lo, 0.0)
+        if r >= n:
+            hi = _edge(c, axis, n)
+        else:
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(c, r, n, axis=axis),
+                 _edge(c, axis, r)], axis=axis)
+        if r + 1 >= n:
+            return hi
+        pad_shape = list(c.shape)
+        pad_shape[axis] = r + 1
+        lo = jnp.concatenate(
+            [jnp.zeros(pad_shape, c.dtype),
+             jax.lax.slice_in_dim(c, 0, n - r - 1, axis=axis)], axis=axis)
+        return hi - lo
 
     return _1d(_1d(x, axis=-3), axis=-2)
 

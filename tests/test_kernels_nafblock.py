@@ -9,8 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from enhax.kernels.nafblock import (box_mean_pallas, nafblock_fast,
-                                    nafnet_fast_apply)
+from enhax.kernels.box import box_mean_fast
+from enhax.kernels.nafblock import nafblock_fast, nafnet_fast_apply
 from enhax.models.base import build_model
 from enhax.models.multitask.nafnet import NAFBlock
 from enhax.ops.filtering import box_filter
@@ -24,7 +24,7 @@ def rng():
 def test_box_mean_matches_box_filter(rng):
     x = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, 8)).astype(np.float32))
     ref = box_filter(x, radius=5)
-    got = box_mean_pallas(x, radius=5, interpret=True)
+    got = box_mean_fast(x, radius=5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
