@@ -206,17 +206,20 @@ class _LPIPSAlexFeatures:
 
 
 def lpips(input, target, params: dict, lin_weights: list,
-          normalize: bool = True):
+          normalize: bool = True, shift=None, scale=None):
     """Learned perceptual image patch similarity (AlexNet backbone).
 
     Args:
         input/target: (N, H, W, 3) in [0, 1].
         params: converted AlexNet feature params (flax pytree).
         lin_weights: list of 5 (C,) arrays — the LPIPS linear head weights.
+        shift/scale: scaling-layer constants; None uses the published
+            values (converted checkpoints carry them as buffers — see
+            enhax.convert.metric_weights.load_lpips_checkpoint).
     """
     feat = _LPIPSAlexFeatures()
-    shift = jnp.asarray([-0.030, -0.088, -0.188])
-    scale = jnp.asarray([0.458, 0.448, 0.450])
+    shift = jnp.asarray([-0.030, -0.088, -0.188] if shift is None else shift)
+    scale = jnp.asarray([0.458, 0.448, 0.450] if scale is None else scale)
 
     def prep(x):
         if normalize:
@@ -227,8 +230,9 @@ def lpips(input, target, params: dict, lin_weights: list,
     fy = feat(params, prep(target))
     total = 0.0
     for f1, f2, w in zip(fx, fy, lin_weights):
-        n1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-10)
-        n2 = f2 / jnp.maximum(jnp.linalg.norm(f2, axis=-1, keepdims=True), 1e-10)
+        # lpips/pretrained_networks.py normalize_tensor: x / (||x|| + eps)
+        n1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-10)
+        n2 = f2 / (jnp.linalg.norm(f2, axis=-1, keepdims=True) + 1e-10)
         d = (n1 - n2) ** 2
         w = jnp.asarray(w).reshape(1, 1, 1, -1)
         total = total + jnp.mean(jnp.sum(d * w, axis=-1))

@@ -157,3 +157,104 @@ def test_fid_frechet_distance_golden():
     assert abs(got - want) < 1e-6
     shifted = f + 3.0
     assert fid_from_features(f, shifted) > fid_from_features(f, f + 0.1)
+
+
+@pytest.mark.slow
+def test_lpips_converted_checkpoint_executed_parity(rng, tmp_path):
+    """The converted-LPIPS path, grounded by execution: a torch replica of
+    the published lpips graph (lpips/lpips.py LPIPS.forward with net=alex —
+    the graph torchmetrics/pyiqa run, reference nn/metric/image.py:63-83)
+    is built at random init in the RELEASED state-dict layout, torch-saved,
+    converted through enhax.convert.metric_weights.load_lpips_checkpoint,
+    and must reproduce the torch score."""
+    import jax
+    import torch
+    import torch.nn as tnn
+
+    from enhax.convert.metric_weights import load_lpips_checkpoint
+    from enhax.nn.metrics import lpips
+
+    feats = [tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+             tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+             tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU()]
+
+    class Slices(tnn.Module):
+        # lpips/pretrained_networks.py alexnet: slice Sequentials preserve
+        # torchvision feature indices -> keys net.sliceK.<idx>.weight
+        def __init__(self):
+            super().__init__()
+            for si, (a, b) in enumerate(
+                    [(0, 2), (2, 5), (5, 8), (8, 10), (10, 12)], 1):
+                sl = tnn.Sequential()
+                for i in range(a, b):
+                    sl.add_module(str(i), feats[i])
+                setattr(self, f"slice{si}", sl)
+
+        def forward(self, x):
+            taps = []
+            for si in range(1, 6):
+                x = getattr(self, f"slice{si}")(x)
+                taps.append(x)
+            return taps
+
+    class ScalingLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("shift", torch.tensor(
+                [-.030, -.088, -.188]).view(1, 3, 1, 1))
+            self.register_buffer("scale", torch.tensor(
+                [.458, .448, .450]).view(1, 3, 1, 1))
+
+        def forward(self, x):
+            return (x - self.shift) / self.scale
+
+    class NetLinLayer(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.model = tnn.Sequential(
+                tnn.Dropout(), tnn.Conv2d(cin, 1, 1, bias=False))
+
+    class LPIPSTorch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.scaling_layer = ScalingLayer()
+            self.net = Slices()
+            for i, c in enumerate((64, 192, 384, 256, 256)):
+                setattr(self, f"lin{i}", NetLinLayer(c))
+
+        def forward(self, x, y):
+            fx = self.net(self.scaling_layer(2 * x - 1))
+            fy = self.net(self.scaling_layer(2 * y - 1))
+            val = 0.0
+            for i, (f1, f2) in enumerate(zip(fx, fy)):
+                n1 = f1 / (f1.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                n2 = f2 / (f2.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                d = (n1 - n2).pow(2)
+                val = val + getattr(self, f"lin{i}").model(d).mean([2, 3])
+            return val.mean()
+
+    torch.manual_seed(0)
+    tm = LPIPSTorch().eval()
+    with torch.no_grad():  # make the lin heads non-negative like released
+        for i in range(5):
+            w = getattr(tm, f"lin{i}").model[1].weight
+            w.copy_(w.abs())
+
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.08, x.shape), 0, 1).astype(np.float32)
+    with torch.no_grad():
+        want = float(tm(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        torch.from_numpy(y).permute(0, 3, 1, 2)))
+
+    path = tmp_path / "lpips_alex.pth"
+    torch.save(tm.state_dict(), path)
+    conv = load_lpips_checkpoint(path)
+    got = float(lpips(jnp.asarray(x), jnp.asarray(y), conv["params"],
+                      conv["lin_weights"], shift=conv["shift"],
+                      scale=conv["scale"]))
+    assert abs(got - want) < 5e-5 * max(1.0, abs(want)), (got, want)
+    # and self-distance stays ~0 through the converted weights
+    assert float(lpips(jnp.asarray(x), jnp.asarray(x), conv["params"],
+                       conv["lin_weights"])) < 1e-9
