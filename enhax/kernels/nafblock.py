@@ -288,13 +288,17 @@ def nafblock_xla(x, p: dict, tlc_window: int | None):
     xf = x.astype(f32)
     y = ln(xf, p["norm1"])
     y = dense(y, p["conv1"])
-    k2w = jnp.asarray(p["conv2"]["kernel"])             # (3, 3, 1, 2c)
-    y = jax.lax.conv_general_dilated(
-        y.astype(k2w.dtype), k2w, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=2 * c,
-        preferred_element_type=f32)
-    y = y + p["conv2"]["bias"].astype(f32)
+    # dw 3x3 as nine shifted multiply-adds (one fused elementwise pass;
+    # XLA's grouped conv op is ~10x off memory speed — nn.layers.DWConv3x3)
+    k2w = jnp.asarray(p["conv2"]["kernel"]).astype(f32)  # (3, 3, 1, 2c)
+    h_, w_ = y.shape[-3], y.shape[-2]
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            t = yp[:, dy:dy + h_, dx:dx + w_, :] * k2w[dy, dx, 0]
+            acc = t if acc is None else acc + t
+    y = acc + p["conv2"]["bias"].astype(f32)
     y = y[..., :c] * y[..., c:]
     if tlc_window is None:
         pooled = jnp.mean(y, axis=(1, 2), keepdims=True)

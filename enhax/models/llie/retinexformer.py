@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
+from enhax.nn.layers import DWConv3x3, conv1x1
 from enhax.models.base import Model
 
 
@@ -43,11 +44,11 @@ class IlluminationEstimator(nn.Module):
     def __call__(self, img):
         mean_c = jnp.mean(img, axis=-1, keepdims=True)
         x = jnp.concatenate([img, mean_c], axis=-1)  # (..., 4)
-        x1 = nn.Conv(self.n_mid, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x1 = conv1x1(self.n_mid, dtype=self.dtype, name="conv1")(x)
         # grouped 5x5 with groups = n_fea_in = 4 (not full depthwise)
         illu_fea = nn.Conv(self.n_mid, (5, 5), feature_group_count=4,
                            dtype=self.dtype, name="depth_conv")(x1)
-        illu_map = nn.Conv(self.n_out, (1, 1), dtype=self.dtype, name="conv2")(illu_fea)
+        illu_map = conv1x1(self.n_out, dtype=self.dtype, name="conv2")(illu_fea)
         return illu_fea, illu_map
 
 
@@ -85,11 +86,11 @@ class IGMSA(nn.Module):
         out_c = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                          name="proj")(out).reshape(b, h, w, c)
         p = v_inp.reshape(b, h, w, inner)
-        p = nn.Conv(inner, (3, 3), feature_group_count=inner, use_bias=False,
-                    dtype=self.dtype, name="pos1")(p)
+        p = DWConv3x3(inner, use_bias=False, dtype=self.dtype,
+                      name="pos1")(p)
         p = _gelu(p)
-        p = nn.Conv(inner, (3, 3), feature_group_count=inner, use_bias=False,
-                    dtype=self.dtype, name="pos2")(p)
+        p = DWConv3x3(inner, use_bias=False, dtype=self.dtype,
+                      name="pos2")(p)
         return out_c + p
 
 
@@ -102,12 +103,12 @@ class IGFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = self.dim * self.mult
-        y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = conv1x1(hidden, use_bias=False, dtype=self.dtype, name="fc1")(x)
         y = _gelu(y)
-        y = nn.Conv(hidden, (3, 3), feature_group_count=hidden, use_bias=False,
-                    dtype=self.dtype, name="dw")(y)
+        y = DWConv3x3(hidden, use_bias=False, dtype=self.dtype,
+                      name="dw")(y)
         y = _gelu(y)
-        return nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+        return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
                        name="fc2")(y)
 
 
@@ -166,7 +167,7 @@ class Denoiser(nn.Module):
                                    transpose_kernel=True, dtype=self.dtype,
                                    name=f"dec{i}_up")(fea)
             fea = jnp.concatenate([fea, skips[self.level - 1 - i]], axis=-1)
-            fea = nn.Conv(dim_level // 2, (1, 1), use_bias=False,
+            fea = conv1x1(dim_level // 2, use_bias=False,
                           dtype=self.dtype, name=f"dec{i}_fusion")(fea)
             illu_fea = illus[self.level - 1 - i]
             fea = IGAB(dim_level // 2, d, (dim_level // 2) // d,

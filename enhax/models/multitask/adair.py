@@ -32,7 +32,8 @@ from flax import linen as nn
 from enhax.constants import MODELS, Scheme, Task
 from enhax.models.base import Model
 from enhax.models.multitask.restormer import RestormerBlock
-from enhax.nn.layers import pixel_shuffle, pixel_unshuffle
+from enhax.nn.layers import (DWConv3x3, conv1x1, pixel_shuffle,
+                             pixel_unshuffle)
 from enhax.ops.resize import resize
 
 
@@ -48,12 +49,10 @@ class _ChannelCrossAttention(nn.Module):
         d = self.dtype
         temperature = self.param("temperature", nn.initializers.ones,
                                  (self.num_heads, 1, 1))
-        q = nn.Conv(c, (1, 1), use_bias=False, dtype=d, name="q")(x)
-        q = nn.Conv(c, (3, 3), feature_group_count=c, use_bias=False,
-                    dtype=d, name="q_dw")(q)
-        kv = nn.Conv(c * 2, (1, 1), use_bias=False, dtype=d, name="kv")(y)
-        kv = nn.Conv(c * 2, (3, 3), feature_group_count=c * 2,
-                     use_bias=False, dtype=d, name="kv_dw")(kv)
+        q = conv1x1(c, use_bias=False, dtype=d, name="q")(x)
+        q = DWConv3x3(c, use_bias=False, dtype=d, name="q_dw")(q)
+        kv = conv1x1(c * 2, use_bias=False, dtype=d, name="kv")(y)
+        kv = DWConv3x3(c * 2, use_bias=False, dtype=d, name="kv_dw")(kv)
         k, v = jnp.split(kv, 2, axis=-1)
         hd = c // self.num_heads
 
@@ -68,7 +67,7 @@ class _ChannelCrossAttention(nn.Module):
             jnp.einsum("nhcp,nhdp->nhcd", q, k) * temperature, axis=-1)
         out = jnp.einsum("nhcd,nhdp->nhcp", attn, v)
         out = out.transpose(0, 3, 1, 2).reshape(n, h, w, c)
-        return nn.Conv(c, (1, 1), use_bias=False, dtype=d,
+        return conv1x1(c, use_bias=False, dtype=d,
                        name="project_out")(out)
 
 
@@ -85,14 +84,14 @@ class _FreRefine(nn.Module):
         sw = nn.sigmoid(nn.Conv(1, (7, 7), use_bias=False, dtype=d,
                                 name="sg_conv")(
             jnp.concatenate([mx, mean], axis=-1)))
-        cg1 = nn.Conv(max(self.dim // 16, 1), (1, 1), use_bias=False,
+        cg1 = conv1x1(max(self.dim // 16, 1), use_bias=False,
                       dtype=d, name="cg1")
-        cg2 = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=d, name="cg2")
+        cg2 = conv1x1(self.dim, use_bias=False, dtype=d, name="cg2")
         mlp = lambda t: cg2(nn.relu(cg1(t)))  # noqa: E731 (shared weights)
         avg = jnp.mean(low, axis=(-3, -2), keepdims=True)
         mxp = jnp.max(low, axis=(-3, -2), keepdims=True)
         cw = nn.sigmoid(mlp(avg) + mlp(mxp))
-        return nn.Conv(self.dim, (1, 1), dtype=d,
+        return conv1x1(self.dim, dtype=d,
                        name="proj")(low * sw + high * cw)
 
 
@@ -112,9 +111,9 @@ class _FreModule(nn.Module):
         z = nn.Conv(self.dim, (3, 3), use_bias=False, dtype=d,
                     name="conv1")(x)
         thr = jnp.mean(z, axis=(-3, -2), keepdims=True)
-        thr = nn.Conv(max(self.dim // 8, 1), (1, 1), use_bias=False,
+        thr = conv1x1(max(self.dim // 8, 1), use_bias=False,
                       dtype=d, name="rate1")(thr)
-        thr = nn.Conv(2, (1, 1), use_bias=False, dtype=d,
+        thr = conv1x1(2, use_bias=False, dtype=d,
                       name="rate2")(jax.nn.gelu(thr, approximate=False))
         thr = nn.sigmoid(thr)[:, 0, 0, :]  # (B, 2)
         h_ = ((h // self.n) * thr[:, 0]).astype(jnp.int32)
@@ -188,7 +187,7 @@ class AdaIRModule(nn.Module):
                 ch = d * 2
             else:
                 ch = d * 2 ** lvl
-                y = nn.Conv(ch, (1, 1), use_bias=False, dtype=dt,
+                y = conv1x1(ch, use_bias=False, dtype=dt,
                             name=f"reduce{lvl}")(y)
             for j in range(self.num_blocks[lvl]):
                 y = RestormerBlock(ch, self.heads[lvl], self.expansion,

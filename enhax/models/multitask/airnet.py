@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from enhax.constants import MODELS, Scheme, Task
+from enhax.nn.layers import conv1x1
 from enhax.models.base import Model
 from enhax.nn.deform import modulated_deform_conv2d
 
@@ -98,7 +99,7 @@ class _SFT(nn.Module):
 
     @nn.compact
     def __call__(self, x, inter):
-        c = lambda name: nn.Conv(self.features, (1, 1), use_bias=False,  # noqa: E731
+        c = lambda name: conv1x1(self.features, use_bias=False,  # noqa: E731
                                  dtype=self.dtype, name=name)
         gamma = c("gamma2")(_lrelu(c("gamma1")(inter)))
         beta = c("beta2")(_lrelu(c("beta1")(inter)))

@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.layers import InstanceNorm2d
+from enhax.nn.layers import InstanceNorm2d, conv1x1
 
 
 class HINConvBlock(nn.Module):
@@ -35,7 +35,7 @@ class HINConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc=None, dec=None):
-        identity = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="identity")(x)
+        identity = conv1x1(self.features, dtype=self.dtype, name="identity")(x)
         y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv_1")(x)
         if self.use_hin:
             y1, y2 = jnp.split(y, 2, axis=-1)
@@ -121,7 +121,7 @@ class HINetModule(nn.Module):
 
         # Stage 2
         x2 = nn.Conv(c, (3, 3), dtype=self.dtype, name="conv_02")(x)
-        x2 = nn.Conv(c, (1, 1), dtype=self.dtype, name="cat12")(
+        x2 = conv1x1(c, dtype=self.dtype, name="cat12")(
             jnp.concatenate([x2, sam_feats], axis=-1))
         blocks = []
         for i in range(d):

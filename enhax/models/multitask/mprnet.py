@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
+from enhax.nn.layers import conv1x1
 from enhax.models.base import Model
 
 
@@ -60,9 +61,8 @@ class CAB(nn.Module):
         y = nn.Conv(self.features, (3, 3), use_bias=b, dtype=d,
                     name="conv2")(y)
         s = jnp.mean(y, axis=(-3, -2), keepdims=True)
-        s = nn.relu(nn.Conv(self.features // self.reduction, (1, 1),
-                            use_bias=b, dtype=d, name="ca1")(s))
-        s = nn.sigmoid(nn.Conv(self.features, (1, 1), use_bias=b, dtype=d,
+        s = nn.relu(conv1x1(self.features // self.reduction, use_bias=b, dtype=d, name="ca1")(s))
+        s = nn.sigmoid(conv1x1(self.features, use_bias=b, dtype=d,
                                name="ca2")(s))
         return y * s + x
 
@@ -76,11 +76,11 @@ class SAMBlock(nn.Module):
     @nn.compact
     def __call__(self, x, x_img):
         d, b = self.dtype, self.use_bias
-        x1 = nn.Conv(self.features, (1, 1), use_bias=b, dtype=d,
+        x1 = conv1x1(self.features, use_bias=b, dtype=d,
                      name="conv1")(x)
-        img = nn.Conv(3, (1, 1), use_bias=b, dtype=d,
+        img = conv1x1(3, use_bias=b, dtype=d,
                       name="conv2")(x) + x_img
-        x2 = nn.sigmoid(nn.Conv(self.features, (1, 1), use_bias=b, dtype=d,
+        x2 = nn.sigmoid(conv1x1(self.features, use_bias=b, dtype=d,
                                 name="conv3")(img))
         return x1 * x2 + x, img
 
@@ -103,13 +103,13 @@ class _Encoder(nn.Module):
                 x = CAB(dims[lvl], self.reduction, dtype=d,
                         name=f"lvl{lvl + 1}_{j}")(x)
             if self.csff and enc_outs is not None:
-                x = x + nn.Conv(dims[lvl], (1, 1), use_bias=False, dtype=d,
+                x = x + conv1x1(dims[lvl], use_bias=False, dtype=d,
                                 name=f"csff_enc{lvl + 1}")(enc_outs[lvl]) \
-                      + nn.Conv(dims[lvl], (1, 1), use_bias=False, dtype=d,
+                      + conv1x1(dims[lvl], use_bias=False, dtype=d,
                                 name=f"csff_dec{lvl + 1}")(dec_outs[lvl])
             outs.append(x)
             if lvl < 2:
-                x = nn.Conv(dims[lvl + 1], (1, 1), use_bias=False, dtype=d,
+                x = conv1x1(dims[lvl + 1], use_bias=False, dtype=d,
                             name=f"down{lvl + 1}{lvl + 2}")(
                     _bilinear(x, 0.5))
         return outs
@@ -132,14 +132,14 @@ class _Decoder(nn.Module):
             dec3 = CAB(dims[2], self.reduction, dtype=d,
                        name=f"lvl3_{j}")(dec3)
         skip2 = CAB(dims[1], self.reduction, dtype=d, name="skip_attn2")(enc2)
-        x = nn.Conv(dims[1], (1, 1), use_bias=False, dtype=d,
+        x = conv1x1(dims[1], use_bias=False, dtype=d,
                     name="up32")(_bilinear(dec3, 2.0)) + skip2
         dec2 = x
         for j in range(2):
             dec2 = CAB(dims[1], self.reduction, dtype=d,
                        name=f"lvl2_{j}")(dec2)
         skip1 = CAB(dims[0], self.reduction, dtype=d, name="skip_attn1")(enc1)
-        x = nn.Conv(dims[0], (1, 1), use_bias=False, dtype=d,
+        x = conv1x1(dims[0], use_bias=False, dtype=d,
                     name="up21")(_bilinear(dec2, 2.0)) + skip1
         dec1 = x
         for j in range(2):
@@ -172,10 +172,10 @@ class _ORSNet(nn.Module):
 
         def up(t, name):
             cout = t.shape[-1] - self.s_unet
-            return nn.Conv(cout, (1, 1), use_bias=False, dtype=d,
+            return conv1x1(cout, use_bias=False, dtype=d,
                            name=name)(_bilinear(t, 2.0))
 
-        c1 = lambda name: nn.Conv(co, (1, 1), use_bias=False, dtype=d,  # noqa: E731
+        c1 = lambda name: conv1x1(co, use_bias=False, dtype=d,  # noqa: E731
                                   name=name)
         x = orb(x, 1)
         x = x + c1("conv_enc1")(encs[0]) + c1("conv_dec1")(decs[0])

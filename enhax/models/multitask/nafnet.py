@@ -22,7 +22,8 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.layers import LayerNorm2d, conv1x1, pixel_shuffle
+from enhax.nn.layers import (DWConv3x3, LayerNorm2d, conv1x1,
+                             pixel_shuffle)
 from enhax.ops.filtering import box_filter
 
 
@@ -50,8 +51,7 @@ class NAFBlock(nn.Module):
         dw = c * self.dw_expand
         y = LayerNorm2d(name="norm1")(x)
         y = conv1x1(dw, dtype=self.dtype, name="conv1")(y)
-        y = nn.Conv(dw, (3, 3), feature_group_count=dw, dtype=self.dtype,
-                    name="conv2")(y)
+        y = DWConv3x3(dw, dtype=self.dtype, name="conv2")(y)
         y = simple_gate(y)
         # simplified channel attention (global or TLC-local mean)
         att = conv1x1(dw // 2, dtype=self.dtype, name="sca")(self._pool(y))

@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.layers import LayerNorm2d, pixel_shuffle, pixel_unshuffle
+from enhax.nn.layers import (DWConv3x3, LayerNorm2d, conv1x1, pixel_shuffle,
+                             pixel_unshuffle)
 
 
 class MDTA(nn.Module):
@@ -37,9 +38,9 @@ class MDTA(nn.Module):
         n, h, w, c = x.shape
         temperature = self.param("temperature", nn.initializers.ones,
                                  (self.num_heads, 1, 1))
-        qkv = nn.Conv(c * 3, (1, 1), use_bias=False, dtype=self.dtype, name="qkv")(x)
-        qkv = nn.Conv(c * 3, (3, 3), feature_group_count=c * 3, use_bias=False,
-                      dtype=self.dtype, name="qkv_dw")(qkv)
+        qkv = conv1x1(c * 3, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        qkv = DWConv3x3(c * 3, use_bias=False, dtype=self.dtype,
+                        name="qkv_dw")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c // self.num_heads
 
@@ -55,7 +56,7 @@ class MDTA(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("nhcd,nhdp->nhcp", attn, v)
         out = out.transpose(0, 3, 1, 2).reshape(n, h, w, c)
-        return nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+        return conv1x1(c, use_bias=False, dtype=self.dtype,
                        name="project_out")(out)
 
 
@@ -68,13 +69,13 @@ class GDFN(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.expansion)
-        y = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype,
+        y = conv1x1(hidden * 2, use_bias=False, dtype=self.dtype,
                     name="project_in")(x)
-        y = nn.Conv(hidden * 2, (3, 3), feature_group_count=hidden * 2,
-                    use_bias=False, dtype=self.dtype, name="dwconv")(y)
+        y = DWConv3x3(hidden * 2, use_bias=False, dtype=self.dtype,
+                      name="dwconv")(y)
         a, b = jnp.split(y, 2, axis=-1)
         y = jax.nn.gelu(a) * b
-        return nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+        return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
                        name="project_out")(y)
 
 
@@ -138,7 +139,7 @@ class RestormerModule(nn.Module):
                 ch = d * 2  # concat width kept
             else:
                 ch = d * 2**lvl
-                y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                y = conv1x1(ch, use_bias=False, dtype=self.dtype,
                             name=f"reduce{lvl}")(y)
             for j in range(self.num_blocks[lvl]):
                 y = RestormerBlock(ch, self.heads[lvl], self.expansion,

@@ -32,7 +32,8 @@ from flax import linen as nn
 
 from enhax.constants import LOSSES, MODELS, Scheme, Task
 from enhax.models.base import Model
-from enhax.nn.layers import WindowAttention, make_shift_attn_mask
+from enhax.nn.layers import (DWConv3x3, WindowAttention,
+                             make_shift_attn_mask)
 
 
 class LeFF(nn.Module):
@@ -47,8 +48,7 @@ class LeFF(nn.Module):
         hidden = self.dim * self.mult
         y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Conv(hidden, (3, 3), feature_group_count=hidden,
-                    dtype=self.dtype, name="dwconv")(y)
+        y = DWConv3x3(hidden, dtype=self.dtype, name="dwconv")(y)
         y = jax.nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 

@@ -36,6 +36,41 @@ def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+class DWConv3x3(nn.Module):
+    """Depthwise 3x3 SAME conv as nine shifted multiply-adds.
+
+    XLA's TPU conv op leaves depthwise convs far off memory speed (the
+    round-3 probes measured ~10x; docs/PERF.md) — grouped convs can't use
+    the MXU, so the op is pure overhead. Expressed as static pad+slice
+    multiply-adds the whole conv fuses into one elementwise pass over the
+    tensor. Param layout matches ``nn.Conv(feature_group_count=C)``:
+    kernel (3, 3, 1, C) + optional bias (C,), so checkpoint name-maps and
+    existing conversions are unchanged.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, c))
+        k = kernel.astype(self.dtype or x.dtype)
+        xc = x.astype(self.dtype or x.dtype)
+        h, w = x.shape[-3], x.shape[-2]
+        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx, 0]
+                out = t if out is None else out + t
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (c,)).astype(out.dtype)
+        return out
+
+
 class ConvBlock(nn.Module):
     """Conv -> (norm) -> (act). The reference's conv/base.py workhorse."""
     features: int
