@@ -62,7 +62,7 @@ def main(only: str | None = None):
         gc.collect()
 
     def run(metric, model_name, batch, hw, steps=20, use_pipeline=False,
-            ref_key="ref_image", **kw):
+            ref_key="ref_image", precision=None, **kw):
         if only is not None and metric != only:
             return
         try:
@@ -84,7 +84,7 @@ def main(only: str | None = None):
             variables = model.init(jax.random.PRNGKey(0), example)
             tx = optax.adam(1e-4)
             state = TrainState(0, variables, tx.init(variables))
-            step_fn = make_train_step(model, tx)
+            step_fn = make_train_step(model, tx, precision=precision)
             key = jax.random.PRNGKey(1)
 
             # warmup / compile
@@ -131,15 +131,17 @@ def main(only: str | None = None):
                 dt = max(time.perf_counter() - t0 - 0.029, 1e-9) / steps
 
             mps = batch * h * w / 1e6 / dt
+            peak = BF16_PEAK if precision else F32_PEAK
             try:
                 fl = _model_flops_per_image(model, example, variables)
-                mfu = fl / dt / F32_PEAK
+                mfu = fl / dt / peak
             except Exception:  # noqa: BLE001
                 fl, mfu = None, None
             report(metric, mps, {
                 "ms_per_step": round(dt * 1e3, 2),
                 "steps_per_sec": round(1.0 / dt, 2),
-                "mfu_f32": round(mfu, 4) if mfu is not None else None,
+                ("mfu_bf16" if precision else "mfu_f32"):
+                    round(mfu, 4) if mfu is not None else None,
                 "pipeline": use_pipeline,
             })
         except Exception as e:  # noqa: BLE001
@@ -150,6 +152,12 @@ def main(only: str | None = None):
     run("hinet_gopro_256_b16_train", "hinet_re", 16, 256, use_pipeline=True)
     run("nafnet_sidd_256_b16_train", "nafnet", 16, 256, use_pipeline=True,
         width=32, middle_blk_num=12)
+    # bf16-mixed training (trainer precision="bf16" — Lightning precision=16
+    # equivalent): bf16 fwd/bwd, f32 master params/opt/loss
+    run("hinet_gopro_256_b16_train_bf16", "hinet_re", 16, 256,
+        use_pipeline=True, precision="bf16")
+    run("nafnet_sidd_256_b16_train_bf16", "nafnet", 16, 256,
+        use_pipeline=True, precision="bf16", width=32, middle_blk_num=12)
 
     if only is None:
         with open("/root/repo/BENCH_TRAIN.json", "w") as fh:

@@ -122,6 +122,7 @@ def train(args: dict):
         limit_val_batches=tr_cfg.get("limit_val_batches"),
         overfit_batches=int(tr_cfg.get("overfit_batches", 0) or 0),
         fast_dev_run=bool(tr_cfg.get("fast_dev_run", False)),
+        precision=tr_cfg.get("precision"),
     )
     console.print(f"[train] {model.name} on {data_name} -> {save_dir}")
     val_fn = dm.val_loader if dm.val is not None else None

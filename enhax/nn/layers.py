@@ -37,34 +37,55 @@ def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
 
 
 class DWConv3x3(nn.Module):
-    """Depthwise 3x3 SAME conv as nine shifted multiply-adds.
+    """Depthwise 3x3 SAME conv with a channel-count-dependent lowering.
 
-    XLA's TPU conv op leaves depthwise convs far off memory speed (the
-    round-3 probes measured ~10x; docs/PERF.md) — grouped convs can't use
-    the MXU, so the op is pure overhead. Expressed as static pad+slice
-    multiply-adds the whole conv fuses into one elementwise pass over the
-    tensor. Param layout matches ``nn.Conv(feature_group_count=C)``:
-    kernel (3, 3, 1, C) + optional bias (C,), so checkpoint name-maps and
-    existing conversions are unchanged.
+    XLA's TPU conv op leaves *small-channel* depthwise convs far off memory
+    speed (round-3 probes measured ~10x at C=32; docs/PERF.md) — grouped
+    convs can't use the MXU. At small C the conv is therefore expressed as
+    nine statically-shifted multiply-adds that fuse into one elementwise
+    pass. At large C the tables turn: the shifted-adds path materializes a
+    padded copy and nine strided reads of a huge tensor, while the conv op
+    amortizes its overhead — so ``impl="auto"`` (the default) picks shifted
+    adds only up to a measured channel threshold and XLA's grouped conv
+    above it (override with ENHAX_DW_IMPL=shift|conv for probing).
+
+    Param layout matches ``nn.Conv(feature_group_count=C)`` in BOTH impls:
+    kernel (3, 3, 1, C) + optional bias (C,), so checkpoint name-maps,
+    conversions, and parity tests are impl-independent.
     """
     features: int
     use_bias: bool = True
     dtype: Any = None
+    impl: str = "auto"   # "auto" | "shift" | "conv"
+
+    # crossover measured on v5e (run/probe_lowering.py): shifted adds win
+    # decisively at C<=64, the grouped conv op from ~128 up
+    SHIFT_MAX_C: int = 64
 
     @nn.compact
     def __call__(self, x):
+        import os
         c = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, c))
         k = kernel.astype(self.dtype or x.dtype)
         xc = x.astype(self.dtype or x.dtype)
-        h, w = x.shape[-3], x.shape[-2]
-        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        out = None
-        for dy in range(3):
-            for dx in range(3):
-                t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx, 0]
-                out = t if out is None else out + t
+        impl = os.environ.get("ENHAX_DW_IMPL", self.impl)
+        if impl == "auto":
+            impl = "shift" if c <= self.SHIFT_MAX_C else "conv"
+        if impl == "conv":
+            out = jax.lax.conv_general_dilated(
+                xc, k, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+        else:
+            h, w = x.shape[-3], x.shape[-2]
+            xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx, 0]
+                    out = t if out is None else out + t
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (c,)).astype(out.dtype)

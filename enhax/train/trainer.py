@@ -49,21 +49,52 @@ jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
 
 
+def _cast_floats(tree, dtype):
+    """Cast float32/bfloat16 leaves to ``dtype``, leave everything else alone."""
+    def cast(a):
+        if hasattr(a, "dtype") and a.dtype in (jnp.float32, jnp.bfloat16):
+            return a.astype(dtype)
+        return a
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def make_train_step(model: Model, tx: optax.GradientTransformation,
-                    donate: bool = True, remat: bool = False):
+                    donate: bool = True, remat: bool = False,
+                    precision: str | None = None):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``remat=True`` rematerializes the forward during backprop
     (jax.checkpoint) — trades FLOPs for activation memory, the TPU-native
     answer to big-batch/high-res training (SURVEY.md hardware notes).
+
+    ``precision="bf16"`` enables bf16-mixed training, the TPU equivalent of
+    the reference's Lightning ``precision=16`` trainer flag (reference
+    config/default.py trainer block): the forward/backward run in bfloat16
+    (params and batch cast inside the differentiated function, so gradients
+    come back float32 through the cast), while master params, optimizer
+    state, the loss, and metrics all stay float32. bf16 shares float32's
+    exponent range, so no loss scaling is needed (unlike fp16 AMP). When the
+    model has a plain ``loss_fn`` the outputs are upcast and the loss is
+    computed in f32 against the original f32 batch; models with a custom
+    ``forward_loss_fn`` (multi-forward zero-shot losses) compute their loss
+    in bf16 and only the scalar is upcast.
     """
+    use_bf16 = precision in ("bf16", "bf16-mixed", "16-mixed", "16", 16)
 
     def step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         rngs = {"dropout": rng, "params": rng}
 
         def loss_fn(params):
-            loss, outputs = model.forward_loss(params, batch, rngs=rngs)
-            return loss, outputs
+            if not use_bf16:
+                return model.forward_loss(params, batch, rngs=rngs)
+            p16 = _cast_floats(params, jnp.bfloat16)
+            b16 = _cast_floats(batch, jnp.bfloat16)
+            if model.forward_loss_fn is None and model.loss_fn is not None:
+                outputs = model.apply(p16, b16, training=True, rngs=rngs)
+                outputs = _cast_floats(outputs, jnp.float32)
+                return model.loss_fn(outputs, batch), outputs
+            loss, outputs = model.forward_loss(p16, b16, rngs=rngs)
+            return loss.astype(jnp.float32), _cast_floats(outputs, jnp.float32)
 
         if remat:
             loss_fn = jax.checkpoint(loss_fn)
@@ -142,6 +173,7 @@ class Trainer:
         limit_val_batches: int | None = None,
         overfit_batches: int = 0,
         fast_dev_run: bool = False,
+        precision: str | None = None,
     ):
         self.model = model
         if isinstance(optimizer, dict):
@@ -180,7 +212,8 @@ class Trainer:
             self.limit_train_batches = 1
             self.limit_val_batches = 1
 
-        self._train_step = make_train_step(model, self.tx, remat=remat)
+        self._train_step = make_train_step(model, self.tx, remat=remat,
+                                           precision=precision)
         self._eval_step = make_eval_step(model)
         self._preempted = False
 

@@ -65,3 +65,56 @@ def test_remat_train_step_matches_plain(rng):
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_mixed_train_step(rng):
+    """precision='bf16' trains with f32 master params and a close f32 loss.
+
+    TPU analog of the reference's Lightning precision=16 trainer flag
+    (reference src/mon/config/default.py trainer block): forward/backward in
+    bf16, params/opt-state/loss in f32.
+    """
+    import optax
+    from enhax.train.trainer import TrainState, make_train_step
+    m = build_model("zero_dce_re", num_channels=8)
+    batch = {"image": jnp.asarray(
+        rng.uniform(0, 0.4, (2, 16, 16, 3)).astype(np.float32))}
+    tx = optax.adam(1e-3)
+    params = m.init(jax.random.PRNGKey(0), batch)
+    s0 = TrainState(0, params, tx.init(params))
+    step32 = make_train_step(m, tx, donate=False)
+    step16 = make_train_step(m, tx, donate=False, precision="bf16")
+    key = jax.random.PRNGKey(1)
+    s32, m32 = step32(s0, batch, key)
+    s16, m16 = step16(s0, batch, key)
+    # loss itself is f32 in both paths and close across compute precisions
+    assert m16["loss"].dtype == jnp.float32
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=0.05, atol=1e-3)
+    # master params stay f32 and actually moved
+    moved = False
+    for a, b in zip(jax.tree.leaves(s16.params), jax.tree.leaves(s0.params)):
+        assert a.dtype == b.dtype
+        if a.dtype == jnp.float32:
+            moved = moved or bool(np.any(np.asarray(a) != np.asarray(b)))
+    assert moved
+
+
+def test_bf16_mixed_train_step_supervised(rng):
+    """bf16-mixed on a supervised loss_fn model (loss computed in f32)."""
+    import optax
+    from enhax.train.trainer import TrainState, make_train_step
+    m = build_model("nafnet", width=8, middle_blk_num=1,
+                    enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 0.6, (2, 16, 16, 3)).astype(np.float32)),
+        "ref_image": jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)),
+    }
+    tx = optax.adam(1e-3)
+    params = m.init(jax.random.PRNGKey(0), batch)
+    s0 = TrainState(0, params, tx.init(params))
+    step16 = make_train_step(m, tx, donate=False, precision="bf16")
+    s1, met = step16(s0, batch, jax.random.PRNGKey(1))
+    assert met["loss"].dtype == jnp.float32
+    assert np.isfinite(float(met["loss"]))
+    assert np.isfinite(float(met["psnr"]))
