@@ -11,5 +11,7 @@ optimizer_cfg = {
     "lr_scheduler": {"scheduler": {"name": "cosine_annealing_lr",
                                    "t_max": 200, "eta_min": 1e-7}},
 }
-trainer_cfg = {"max_epochs": 200, "monitor": ("psnr", "max"), "remat": True}
+# ema_decay: BasicSR model_ema; NAFNet releases ship params_ema
+trainer_cfg = {"max_epochs": 200, "monitor": ("psnr", "max"), "remat": True,
+               "ema_decay": 0.999}
 seed = 10

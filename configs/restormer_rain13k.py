@@ -16,5 +16,8 @@ optimizer_cfg = {
                                    "restart_weights": [1.0, 1.0],
                                    "eta_mins": [3e-4, 1e-6]}},
 }
-trainer_cfg = {"max_epochs": 300, "monitor": ("psnr", "max"), "remat": True}
+# ema_decay: BasicSR model_ema (image_restoration_model.py:81-88); released
+# Restormer checkpoints ship the shadow as params_ema (converter unwraps it)
+trainer_cfg = {"max_epochs": 300, "monitor": ("psnr", "max"), "remat": True,
+               "ema_decay": 0.999}
 seed = 10

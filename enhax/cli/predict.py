@@ -151,6 +151,17 @@ def _load_weights(model, path):
         from enhax.zoo import load_zoo_weights
         return load_zoo_weights(model, path[4:])
     p = Path(path)
+    if p.is_dir():
+        # enhax trainer checkpoint (orbax dir, e.g. run/.../ckpt/best).
+        # Prefer the EMA shadow for inference — BasicSR's "net_g_ema is
+        # used only for testing" (reference
+        # restormer/basicsr/models/image_restoration_model.py:86-88)
+        import orbax.checkpoint as ocp
+        restored = ocp.PyTreeCheckpointer().restore(p.absolute())
+        if isinstance(restored, dict) and "params" in restored:
+            ema = restored.get("ema")
+            return ema if ema else restored["params"]
+        return restored
     if p.suffix == ".npz":
         import jax
         import numpy as np

@@ -123,6 +123,7 @@ def train(args: dict):
         overfit_batches=int(tr_cfg.get("overfit_batches", 0) or 0),
         fast_dev_run=bool(tr_cfg.get("fast_dev_run", False)),
         precision=tr_cfg.get("precision"),
+        ema_decay=tr_cfg.get("ema_decay"),
     )
     console.print(f"[train] {model.name} on {data_name} -> {save_dir}")
     val_fn = dm.val_loader if dm.val is not None else None

@@ -25,6 +25,10 @@ def save_checkpoint(ckpt_dir, state, epoch: int, name: str = "last") -> Path:
         "params": jax.tree.map(np.asarray, state.params),
         "opt_state": jax.tree.map(np.asarray, state.opt_state),
     }
+    if state.ema is not None:
+        # EMA shadow weights (reference BasicSR saves net_g_ema as
+        # params_ema next to params; image_restoration_model.py:81-88)
+        payload["ema"] = jax.tree.map(np.asarray, state.ema)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     return path
@@ -42,10 +46,13 @@ def load_checkpoint(path, state):
         "params": state.params,
         "opt_state": state.opt_state,
     }
+    if state.ema is not None:
+        template["ema"] = state.ema
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(Path(path).absolute(), item=template)
     new_state = TrainState(step=int(restored["step"]), params=restored["params"],
-                           opt_state=restored["opt_state"])
+                           opt_state=restored["opt_state"],
+                           ema=restored.get("ema"))
     return new_state, int(restored["epoch"]) + 1
 
 

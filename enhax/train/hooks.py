@@ -137,3 +137,59 @@ class ProgressiveTrainingHook:
 
     def __call__(self, trainer, state, row):
         self.apply_for_epoch(row["epoch"] + 1)
+
+
+@CALLBACKS.register(name="stochastic_weight_averaging")
+class SWAHook:
+    """Stochastic Weight Averaging (lightning ``StochasticWeightAveraging``,
+    which the reference registers as ``stochastic_weight_averaging`` —
+    reference nn/callback/base.py:29,76).
+
+    From ``swa_epoch_start`` (a fraction of ``max_epochs``, or an absolute
+    epoch) on, keeps the running mean of the float params at every epoch
+    end. ``swa_params`` exposes the averaged weights; when the trainer has
+    a ``ckpt_dir`` they are also checkpointed under ``swa/`` next to
+    best/last after each update.
+    """
+
+    def __init__(self, swa_epoch_start: float | int = 0.8):
+        self.swa_epoch_start = swa_epoch_start
+        self.swa_params = None
+        self.n_averaged = 0
+
+    def _start_epoch(self, trainer) -> int:
+        s = self.swa_epoch_start
+        return int(s) if s >= 1 else int(s * trainer.max_epochs)
+
+    def __call__(self, trainer, state, row):
+        import jax
+
+        if row["epoch"] < self._start_epoch(trainer):
+            return
+        params = state.params
+        if self.swa_params is None:
+            # copy, not alias: the jitted train step donates state.params
+            # buffers on the next step, which would invalidate an aliased
+            # snapshot
+            import jax.numpy as jnp
+            self.swa_params = jax.tree_util.tree_map(jnp.copy, params)
+            self.n_averaged = 1
+        else:
+            import jax.numpy as jnp
+            n = self.n_averaged
+
+            def avg(a, p):
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                    return (a * n + p) / (n + 1)
+                return p
+
+            self.swa_params = jax.tree_util.tree_map(avg, self.swa_params,
+                                                     params)
+            self.n_averaged += 1
+        if trainer.ckpt_dir:
+            from enhax.train.checkpoints import save_checkpoint
+            from enhax.train.trainer import TrainState
+            save_checkpoint(trainer.ckpt_dir,
+                            TrainState(state.step, self.swa_params,
+                                       state.opt_state),
+                            row["epoch"], name="swa")

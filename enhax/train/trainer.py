@@ -32,13 +32,21 @@ from enhax.utils.console import console
 
 @dataclasses.dataclass
 class TrainState:
-    """Minimal train state pytree (flax TrainState without the apply_fn)."""
+    """Minimal train state pytree (flax TrainState without the apply_fn).
+
+    ``ema`` (optional) holds the exponential-moving-average shadow of
+    ``params`` when the trainer runs with ``ema_decay`` — the BasicSR
+    ``net_g_ema`` the reference's vendored restorer training keeps and
+    ships (restormer/basicsr/models/image_restoration_model.py:81-88;
+    released checkpoints carry it as ``params_ema``).
+    """
     step: int
     params: Any
     opt_state: Any
+    ema: Any = None
 
     def tree_flatten(self):
-        return (self.step, self.params, self.opt_state), None
+        return (self.step, self.params, self.opt_state, self.ema), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -60,7 +68,8 @@ def _cast_floats(tree, dtype):
 
 def make_train_step(model: Model, tx: optax.GradientTransformation,
                     donate: bool = True, remat: bool = False,
-                    precision: str | None = None):
+                    precision: str | None = None,
+                    ema_decay: float | None = None):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``remat=True`` rematerializes the forward during backprop
@@ -102,11 +111,19 @@ def make_train_step(model: Model, tx: optax.GradientTransformation,
         (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema_decay and ema is not None:
+            # BasicSR model_ema semantics (image_restoration_model.py:81-88):
+            # shadow = decay * shadow + (1 - decay) * params, float leaves only
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
+                if jnp.issubdtype(e.dtype, jnp.floating) else p,
+                ema, params)
         metrics = {"loss": loss}
         if "ref_image" in batch and model.out_key in outputs:
             pred = jnp.clip(outputs[model.out_key], 0.0, 1.0)
             metrics["psnr"] = psnr(pred, batch["ref_image"])
-        return TrainState(state.step + 1, params, opt_state), metrics
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -174,6 +191,7 @@ class Trainer:
         overfit_batches: int = 0,
         fast_dev_run: bool = False,
         precision: str | None = None,
+        ema_decay: float | None = None,
     ):
         self.model = model
         if isinstance(optimizer, dict):
@@ -212,8 +230,10 @@ class Trainer:
             self.limit_train_batches = 1
             self.limit_val_batches = 1
 
+        self.ema_decay = ema_decay
         self._train_step = make_train_step(model, self.tx, remat=remat,
-                                           precision=precision)
+                                           precision=precision,
+                                           ema_decay=ema_decay)
         self._eval_step = make_eval_step(model)
         self._preempted = False
 
@@ -222,7 +242,12 @@ class Trainer:
     def init_state(self, example_batch: dict, params=None) -> TrainState:
         if params is None:
             params = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
-        return TrainState(step=0, params=params, opt_state=self.tx.init(params))
+        # real copies, not aliases: the jitted step donates the TrainState,
+        # and donating params+ema views of one buffer is an XLA error
+        ema = jax.tree_util.tree_map(jnp.copy, params) \
+            if self.ema_decay else None
+        return TrainState(step=0, params=params,
+                          opt_state=self.tx.init(params), ema=ema)
 
     def _place(self, batch: dict) -> dict:
         from enhax.parallel.mesh import shard_datapoint
@@ -310,7 +335,10 @@ class Trainer:
                 if self.limit_val_batches is not None:
                     vit = (b for _, b in
                            zip(range(self.limit_val_batches), iter(vit)))
-                vals = [self._eval_step(state.params, self._place(b))
+                # with EMA enabled, validate the shadow weights — BasicSR's
+                # "net_g_ema is used only for testing ... and saving"
+                eval_params = state.ema if state.ema is not None else state.params
+                vals = [self._eval_step(eval_params, self._place(b))
                         for b in vit]
                 if vals:
                     stacked = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *vals)

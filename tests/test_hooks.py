@@ -94,3 +94,74 @@ def test_preemption_checkpoint(batch, tmp_path):
                   max_epochs=3, ckpt_dir=tmp_path / "ckpt")
     state2 = tr2.fit(lambda: [batch])
     assert int(state2.step) > int(state.step)
+
+
+def test_ema_train_step(batch):
+    """EMA shadow follows decay*shadow + (1-decay)*params (BasicSR
+    model_ema, reference image_restoration_model.py:81-88)."""
+    import jax
+    import optax
+    from enhax.train.trainer import TrainState, make_train_step
+    m = build_model("zero_dce_re", num_channels=8)
+    import jax.numpy as jnp
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    v = m.init(jax.random.PRNGKey(0), b)
+    tx = optax.adam(1e-2)
+    ema0 = jax.tree_util.tree_map(lambda p: p, v)
+    s = TrainState(0, v, tx.init(v), ema=ema0)
+    step = make_train_step(m, tx, donate=False, ema_decay=0.5)
+    s1, _ = step(s, b, jax.random.PRNGKey(1))
+    # expected: 0.5 * params0 + 0.5 * params1
+    exp = jax.tree_util.tree_map(
+        lambda p0, p1: 0.5 * p0 + 0.5 * p1, v, s1.params)
+    for a, e in zip(jax.tree.leaves(s1.ema), jax.tree.leaves(exp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-6)
+
+
+def test_trainer_ema_checkpoint_roundtrip(batch, tmp_path):
+    """Trainer with ema_decay saves + resumes the EMA shadow."""
+    from enhax.train import Trainer
+    from enhax.train.checkpoints import load_checkpoint
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=2, ckpt_dir=tmp_path / "ckpt",
+                 log_every_n_steps=1000, ema_decay=0.9)
+    state = tr.fit(lambda: [batch], val_iter_fn=lambda: [batch],
+                   resume=False)
+    assert state.ema is not None
+    # shadow lags params after two steps
+    import jax
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(state.ema),
+                             jax.tree.leaves(state.params))]
+    assert max(diffs) > 0
+    restored, _ = load_checkpoint(tmp_path / "ckpt" / "last", state)
+    for a, b in zip(jax.tree.leaves(restored.ema), jax.tree.leaves(state.ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_swa_hook(batch, tmp_path):
+    """SWA averages params from swa_epoch_start on (reference registers
+    lightning's StochasticWeightAveraging, nn/callback/base.py:76)."""
+    from enhax.train import SWAHook
+    m = build_model("zero_dce_re", num_channels=8)
+    hook = SWAHook(swa_epoch_start=0.5)
+    tr = _trainer(m, tmp_path, [hook], epochs=4)
+    tr.fit(lambda: [batch])
+    assert hook.n_averaged == 2  # epochs 2 and 3 of 4
+    assert hook.swa_params is not None
+
+
+def test_predict_loads_trainer_checkpoint_prefers_ema(batch, tmp_path):
+    """predict --weights <ckpt-dir> restores the EMA shadow when present."""
+    import jax
+    from enhax.cli.predict import _load_weights
+    from enhax.train import Trainer
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=1, ckpt_dir=tmp_path / "ckpt",
+                 log_every_n_steps=1000, ema_decay=0.9)
+    state = tr.fit(lambda: [batch], resume=False)
+    loaded = _load_weights(m, tmp_path / "ckpt" / "last")
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
