@@ -169,3 +169,18 @@ def test_context_window_features():
     assert f.shape == (1, 4, 4, 9)
     # center tap equals the pixel itself
     np.testing.assert_allclose(np.asarray(f[..., 4]), np.asarray(x[..., 0]))
+
+
+@pytest.mark.parametrize("c", [8, 96])
+def test_dwconv3x3_impls_equivalent(c, rng):
+    """shift and conv lowerings share params and agree to float precision,
+    so the auto channel-threshold switch can never change results."""
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 9, 11, c)).astype(np.float32))
+    m_s = layers.DWConv3x3(c, impl="shift")
+    m_c = layers.DWConv3x3(c, impl="conv")
+    v = m_s.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["kernel"].shape == (3, 3, 1, c)
+    y_s = m_s.apply(v, x)
+    y_c = m_c.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_c),
+                               atol=2e-6, rtol=1e-5)
