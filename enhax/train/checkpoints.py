@@ -49,7 +49,17 @@ def load_checkpoint(path, state):
     if state.ema is not None:
         template["ema"] = state.ema
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(Path(path).absolute(), item=template)
+    try:
+        restored = ckptr.restore(Path(path).absolute(), item=template)
+    except Exception:
+        if "ema" not in template:
+            raise
+        # pre-EMA checkpoint resumed by an EMA-enabled trainer: restore
+        # without the shadow and re-seed it from the restored params
+        template.pop("ema")
+        restored = ckptr.restore(Path(path).absolute(), item=template)
+        restored["ema"] = jax.tree.map(
+            lambda p: np.array(p, copy=True), restored["params"])
     new_state = TrainState(step=int(restored["step"]), params=restored["params"],
                            opt_state=restored["opt_state"],
                            ema=restored.get("ema"))

@@ -165,3 +165,26 @@ def test_predict_loads_trainer_checkpoint_prefers_ema(batch, tmp_path):
     loaded = _load_weights(m, tmp_path / "ckpt" / "last")
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.ema)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_ema_resume_from_pre_ema_checkpoint(batch, tmp_path):
+    """An EMA-enabled trainer can resume a checkpoint saved without EMA
+    (shadow re-seeded from the restored params)."""
+    from enhax.train import Trainer
+    from enhax.train.checkpoints import load_checkpoint
+    import jax
+    m = build_model("zero_dce_re", num_channels=8)
+    tr0 = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=1, ckpt_dir=tmp_path / "ckpt",
+                  log_every_n_steps=1000)
+    s0 = tr0.fit(lambda: [batch], resume=False)
+    assert s0.ema is None
+    tr1 = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=2, ckpt_dir=tmp_path / "ckpt",
+                  log_every_n_steps=1000, ema_decay=0.9)
+    state_tmpl = tr1.init_state({k: np.asarray(v) for k, v in batch.items()})
+    restored, epoch = load_checkpoint(tmp_path / "ckpt" / "last", state_tmpl)
+    assert restored.ema is not None
+    for a, b in zip(jax.tree.leaves(restored.ema),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
