@@ -288,17 +288,29 @@ def nafblock_xla(x, p: dict, tlc_window: int | None):
     xf = x.astype(f32)
     y = ln(xf, p["norm1"])
     y = dense(y, p["conv1"])
-    # dw 3x3 as nine shifted multiply-adds (one fused elementwise pass;
-    # XLA's grouped conv op is ~10x off memory speed — nn.layers.DWConv3x3)
+    # dw 3x3 with the same channel-dependent lowering as nn.layers.DWConv3x3:
+    # shifted adds win only at small C (probes at C=32); at the 2c >= 256
+    # channels this XLA path actually runs at (the hybrid routes C <= 64 to
+    # the Pallas blocks), the padded copy + nine strided reads LOSE to the
+    # grouped conv op — the same crossover that regressed Restormer
+    # (docs/PERF.md round-3 follow-up).
+    from enhax.nn.layers import DWConv3x3
     k2w = jnp.asarray(p["conv2"]["kernel"]).astype(f32)  # (3, 3, 1, 2c)
-    h_, w_ = y.shape[-3], y.shape[-2]
-    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            t = yp[:, dy:dy + h_, dx:dx + w_, :] * k2w[dy, dx, 0]
-            acc = t if acc is None else acc + t
-    y = acc + p["conv2"]["bias"].astype(f32)
+    if y.shape[-1] <= DWConv3x3.SHIFT_MAX_C:
+        h_, w_ = y.shape[-3], y.shape[-2]
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = yp[:, dy:dy + h_, dx:dx + w_, :] * k2w[dy, dx, 0]
+                acc = t if acc is None else acc + t
+        y = acc
+    else:
+        y = jax.lax.conv_general_dilated(
+            y, k2w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=y.shape[-1])
+    y = y + p["conv2"]["bias"].astype(f32)
     y = y[..., :c] * y[..., c:]
     if tlc_window is None:
         pooled = jnp.mean(y, axis=(1, 2), keepdims=True)
