@@ -22,18 +22,51 @@ from flax import linen as nn
 from enhax.ops.filtering import box_filter, sobel_filter
 
 
-def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
-            name: str | None = None) -> nn.Dense:
-    """1x1 conv lowered to a channel matmul (``nn.Dense`` over NHWC).
+class PWConv(nn.Module):
+    """1x1 conv with an nn.Dense param layout and a switchable lowering.
 
-    XLA's TPU conv op runs small-channel 1x1 convs at ~1 TF/s / 60 GB/s
-    (measured on v5e at C=32), while the identical contraction expressed
-    as a dot runs ~5x faster (docs/PERF.md round-3 probes). Parameter is
-    "kernel" (C_in, C_out); the checkpoint converter's shape fitter maps
-    torch (C_out, C_in, 1, 1) conv weights onto it transparently, so name
-    maps are unchanged.
+    Default impl is the channel matmul (identical math, init, and params to
+    ``nn.Dense``): XLA's TPU conv op runs small-channel 1x1 convs at ~1 TF/s
+    / 60 GB/s (measured on v5e at C=32) while the same contraction as a dot
+    runs ~5x faster (docs/PERF.md round-3 probes). ``ENHAX_PW_IMPL=conv``
+    re-expresses it as a (1,1) ``lax.conv`` for on-device A/B probing —
+    params stay "kernel" (C_in, C_out) + "bias" (C_out,) in both impls, so
+    checkpoint name maps and conversions are impl-independent.
     """
-    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        k = kernel.astype(dt)
+        xc = x.astype(dt)
+        if os.environ.get("ENHAX_PW_IMPL", "dot") == "conv":
+            out = jax.lax.conv_general_dilated(
+                xc, k[None, None], window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            out = jnp.dot(xc, k)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
+            name: str | None = None) -> PWConv:
+    """1x1 conv lowered to a channel matmul (see :class:`PWConv`).
+
+    The checkpoint converter's shape fitter maps torch (C_out, C_in, 1, 1)
+    conv weights onto the "kernel" (C_in, C_out) param transparently, so
+    name maps are unchanged.
+    """
+    return PWConv(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 class DWConv3x3(nn.Module):
