@@ -13,6 +13,14 @@ Analyzer", SPL 2013) and exposes:
   (keys ``pop_mu``/``pop_cov`` or ``mu_prisparam``/``cov_prisparam``) if the
   user supplies it locally.
 - :func:`niqe` / :func:`make_niqe` — score an image against a params dict.
+- :func:`niqe_official` — the official scoring pipeline, matching the
+  reference's in-tree BasicSR implementation (and therefore pyiqa/MATLAB,
+  which BasicSR tracks) feature-for-feature: AGGD fits in the
+  (alpha, beta_l, beta_r) parameterization, within-block wraparound
+  pair products, replicate-pad MSCN, BT.601 studio-swing Y channel,
+  2x2-average half-scale. Reference-executed parity against
+  ``restormer/basicsr/metrics/niqe.py`` with the reference's own official
+  ``niqe_pris_params.npz`` lives in ``tests/test_niqe.py``.
 
 Pipeline notes (kept identical between fitting and scoring, which is what
 makes scores self-consistent): reflect-padded Gaussian 7x7 (sigma 7/6) MSCN,
@@ -175,7 +183,9 @@ def _weighted_moments(feats, weights):
 def fit_niqe_params(images) -> dict:
     """Fit the pristine MVG model on a local set of high-quality images.
 
-    Returns {"mu": (36,), "cov": (36, 36)} suitable for :func:`niqe`.
+    Returns {"mu": (36,), "cov": (36, 36), "impl": "self"} suitable for
+    :func:`niqe` (the self-consistent enhax pipeline — fitted and scored
+    with identical feature definitions).
     """
     all_f, all_w = [], []
     for img in images:
@@ -185,23 +195,183 @@ def fit_niqe_params(images) -> dict:
     feats = np.concatenate(all_f)
     weights = np.concatenate(all_w)
     mu, cov, _ = _weighted_moments(jnp.asarray(feats), jnp.asarray(weights))
-    return {"mu": np.asarray(mu), "cov": np.asarray(cov)}
+    return {"mu": np.asarray(mu), "cov": np.asarray(cov), "impl": "self"}
 
 
 def load_niqe_params(path) -> dict:
-    """Load official MATLAB/pyiqa pristine parameters from a local .mat."""
+    """Load official pristine parameters from a local .mat or .npz.
+
+    Accepts the MATLAB release layouts (``pop_mu``/``pop_cov`` or
+    ``mu_prisparam``/``cov_prisparam``) and the BasicSR/pyiqa
+    ``niqe_pris_params.npz`` layout (``mu_pris_param``/``cov_pris_param``
+    + ``gaussian_window``). Official params are tagged ``impl="official"``
+    so :func:`niqe` scores them through the official pipeline.
+    """
+    path = str(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            if "mu_pris_param" in z:
+                return {"mu": np.asarray(z["mu_pris_param"]).reshape(-1),
+                        "cov": np.asarray(z["cov_pris_param"]),
+                        "gaussian_window": np.asarray(z["gaussian_window"]),
+                        "impl": "official"}
+            return {"mu": z["mu"], "cov": z["cov"],
+                    "impl": str(z["impl"]) if "impl" in z else "self"}
     import scipy.io
-    mat = scipy.io.loadmat(str(path))
+    mat = scipy.io.loadmat(path)
     for mu_key, cov_key in (("pop_mu", "pop_cov"),
-                            ("mu_prisparam", "cov_prisparam")):
+                            ("mu_prisparam", "cov_prisparam"),
+                            ("mu_pris_param", "cov_pris_param")):
         if mu_key in mat:
-            return {"mu": np.asarray(mat[mu_key]).reshape(-1),
-                    "cov": np.asarray(mat[cov_key])}
+            out = {"mu": np.asarray(mat[mu_key]).reshape(-1),
+                   "cov": np.asarray(mat[cov_key]), "impl": "official"}
+            if "gaussian_window" in mat:
+                out["gaussian_window"] = np.asarray(mat["gaussian_window"])
+            return out
     raise KeyError(f"no NIQE params found in {path}; keys: {list(mat)}")
 
 
-def niqe(image, params: dict) -> jnp.ndarray:
-    """NIQE score (lower is better) of one image against pristine params."""
+# ---------------------------------------------------------------------------
+# Official scoring pipeline (BasicSR/pyiqa/MATLAB-compatible).
+# Reference executable: restormer/basicsr/metrics/niqe.py:10-211 (the
+# reference vendors identical copies under nafnet/hinet/retinexformer);
+# official pristine stats ship next to it as niqe_pris_params.npz.
+# ---------------------------------------------------------------------------
+
+def _fspecial_gaussian_np(size: int = 7, sigma: float = 7.0 / 6.0):
+    """MATLAB fspecial('gaussian') in float64 (fallback when params lack
+    the window; the official npz ships its own)."""
+    ax = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+    k = np.outer(g, g)
+    k[k < np.finfo(np.float64).eps * k.max()] = 0.0
+    return k / k.sum()
+
+
+def _aggd_fit_official(x, axis):
+    """AGGD fit in the reference's (alpha, beta_l, beta_r) parameterization
+    (niqe.py:10-38): beta = std * sqrt(G(1/a)/G(3/a)). A block with no
+    negative (or no positive) samples yields NaN exactly like the
+    reference's ``np.mean`` over an empty boolean slice; alpha then pins
+    to the first grid value, matching ``np.argmin`` over an all-NaN array.
+    """
+    neg = (x < 0).astype(x.dtype)
+    pos = (x > 0).astype(x.dtype)
+    left_sq = jnp.sum(x * x * neg, axis=axis) / jnp.sum(neg, axis=axis)
+    right_sq = jnp.sum(x * x * pos, axis=axis) / jnp.sum(pos, axis=axis)
+    l_std = jnp.sqrt(left_sq)
+    r_std = jnp.sqrt(right_sq)
+    gammahat = l_std / r_std
+    rhat = jnp.mean(jnp.abs(x), axis=axis) ** 2 / jnp.mean(x * x, axis=axis)
+    rhatnorm = rhat * (gammahat ** 3 + 1) * (gammahat + 1) \
+        / ((gammahat ** 2 + 1) ** 2)
+    idx = jnp.argmin((_AGGD_R - rhatnorm[..., None]) ** 2, axis=-1)
+    idx = jnp.where(jnp.isnan(rhatnorm), 0, idx)
+    alpha = _GAMMA_GRID[idx]
+    const = jnp.sqrt(_gamma(1.0 / alpha) / _gamma(3.0 / alpha))
+    return alpha, l_std * const, r_std * const
+
+
+def _official_scale_feats(mscn, patch: int):
+    """18 features per block at one scale, reference order and
+    parameterization (niqe.py:40-64): AGGD on the raw block ->
+    [alpha, (beta_l+beta_r)/2], then for each of the four pair products
+    (computed with WITHIN-BLOCK wraparound, as the reference rolls each
+    block) -> [alpha, mean, beta_l, beta_r]."""
+    blocks = _patchify(mscn, patch)
+    a, bl, br = _aggd_fit_official(blocks, axis=(-2, -1))
+    feats = [a, (bl + br) / 2.0]
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        pair = blocks * jnp.roll(blocks, (dy, dx), axis=(-2, -1))
+        a, bl, br = _aggd_fit_official(pair, axis=(-2, -1))
+        mean = (br - bl) * (_gamma(2.0 / a) / _gamma(1.0 / a))
+        feats.extend([a, mean, bl, br])
+    return jnp.stack(feats, axis=-1)
+
+
+def _mscn_official(gray, win):
+    """Replicate-padded MSCN (the reference convolves mode='nearest');
+    sigma uses abs() rather than clamping, as the reference does."""
+    p = win.shape[0] // 2
+    x = jnp.pad(gray, ((p, p), (p, p)), mode="edge")
+    conv = lambda v: jax.lax.conv_general_dilated(
+        v[None, ..., None], win[..., None, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, ..., 0]
+    mu = conv(x)
+    sigma = jnp.sqrt(jnp.abs(conv(x * x) - mu * mu))
+    return (gray - mu) / (sigma + 1.0)
+
+
+def _to_y_channel(image):
+    """BT.601 studio-swing Y in [16, 235] from RGB in [0, 1]
+    (basicsr/utils/matlab_functions.py:207 bgr2ycbcr, y_only)."""
+    r, g, b = image[..., 0], image[..., 1], image[..., 2]
+    return 65.481 * r + 128.553 * g + 24.966 * b + 16.0
+
+
+def niqe_official(image, params: dict, crop_border: int = 0,
+                  convert_to: str = "y", block: int = 96) -> float:
+    """Official NIQE score, matching the reference's BasicSR pipeline
+    (niqe.py:67-211 calculate_niqe) on enhax RGB [0, 1] inputs.
+
+    Feature extraction runs jitted in f32; the MVG statistics and the
+    pseudo-inverse finish on host in f64, like the reference.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    if image.ndim == 4:
+        image = image[0]
+    if image.ndim == 3:
+        if convert_to == "y":
+            gray = _to_y_channel(image)
+        elif convert_to == "gray":
+            gray = (0.299 * image[..., 0] + 0.587 * image[..., 1]
+                    + 0.114 * image[..., 2]) * 255.0
+        else:
+            raise ValueError(f"convert_to must be 'y' or 'gray': {convert_to}")
+    else:
+        gray = image * 255.0
+    if crop_border:
+        gray = gray[crop_border:-crop_border, crop_border:-crop_border]
+
+    h = (gray.shape[0] // block) * block
+    w = (gray.shape[1] // block) * block
+    if h < block or w < block:
+        raise ValueError(f"image too small for NIQE block size {block}: "
+                         f"{gray.shape}")
+    gray = gray[:h, :w]
+
+    win = jnp.asarray(params.get("gaussian_window",
+                                 _fspecial_gaussian_np()), jnp.float32)
+    f1 = _official_scale_feats(_mscn_official(gray, win), block)
+    # half scale: the reference downsamples with cv2 INTER_LINEAR at an
+    # exact 0.5 factor, which is the 2x2 box average.
+    half = (gray[0::2, 0::2] + gray[0::2, 1::2]
+            + gray[1::2, 0::2] + gray[1::2, 1::2]) / 4.0
+    f2 = _official_scale_feats(_mscn_official(half, win), block // 2)
+    feats = np.asarray(jnp.concatenate([f1, f2], axis=-1), np.float64)
+
+    mu_d = np.nanmean(feats, axis=0)
+    good = feats[~np.isnan(feats).any(axis=1)]
+    cov_d = np.cov(good, rowvar=False)
+    mu_p = np.asarray(params["mu"], np.float64).reshape(-1)
+    cov_p = np.asarray(params["cov"], np.float64)
+    d = mu_p - mu_d
+    inv = np.linalg.pinv((cov_p + cov_d) / 2.0)
+    return float(np.sqrt(max(d @ inv @ d, 0.0)))
+
+
+def niqe(image, params: dict):
+    """NIQE score (lower is better) of one image against pristine params.
+
+    Dispatches on ``params["impl"]``: official-layout params (loaded via
+    :func:`load_niqe_params`) score through :func:`niqe_official`;
+    self-fitted params (from :func:`fit_niqe_params`, and untagged dicts
+    for backward compatibility) score through the self-consistent enhax
+    pipeline.
+    """
+    if params.get("impl") == "official" or "gaussian_window" in params:
+        return jnp.asarray(niqe_official(image, params), jnp.float32)
     feats, weights = niqe_features(image)
     mu_d, cov_d, _ = _weighted_moments(feats, weights)
     mu_p = jnp.asarray(params["mu"], jnp.float32)
@@ -232,9 +402,5 @@ def _niqe_metric(pred, target=None, params: dict | None = None):
                 "NIQE needs pristine MVG parameters: pass params=, or set "
                 "ENHAX_NIQE_PARAMS to niqe_modelparameters.mat (official) or "
                 "an .npz from enhax.nn.niqe.fit_niqe_params")
-        if path.endswith(".npz"):
-            with np.load(path) as z:
-                params = {"mu": z["mu"], "cov": z["cov"]}
-        else:
-            params = load_niqe_params(path)
+        params = load_niqe_params(path)
     return niqe(pred, params)

@@ -85,3 +85,82 @@ def test_mat_and_npz_loaders(params, tmp_path):
     finally:
         del os.environ["ENHAX_NIQE_PARAMS"]
     assert s == pytest.approx(float(niqe(img, params)), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reference-executed parity: the official scoring pipeline vs the
+# reference's in-tree BasicSR NIQE with the official pristine params.
+# ---------------------------------------------------------------------------
+
+_REF_RESTORMER = "vision/enhance/multitask/restormer"
+_REF_NPZ = ("/root/reference/src/mon_extra/" + _REF_RESTORMER
+            + "/basicsr/metrics/niqe_pris_params.npz")
+
+
+def test_fspecial_window_matches_official_npz():
+    from enhax.nn.niqe import _fspecial_gaussian_np
+    z = np.load(_REF_NPZ)
+    np.testing.assert_allclose(_fspecial_gaussian_np(),
+                               z["gaussian_window"], atol=1e-12)
+
+
+def test_official_scoring_matches_reference_executed(rng, monkeypatch):
+    """enhax niqe_official == the reference's basicsr.metrics.niqe
+    (executed) with the reference's own official niqe_pris_params.npz,
+    across distortion levels — grounding the `metric` CLI's NIQE backend
+    (reference: project/runml/metric.py builds pyiqa's NIQE, which BasicSR
+    tracks; the executable in-tree copy is restormer/basicsr/metrics/
+    niqe.py:67-211)."""
+    import types
+
+    import torch  # noqa: F401  (first-import must happen outside the stub context)
+
+    from enhax.convert import refload
+    from enhax.nn.niqe import niqe_official
+
+    # skip basicsr/utils/__init__.py's heavy import chain; matlab_functions
+    # still loads as a real leaf through the stub package's __path__
+    bu = types.ModuleType("basicsr.utils")
+    bu.__path__ = ["/root/reference/src/mon_extra/" + _REF_RESTORMER
+                   + "/basicsr/utils"]
+    bu.__package__ = "basicsr.utils"
+    ref = refload.load_vendored(_REF_RESTORMER, "basicsr.metrics.niqe",
+                                extra_stubs={"basicsr.utils": bu})
+    params = load_niqe_params(_REF_NPZ)
+    assert params["impl"] == "official"
+    assert params["mu"].shape == (36,) and params["cov"].shape == (36, 36)
+
+    # calculate_niqe loads the npz by a cwd-relative path
+    monkeypatch.chdir("/root/reference/src/mon_extra/" + _REF_RESTORMER)
+
+    scores_ref, scores_enhax = [], []
+    for noise in (0.0, 0.08, 0.25):
+        img = _natural(rng, 288, 384)
+        img = np.clip(img + noise * rng.standard_normal(img.shape),
+                      0, 1).astype(np.float32)
+        bgr255 = (img[..., ::-1] * 255.0).astype(np.float32)
+        want = np.asarray(ref.calculate_niqe(bgr255, crop_border=0,
+                                             convert_to="y")).item()
+        got = float(niqe_official(img, params))
+        assert abs(got - want) < 5e-3, (noise, got, want)
+        scores_ref.append(want)
+        scores_enhax.append(got)
+    # heavier distortion scores worse under both implementations
+    assert scores_ref[0] < scores_ref[-1]
+    assert scores_enhax[0] < scores_enhax[-1]
+    # crop_border path agrees too
+    img = _natural(rng, 320, 416)
+    bgr255 = (img[..., ::-1] * 255.0).astype(np.float32)
+    want = np.asarray(ref.calculate_niqe(bgr255, crop_border=16,
+                                             convert_to="y")).item()
+    got = float(niqe_official(img, params, crop_border=16))
+    assert abs(got - want) < 5e-3
+
+
+def test_niqe_dispatch_official_vs_self(rng):
+    """niqe() routes official-layout params through the official pipeline."""
+    from enhax.nn.niqe import niqe_official
+    params = load_niqe_params(_REF_NPZ)
+    img = _natural(rng, 192, 192)
+    assert float(niqe(img, params)) == pytest.approx(
+        float(niqe_official(img, params)), rel=1e-5)
