@@ -99,6 +99,18 @@ ZOO: dict[str, dict[str, ZooEntry]] = {
                           "github.com/caiyuanhao1998/Retinexformer",
                           _maps.retinexformer_name_map),
     },
+    "mprnet": {
+        "gopro": ZooEntry("mprnet_deblurring.pth",
+                          "github.com/swz30/MPRNet (model_deblurring.pth, "
+                          "{'state_dict': ...} layout)",
+                          _maps.mprnet_name_map),
+    },
+    "llflow": {
+        "lol_v1": ZooEntry("llflow_lol_v1.pth",
+                           "github.com/wyf0912/LLFlow (LOL checkpoint; raw "
+                           "module-name state dict)",
+                           _maps.llflow_name_map),
+    },
     "sci": {
         "easy": ZooEntry("sci_easy.pt", "github.com/vis-opt-group/SCI",
                          _maps.sci_name_map),

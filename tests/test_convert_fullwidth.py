@@ -14,6 +14,9 @@ Reference configs executed:
   retinexformer  RetinexFormer_arch.py released LOL config (n_feat 40,
                  stage 1, blocks 1/2/2)
   uformer_b      uformer.py:714-740 with depths [1,2,8,8,2,8,8,2,1]
+  mprnet         mprnet.py:388-390 released deblurring defaults (96/48/32)
+  llflow         llflow/model_config/lol_v1.yaml (nf 64, nb 24, K 12, L 3,
+                 stackRRDB [1,3,5,7])
 """
 
 import numpy as np
@@ -127,3 +130,87 @@ def test_uformer_b_fullwidth_zoo_parity(tmp_path, monkeypatch):
                    "sidd", "uformer_b_sidd.pth", {"state_dict": sd},
                    _to_nhwc(x), image_size=128)
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_mprnet_fullwidth_zoo_parity(tmp_path, monkeypatch):
+    """First-party MPRNet at the released deblurring hyperparameters
+    (mprnet.py:388-390: num_channels 96, scale_unetfeats 48,
+    scale_orsnetfeats 32, num_cab 8) through the official release's
+    {'state_dict': ...} layout (github.com/swz30/MPRNet test.py)."""
+    mod = refload.load_first_party(
+        "vision/enhance/multitask/mprnet/mprnet.py")
+    refload.neutralize_losses(mod)
+    torch.manual_seed(0)
+    net = mod.MPRNet()              # released deblurring defaults
+    net.eval()
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = _to_nhwc(net({"image": x})["enhanced"])
+    got = _via_zoo(tmp_path, monkeypatch, build_model("mprnet"),
+                   "gopro", "mprnet_deblurring.pth",
+                   {"state_dict": net.state_dict()}, _to_nhwc(x))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+class _NoneDict(dict):
+    def __missing__(self, key):
+        return None
+
+
+def test_llflow_fullwidth_zoo_parity(tmp_path, monkeypatch):
+    """Vendored LLFlow at the RELEASED lol_v1 hyperparameters
+    (llflow/model_config/lol_v1.yaml: nf 64, nb 24, K 12, L 3, stackRRDB
+    [1,3,5,7]) through the raw module-name state-dict release layout.
+    Actnorms are data-initialized by one reverse pass before the state
+    dict is captured, as at release time."""
+    import jax.numpy as jnp
+
+    from enhax.models.llie.llflow import llflow_preprocess
+
+    arch = refload.load_vendored("vision/enhance/llie/llflow",
+                                 "models.modules.LLFlow_arch", stub_mon=True)
+    flow = _NoneDict({
+        "K": 12, "L": 3, "noInitialInj": True,
+        "coupling": "CondAffineSeparatedAndCond",
+        "additionalFlowNoAffine": 2,
+        "split": _NoneDict({"enable": False}),
+        # cond features = nf * (1 + len(stackRRDB.blocks)) with concat
+        "fea_up0": True, "conditionInFeaDim": 320,
+        "stackRRDB": _NoneDict({"blocks": [1, 3, 5, 7], "concat": True}),
+    })
+    opt = _NoneDict({
+        "datasets": _NoneDict({"train": _NoneDict({"GT_size": 64,
+                                                   "quant": 32})}),
+        "cond_encoder": "ConEncoder1",
+        "scale": 1, "concat_histeq": True, "train_gt_ratio": 0.2,
+        "align_maxpool": False, "encode_color_map": False, "to_yuv": False,
+        "network_G": _NoneDict({"flow": flow, "nb": 24}),
+    })
+    torch.manual_seed(0)
+    net = arch.LLFlow(in_nc=3, out_nc=3, nf=64, nb=24, gc=32, scale=1,
+                      K=12, opt=opt)
+    net.eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.02, 0.5, (1, 64, 64, 3)).astype(np.float32)
+    lr6 = np.asarray(llflow_preprocess(jnp.asarray(img)))
+    lr6_t = torch.from_numpy(lr6.transpose(0, 3, 1, 2))
+    z = torch.zeros(1, 192, 8, 8)
+    with torch.no_grad():
+        net(lr=lr6_t, z=z, reverse=True)        # data-init actnorms
+        ref, _ = net(lr=lr6_t, z=z, reverse=True)
+    ref = np.clip(_to_nhwc(ref), 0, 1)
+
+    model = build_model("llflow")               # released defaults
+    d = tmp_path / model.name
+    d.mkdir(parents=True, exist_ok=True)
+    torch.save(net.state_dict(), str(d / "llflow_lol_v1.pth"))
+    monkeypatch.setenv("ENHAX_ZOO_DIR", str(tmp_path))
+    params = load_zoo_weights(model, "lol_v1", image_size=64, strict=True)
+    got = np.asarray(model.apply(params, {"image": jnp.asarray(lr6)})
+                     ["enhanced"])
+    # K*L + extras = 36+ chained affine couplings and 1x1-inverse matmuls
+    # accumulate f32 divergence at full width (wiring exactness is pinned
+    # by the tiny-width test at 2e-4); assert within one uint8 LSB.
+    np.testing.assert_allclose(got, ref, atol=1 / 255.0)
+    assert np.mean(np.abs(got - ref)) < 2e-4
