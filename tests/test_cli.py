@@ -137,3 +137,35 @@ def test_metric_cli_segment_binarize(tmp_path):
     # class1: inter 32, union 40; class0: inter 24, union 32
     golden = np.mean([24 / 32, 32 / 40])
     assert abs(out["miou"] - golden) < 1e-9
+
+
+def test_copy_image_cli(tmp_path):
+    """copy_image gathers one image's predictions across model dirs into
+    output/<stem>/<model>.<ext>, resized short-side/divisible-by
+    (reference project/runml/copy_image.py:52-70 layout)."""
+    import cv2
+
+    from enhax.cli.copy_image import copy_image, main
+
+    rng = np.random.default_rng(0)
+    pred = tmp_path / "predict"
+    for model in ("zero_dce_re", "hinet_re"):
+        d = pred / "llie" / model / "lol_v1"
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "0001.png"),
+                    (rng.uniform(0, 1, (40, 64, 3)) * 255).astype(np.uint8))
+
+    out = copy_image({"input_dir": str(pred), "image_file": "lol_v1/0001.png",
+                      "imgsz": 32, "divisible_by": 16, "side": "short",
+                      "resize": True})
+    got = sorted(p.name for p in out.glob("*.png"))
+    assert got == ["hinet_re.png", "zero_dce_re.png"]
+    img = cv2.imread(str(out / "hinet_re.png"))
+    assert img.shape[0] == 32 and img.shape[1] % 16 == 0  # short side + snap
+
+    # argv surface, explicit output dir, no resize keeps original size
+    main(["--input-dir", str(pred), "--image-file", "lol_v1/0001",
+          "--output-dir", str(tmp_path / "paper")])
+    img2 = cv2.imread(str(tmp_path / "paper" / "lol_v1" / "0001"
+                          / "zero_dce_re.png"))
+    assert img2.shape == (40, 64, 3)
