@@ -169,3 +169,28 @@ def test_copy_image_cli(tmp_path):
     img2 = cv2.imread(str(tmp_path / "paper" / "lol_v1" / "0001"
                           / "zero_dce_re.png"))
     assert img2.shape == (40, 64, 3)
+
+
+def test_shipped_configs_load_and_build():
+    """Every configs/*.py (the BASELINE training recipes) loads through the
+    config loader, names a registered model+datamodule, and its model_cfg
+    actually builds (reference: project/runml/config/*.py resolution,
+    utils/config.py)."""
+    from pathlib import Path as _P
+
+    from enhax.constants import DATAMODULES, MODELS
+    from enhax.utils.config import load_config
+
+    cfg_dir = _P(__file__).parent.parent / "configs"
+    files = sorted(cfg_dir.glob("*.py"))
+    assert len(files) >= 5
+    for f in files:
+        cfg = load_config(f)
+        assert cfg.get("model") in MODELS, f
+        assert cfg.get("data") in DATAMODULES, f
+        model = MODELS.build(cfg["model"], **(cfg.get("model_cfg") or {}))
+        assert model.name, f
+        opt = (cfg.get("optimizer_cfg") or {}).get("optimizer", {})
+        if opt:
+            from enhax.constants import OPTIMIZERS
+            assert opt.get("name") in OPTIMIZERS, f
