@@ -37,6 +37,30 @@ def parse_copy_args(argv=None) -> dict:
     return vars(p.parse_args(argv))
 
 
+def _reference_resize_hw(h0: int, w0: int, imgsz: int, divisible_by: int,
+                         side: str) -> tuple[int, int]:
+    """The reference's mon.resize target-size arithmetic
+    (core/image/geometry/transform.py:157-195): the base (imgsz, imgsz)
+    is snapped to divisible_by, then 'short'/'long' scale the other side
+    by aspect (unsnapped, as upstream). 'vert'/'horz' have no branch
+    upstream and fall through to an exact square resize — reproduced
+    as-is rather than reinterpreted."""
+    from enhax.ops.layout import make_divisible
+    base = make_divisible(imgsz, divisible_by) if divisible_by else imgsz
+    if side == "short":
+        if h0 < w0:
+            return base, int(w0 * base / h0)
+        if h0 > w0:
+            return int(h0 * base / w0), base
+    elif side == "long":
+        if h0 > w0:
+            return base, int(w0 * base / h0)
+        if h0 < w0:
+            return int(h0 * base / w0), base
+    # vert / horz (upstream quirk) and square inputs: exact square output
+    return base, base
+
+
 def copy_image(args: dict) -> Path:
     import cv2
 
@@ -51,17 +75,15 @@ def copy_image(args: dict) -> Path:
 
     files = sorted(p for p in input_dir.rglob(f"*/{image_file}.*")
                    if p.is_image_file())
-    side = {"vert": "long", "horz": "long"}.get(args.get("side", "short"),
-                                                args.get("side", "short"))
+    side = args.get("side", "short")
     with new_progress() as progress:
         task = progress.add_task("copy", total=len(files))
         for path in files:
             image = cv2.imread(str(path))
             if args.get("resize"):
-                h, w = image.shape[:2]
-                from enhax.ops.resize import _target_hw
-                nh, nw = _target_hw(h, w, args.get("imgsz", 512), side,
-                                    args.get("divisible_by", 32))
+                nh, nw = _reference_resize_hw(
+                    image.shape[0], image.shape[1], args.get("imgsz", 512),
+                    args.get("divisible_by", 32), side)
                 image = cv2.resize(image, (nw, nh),
                                    interpolation=cv2.INTER_AREA)
             model_name = path.parents[1].name

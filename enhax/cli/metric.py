@@ -117,7 +117,11 @@ def measure_segment_metric(args: dict) -> dict:
     results = {"miou": sm.mean_iou(), "mpa": sm.mean_pixel_accuracy(),
                "pa": sm.pixel_accuracy(), "fwiou": sm.frequency_weighted_iou()}
     names = args.get("metric") or ["miou", "mpa"]
-    results = {m: results[m] for m in names if m in results}
+    unknown = [m for m in names if m not in results]
+    if unknown:
+        raise SystemExit(f"unknown metric {unknown[0]!r} for --task segment; "
+                         f"choose from {sorted(results)}")
+    results = {m: results[m] for m in names}
     rows = [{"metric": m, "value": f"{v:.6f}", "items": n}
             for m, v in results.items()]
     print_table(rows, title=f"{input_dir} (segment, {num_class} classes)")

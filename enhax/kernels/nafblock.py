@@ -76,14 +76,21 @@ def _k1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, w1, b1, dww, dwb,
     f32 = jnp.float32
     cdt = w1.dtype  # matmul operand dtype: params' dtype (bf16 on the MXU
     # native path, f32 in the f32 parity tests); accumulation is always f32
-    prev = jnp.where(i > 0, xprev_ref[0].astype(f32), 0.0)
-    nxt = jnp.where(i < n_tiles - 1, xnext_ref[0].astype(f32), 0.0)
+    prev = xprev_ref[0].astype(f32)
+    nxt = xnext_ref[0].astype(f32)
     xb = jnp.concatenate([prev, x_ref[0].astype(f32), nxt], axis=0)
     y = _layer_norm(xb, ln_s[0].astype(jnp.float32),
                     ln_b[0].astype(jnp.float32))
     y = jnp.dot(y.astype(cdt).reshape(-1, c), w1[:],
                 preferred_element_type=jnp.float32)
     y = (y + b1[0].astype(jnp.float32)).reshape(tile_h + 2, w, 2 * c)
+    # The dwconv's SAME zero padding zeros its INPUT rows beyond the image,
+    # i.e. AFTER LN + 1x1 — zeroing the raw x halo instead would feed the
+    # taps LN(0)@W1+b1 and corrupt the first/last image rows. The halo
+    # index maps clamp at the edges, so the rows exist; mask them here.
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
+    edge = ((i == 0) & (row == 0)) | ((i == n_tiles - 1) & (row == tile_h + 1))
+    y = jnp.where(edge, 0.0, y)
     dwwf = dww[:].astype(jnp.float32)                   # (3, 3, 2c)
     acc = jnp.zeros((tile_h, w, 2 * c), jnp.float32)
     for dh in (0, 1, 2):
@@ -294,17 +301,10 @@ def nafblock_xla(x, p: dict, tlc_window: int | None):
     # the Pallas blocks), the padded copy + nine strided reads LOSE to the
     # grouped conv op — the same crossover that regressed Restormer
     # (docs/PERF.md round-3 follow-up).
-    from enhax.nn.layers import DWConv3x3
+    from enhax.nn.layers import DWConv3x3, dwconv3x3_shift
     k2w = jnp.asarray(p["conv2"]["kernel"]).astype(f32)  # (3, 3, 1, 2c)
     if y.shape[-1] <= DWConv3x3.SHIFT_MAX_C:
-        h_, w_ = y.shape[-3], y.shape[-2]
-        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        acc = None
-        for dy in range(3):
-            for dx in range(3):
-                t = yp[:, dy:dy + h_, dx:dx + w_, :] * k2w[dy, dx, 0]
-                acc = t if acc is None else acc + t
-        y = acc
+        y = dwconv3x3_shift(y, k2w)
     else:
         y = jax.lax.conv_general_dilated(
             y, k2w, window_strides=(1, 1), padding="SAME",

@@ -69,6 +69,23 @@ def conv1x1(features: int, use_bias: bool = True, dtype: Any = None,
     return PWConv(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+def dwconv3x3_shift(x, kernel):
+    """Depthwise 3x3 SAME conv as nine statically-shifted multiply-adds.
+
+    The single home of the shifted-adds lowering (used by DWConv3x3, the
+    fused NAFBlock XLA path, and the probe script). ``kernel`` is the
+    nn.Conv depthwise layout (3, 3, 1, C); zero padding, stride 1.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            t = xp[:, dy:dy + h, dx:dx + w, :] * kernel[dy, dx, 0]
+            out = t if out is None else out + t
+    return out
+
+
 class DWConv3x3(nn.Module):
     """Depthwise 3x3 SAME conv with a channel-count-dependent lowering.
 
@@ -101,8 +118,11 @@ class DWConv3x3(nn.Module):
         c = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, c))
-        k = kernel.astype(self.dtype or x.dtype)
-        xc = x.astype(self.dtype or x.dtype)
+        # promote like nn.Conv/PWConv: f32 params + bf16 activations run
+        # in f32 unless dtype says otherwise (not silently in bf16)
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        k = kernel.astype(dt)
+        xc = x.astype(dt)
         impl = os.environ.get("ENHAX_DW_IMPL", self.impl)
         if impl == "auto":
             impl = "shift" if c <= self.SHIFT_MAX_C else "conv"
@@ -112,13 +132,7 @@ class DWConv3x3(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=c)
         else:
-            h, w = x.shape[-3], x.shape[-2]
-            xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            out = None
-            for dy in range(3):
-                for dx in range(3):
-                    t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx, 0]
-                    out = t if out is None else out + t
+            out = dwconv3x3_shift(xc, k)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (c,)).astype(out.dtype)

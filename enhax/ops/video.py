@@ -139,11 +139,32 @@ class VideoWriterFFmpeg:
                "-f", "rawvideo", "-pix_fmt", "rgb24",
                "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "pipe:"]
         if not self.verbose:
-            cmd += ["-loglevel", "quiet"]
+            # "error" (not "quiet"): encoder failures must reach stderr so
+            # write()/close() can surface them instead of a bare BrokenPipe
+            cmd += ["-loglevel", "error"]
         if self.codec:
             cmd += ["-c:v", self.codec]
-        cmd += ["-pix_fmt", self.pix_fmt, *self.extra_args, str(self.path)]
-        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        cmd += ["-pix_fmt", self.pix_fmt]
+        if self.pix_fmt == "yuv420p" and (h % 2 or w % 2):
+            # 4:2:0 needs even dims (VideoWriterCV handled odd sizes); pad
+            # one edge pixel rather than rejecting the stream
+            cmd += ["-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2"]
+        cmd += [*self.extra_args, str(self.path)]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                     stderr=subprocess.PIPE)
+
+    def _fail(self, action: str):
+        rc = self.proc.poll()
+        err = b""
+        if self.proc.stderr is not None:
+            try:
+                err = self.proc.stderr.read() or b""
+            except Exception:
+                pass
+        self.proc = None
+        raise RuntimeError(
+            f"ffmpeg {action} {self.path} failed (exit {rc}): "
+            f"{err.decode(errors='replace').strip()[-500:]}")
 
     def write(self, frame) -> None:
         frame = np.asarray(frame)
@@ -154,7 +175,10 @@ class VideoWriterFFmpeg:
         if frame.shape[:2] != self.size:
             import cv2
             frame = cv2.resize(frame, (self.size[1], self.size[0]))
-        self.proc.stdin.write(frame.tobytes())
+        try:
+            self.proc.stdin.write(frame.tobytes())
+        except (BrokenPipeError, OSError):
+            self._fail("encoding to")
 
     def write_batch(self, frames) -> None:
         for f in frames:
@@ -162,8 +186,13 @@ class VideoWriterFFmpeg:
 
     def close(self):
         if self.proc is not None:
-            self.proc.stdin.close()
-            self.proc.wait()
+            try:
+                self.proc.stdin.close()
+            except OSError:
+                pass
+            rc = self.proc.wait()
+            if rc != 0:
+                self._fail("finalizing")
             self.proc = None
 
 

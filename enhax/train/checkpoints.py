@@ -52,14 +52,20 @@ def load_checkpoint(path, state):
     try:
         restored = ckptr.restore(Path(path).absolute(), item=template)
     except Exception:
-        if "ema" not in template:
-            raise
-        # pre-EMA checkpoint resumed by an EMA-enabled trainer: restore
-        # without the shadow and re-seed it from the restored params
-        template.pop("ema")
-        restored = ckptr.restore(Path(path).absolute(), item=template)
-        restored["ema"] = jax.tree.map(
-            lambda p: np.array(p, copy=True), restored["params"])
+        if "ema" in template:
+            # pre-EMA checkpoint resumed by an EMA-enabled trainer: restore
+            # without the shadow and re-seed it from the restored params
+            template.pop("ema")
+            restored = ckptr.restore(Path(path).absolute(), item=template)
+            restored["ema"] = jax.tree.map(
+                lambda p: np.array(p, copy=True), restored["params"])
+        else:
+            # EMA checkpoint resumed by a trainer without ema_decay: restore
+            # with the shadow in the template, then drop it
+            template["ema"] = jax.tree.map(
+                lambda p: np.array(p, copy=True), state.params)
+            restored = ckptr.restore(Path(path).absolute(), item=template)
+            restored.pop("ema", None)
     new_state = TrainState(step=int(restored["step"]), params=restored["params"],
                            opt_state=restored["opt_state"],
                            ema=restored.get("ema"))

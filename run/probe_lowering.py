@@ -41,14 +41,8 @@ def chain_time(fn, x, iters=12, label=""):
 
 
 def dw_shift(x, k):
-    h, w = x.shape[-3], x.shape[-2]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = None
-    for dy in range(3):
-        for dx in range(3):
-            t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx, 0]
-            out = t if out is None else out + t
-    return out
+    from enhax.nn.layers import dwconv3x3_shift
+    return dwconv3x3_shift(x, k)
 
 
 def dw_conv(x, k):

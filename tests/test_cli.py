@@ -161,7 +161,15 @@ def test_copy_image_cli(tmp_path):
     got = sorted(p.name for p in out.glob("*.png"))
     assert got == ["hinet_re.png", "zero_dce_re.png"]
     img = cv2.imread(str(out / "hinet_re.png"))
-    assert img.shape[0] == 32 and img.shape[1] % 16 == 0  # short side + snap
+    # reference arithmetic: base snapped to divisible_by, the scaled side
+    # NOT re-snapped (transform.py:162-177): 40x64 @ short 32 -> 32x51
+    assert img.shape[:2] == (32, 51)
+
+    # vert/horz fall through upstream to an exact square resize
+    out2 = copy_image({"input_dir": str(pred), "image_file": "lol_v1/0001",
+                       "output_dir": str(tmp_path / "sq"), "imgsz": 32,
+                       "divisible_by": 16, "side": "vert", "resize": True})
+    assert cv2.imread(str(out2 / "hinet_re.png")).shape[:2] == (32, 32)
 
     # argv surface, explicit output dir, no resize keeps original size
     main(["--input-dir", str(pred), "--image-file", "lol_v1/0001",

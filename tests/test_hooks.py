@@ -188,3 +188,31 @@ def test_ema_resume_from_pre_ema_checkpoint(batch, tmp_path):
     for a, b in zip(jax.tree.leaves(restored.ema),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_non_ema_resume_from_ema_checkpoint(batch, tmp_path):
+    """The reverse of the above: a trainer WITHOUT ema_decay can resume a
+    checkpoint that was saved with an EMA shadow (shadow dropped) —
+    e.g. fine-tuning a nafnet_sidd/restormer_rain13k run (both configs
+    set ema_decay) under a config that doesn't."""
+    import jax
+
+    from enhax.train import Trainer
+    from enhax.train.checkpoints import load_checkpoint
+
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=1, ckpt_dir=tmp_path / "ckpt",
+                 log_every_n_steps=1000, ema_decay=0.9)
+    state = tr.fit(lambda: [batch], resume=False)
+    assert state.ema is not None
+
+    tr2 = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=1, ckpt_dir=tmp_path / "ckpt2",
+                  log_every_n_steps=1000)
+    s2 = tr2.init_state({k: np.asarray(v) for k, v in batch.items()})
+    restored, _ = load_checkpoint(tmp_path / "ckpt" / "last", s2)
+    assert restored.ema is None
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

@@ -248,3 +248,62 @@ def test_ffmpeg_writer_real_roundtrip(tmp_path):
     got = list(r)
     assert len(got) == 3
     assert abs(float(got[1].mean()) - 0.5) < 0.05
+
+
+def test_ffmpeg_writer_pads_odd_dims(tmp_path, monkeypatch):
+    """yuv420p needs even dims; odd frames get a 1-px pad filter instead of
+    a silent encoder death (VideoWriterCV handled odd sizes, and auto mode
+    now prefers ffmpeg — r3 review finding)."""
+    import os
+    import stat
+
+    import numpy as np
+
+    from enhax.ops.video import VideoWriterFFmpeg
+
+    stub = tmp_path / "bin" / "ffmpeg"
+    stub.parent.mkdir()
+    stub.write_text(
+        "#!/bin/sh\n"
+        'out=""\n'
+        'for a in "$@"; do out="$a"; done\n'
+        'printf "%s\\n" "$@" > "$out.args"\n'
+        "cat > /dev/null\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+
+    out = tmp_path / "odd.mp4"
+    w = VideoWriterFFmpeg(out, fps=10.0)
+    w.write(np.zeros((31, 49, 3), np.float32))
+    w.close()
+    args = (tmp_path / "odd.mp4.args").read_text()
+    assert "pad=ceil(iw/2)*2:ceil(ih/2)*2" in args
+
+
+def test_ffmpeg_writer_surfaces_encoder_failure(tmp_path, monkeypatch):
+    """A dying encoder raises RuntimeError with ffmpeg's stderr, not a bare
+    BrokenPipeError or a silent zero-length file (r3 review finding)."""
+    import os
+    import stat
+
+    import numpy as np
+    import pytest as _pytest
+
+    from enhax.ops.video import VideoWriterFFmpeg
+
+    stub = tmp_path / "bin" / "ffmpeg"
+    stub.parent.mkdir()
+    stub.write_text(
+        "#!/bin/sh\n"
+        "echo 'boom: width not divisible by 2' >&2\n"
+        "exit 1\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+
+    w = VideoWriterFFmpeg(tmp_path / "bad.mp4", fps=10.0)
+    with _pytest.raises(RuntimeError, match="boom"):
+        # the stub exits immediately; the failure surfaces on the first
+        # write that hits the closed pipe or at close()
+        for _ in range(50):
+            w.write(np.zeros((8, 8, 3), np.float32))
+        w.close()
