@@ -91,7 +91,7 @@ class RoPEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, feat_hw, num_k_exclude: int = 0,
-                 rope_k_repeat: bool = False):
+                 rope_k_repeat: bool = False, key_mask=None):
         hd = self.dim // self.heads
         b, lq = q.shape[0], q.shape[1]
         lk = k.shape[1]
@@ -113,6 +113,11 @@ class RoPEAttention(nn.Module):
             kp = jnp.concatenate([k_rope, kp[:, :, n_rope:]], axis=2) \
                 if num_k_exclude > 0 else k_rope
         attn = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / math.sqrt(hd)
+        if key_mask is not None:
+            # masking == excluding the keys from the softmax: exact
+            # variable-length memory on a static token layout
+            neg = jnp.finfo(attn.dtype).min / 2
+            attn = jnp.where(key_mask[:, None, None, :], attn, neg)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.dim)
@@ -132,14 +137,16 @@ class SAM2MemoryAttentionLayer(nn.Module):
     ffn_dim: int = 2048
 
     @nn.compact
-    def __call__(self, tgt, memory, memory_pos, feat_hw, num_obj_ptr_tokens):
+    def __call__(self, tgt, memory, memory_pos, feat_hw, num_obj_ptr_tokens,
+                 key_mask=None):
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         tgt = tgt + RoPEAttention(self.dim, 1, name="self_attn")(
             y, y, y, feat_hw)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         tgt = tgt + RoPEAttention(self.dim, 1, name="cross_attn_image")(
             y, memory + memory_pos, memory, feat_hw,
-            num_k_exclude=num_obj_ptr_tokens, rope_k_repeat=True)
+            num_k_exclude=num_obj_ptr_tokens, rope_k_repeat=True,
+            key_mask=key_mask)
         y = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
         y = nn.Dense(self.ffn_dim, name="linear1")(y)
         y = nn.Dense(self.dim, name="linear2")(nn.relu(y))
@@ -153,11 +160,12 @@ class SAM2MemoryAttention(nn.Module):
 
     @nn.compact
     def __call__(self, curr, curr_pos, memory, memory_pos, feat_hw,
-                 num_obj_ptr_tokens):
+                 num_obj_ptr_tokens, key_mask=None):
         out = curr + 0.1 * curr_pos
         for i in range(self.layers):
             out = SAM2MemoryAttentionLayer(self.dim, name=f"layer{i}")(
-                out, memory, memory_pos, feat_hw, num_obj_ptr_tokens)
+                out, memory, memory_pos, feat_hw, num_obj_ptr_tokens,
+                key_mask=key_mask)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(out)
 
 
@@ -434,20 +442,13 @@ class SAM2Hiera(nn.Module):
             mem_pos.reshape(1, n_slots, mh * mw, self.mem_dim),
             (b, n_slots, lmem, self.mem_dim)).reshape(
             b, n_slots * lmem, self.mem_dim)
+        # empty FIFO slots are EXCLUDED from the cross-attention softmax via
+        # a key mask — exact equivalence with the reference, which simply
+        # doesn't concatenate absent frames (sam2_base.py memory selection);
+        # the static token layout stays scan/jit-friendly
         valid = jnp.concatenate(
-            [jnp.ones((b, 1), bool), bank_valid], axis=1)
-        # empty slots: zero memory tokens contribute attention mass; the
-        # reference skips absent frames entirely — emulate by masking the
-        # tokens to the first (always-valid) slot's values? No: mask via
-        # large-negative pos is wrong; instead zero both and accept that
-        # attention over zero keys adds a constant direction. To stay
-        # faithful we instead gather only valid slots is dynamic — so the
-        # propagator only calls track once >= 1 FIFO slots are valid and
-        # passes duplicated earliest-valid memories in empty slots
-        # (attention over duplicates == reweighted but NOT identical).
-        # For exactness the propagator fills the FIFO densely (see
-        # make_sam2_video_propagator).
-        del valid
+            [jnp.ones((b, 1), bool), bank_valid], axis=1)     # (b, n_slots)
+        mem_mask = jnp.repeat(valid, lmem, axis=1)
 
         # object pointers: cond ptr + recent ptrs, split into mem_dim tokens
         n_ptr = 1 + ptrs.shape[1]
@@ -457,15 +458,20 @@ class SAM2Hiera(nn.Module):
         ptr_tokens = ptr_tokens.reshape(b, n_ptr * split, self.mem_dim)
         ptr_pos = jnp.zeros_like(ptr_tokens)
         num_obj_ptr_tokens = n_ptr * split
+        pvalid = jnp.concatenate(
+            [jnp.ones((b, 1), bool), ptrs_valid], axis=1)     # (b, n_ptr)
+        ptr_mask = jnp.repeat(pvalid, split, axis=1)
 
         memory = jnp.concatenate([mem_tokens, ptr_tokens], axis=1)
         memory_pos = jnp.concatenate([mem_pos_tokens, ptr_pos], axis=1)
+        key_mask = jnp.concatenate([mem_mask, ptr_mask], axis=1)
 
         curr = feat.reshape(b, eh * ew, self.dim)
         curr_pos = jnp.broadcast_to(
             feat_pos.reshape(1, eh * ew, self.dim), curr.shape)
         cond = self.memory_attention(curr, curr_pos, memory, memory_pos,
-                                     (eh, ew), num_obj_ptr_tokens)
+                                     (eh, ew), num_obj_ptr_tokens,
+                                     key_mask=key_mask)
         feat_m = cond.reshape(b, eh, ew, self.dim)
 
         empty_pts = jnp.zeros((b, 1, 2), jnp.float32)
@@ -502,9 +508,11 @@ def init_sam2_video_variables(model: Model, rng, frame, points, labels):
 def make_sam2_video_propagator(model: Model):
     """fn(variables, frames, points, labels) -> (T, H, W) mask logits.
 
-    Frame 0 is the conditioning frame. The FIFO is seeded DENSELY with the
-    conditioning memory/pointer (duplicates in place of absent frames until
-    real ones arrive) so every track step sees statically-shaped memory.
+    Frame 0 is the conditioning frame. The FIFO starts EMPTY (all slots
+    invalid) and fills as frames arrive; invalid slots are excluded from
+    the memory attention by the key mask, so the first num_maskmem-1
+    frames attend over exactly the frames that exist — the reference's
+    memory selection — on a statically-shaped scan carry.
     """
     module: SAM2Hiera = model.module
     n_fifo = module.num_maskmem - 1
@@ -514,24 +522,28 @@ def make_sam2_video_propagator(model: Model):
         t, h, w, _ = frames.shape
         out0 = module.apply(variables, frames[0:1], points, labels)
         cond_mem, cond_ptr = out0["memory"], out0["obj_ptr"]
-        bank = jnp.broadcast_to(cond_mem[:, None],
-                                (1, n_fifo) + cond_mem.shape[1:])
-        ptrs = jnp.broadcast_to(cond_ptr[:, None], (1, n_ptr, module.dim))
-        valid = jnp.ones((1, n_fifo), bool)
-        pvalid = jnp.ones((1, n_ptr), bool)
+        bank = jnp.zeros((1, n_fifo) + cond_mem.shape[1:], cond_mem.dtype)
+        ptrs = jnp.zeros((1, n_ptr, module.dim), cond_ptr.dtype)
+        valid = jnp.zeros((1, n_fifo), bool)
+        pvalid = jnp.zeros((1, n_ptr), bool)
 
         def step(carry, frame):
-            bank, ptrs = carry
+            bank, valid, ptrs, pvalid = carry
             out = module.apply(variables, frame[None], cond_mem,
                                cond_ptr, bank, valid, ptrs, pvalid,
                                method=SAM2Hiera.track)
             bank2 = jnp.concatenate([bank[:, 1:], out["memory"][:, None]], 1)
+            valid2 = jnp.concatenate(
+                [valid[:, 1:], jnp.ones((1, 1), bool)], 1)
             ptrs2 = jnp.concatenate([out["obj_ptr"][:, None], ptrs[:, :-1]],
                                     1)
-            return (bank2, ptrs2), out["pred_mask"][0]
+            pvalid2 = jnp.concatenate(
+                [jnp.ones((1, 1), bool), pvalid[:, :-1]], 1)
+            return (bank2, valid2, ptrs2, pvalid2), out["pred_mask"][0]
 
         if t > 1:
-            _, rest = jax.lax.scan(step, (bank, ptrs), frames[1:])
+            _, rest = jax.lax.scan(step, (bank, valid, ptrs, pvalid),
+                                   frames[1:])
             masks = jnp.concatenate([out0["pred_mask"], rest], axis=0)
         else:
             masks = out0["pred_mask"]

@@ -271,41 +271,26 @@ def test_sam2_full_pipeline_reference_parity():
     err = np.max(np.abs(ref_mem0 - np.asarray(e0["memory"])))
     assert err <= 1e-3, f"frame0 memory: {err:.2e}"
 
-    # tracked frame: FIFO densely seeded with the conditioning memory.
-    # The reference attends to [cond] + [frame0-as-last-noncond]? No — at
-    # frame 1 only the cond frame exists, so its memory list is just the
-    # cond frame; emulate by filling every enhax FIFO slot with the cond
-    # memory and every ptr slot with the cond ptr — attention over
-    # duplicated tokens reweights, so instead compare against a reference
-    # run whose memory ALSO duplicates: simplest exact check is to insert
-    # frame 0's output as every non-cond frame too. We instead drive the
-    # reference with 7 duplicated memories via output_dict to match.
-    output_dict_dup = {
-        "cond_frame_outputs": {0: out0},
-        "non_cond_frame_outputs": {i: out0 for i in range(-6, 1)}}
-    with torch.no_grad():
-        out1_dup = tmodel.track_step(
-            frame_idx=1, is_init_cond_frame=False,
-            current_vision_feats=vf1, current_vision_pos_embeds=vp1,
-            feat_sizes=fs1, point_inputs=None, mask_inputs=None,
-            output_dict=output_dict_dup, num_frames=2)
-
+    # tracked frame: at frame 1 the reference's memory list holds ONLY the
+    # conditioning frame (out1 above ran with an empty non_cond dict).
+    # enhax matches it exactly with an all-invalid FIFO — the key mask
+    # excludes empty slots from the attention softmax, which is equivalent
+    # to the reference never concatenating them.
     n_fifo = module.num_maskmem - 1
     n_ptr = module.max_obj_ptrs - 1
     cond_mem = e0["memory"]
     cond_ptr = e0["obj_ptr"]
-    bank = jnp.broadcast_to(cond_mem[:, None],
-                            (1, n_fifo) + cond_mem.shape[1:])
-    ptrs = jnp.broadcast_to(cond_ptr[:, None], (1, n_ptr, module.dim))
+    bank = jnp.zeros((1, n_fifo) + cond_mem.shape[1:], jnp.float32)
+    ptrs = jnp.zeros((1, n_ptr, module.dim), jnp.float32)
     e1 = module.apply(params, jnp.asarray(f1), cond_mem, cond_ptr,
-                      bank, jnp.ones((1, n_fifo), bool), ptrs,
-                      jnp.ones((1, n_ptr), bool),
+                      bank, jnp.zeros((1, n_fifo), bool), ptrs,
+                      jnp.zeros((1, n_ptr), bool),
                       method=SAM2Hiera.track)
-    ref_mask1 = out1_dup["pred_masks_high_res"].numpy()[:, 0]
+    ref_mask1 = out1["pred_masks_high_res"].numpy()[:, 0]
     got_mask1 = np.asarray(e1["pred_mask"])
     err = np.max(np.abs(ref_mask1 - got_mask1))
     assert err <= 1e-2, f"frame1 tracked mask logits: {err:.2e}"
-    err = np.max(np.abs(out1_dup["obj_ptr"].numpy()
+    err = np.max(np.abs(out1["obj_ptr"].numpy()
                         - np.asarray(e1["obj_ptr"])))
     assert err <= 1e-3, f"frame1 obj_ptr: {err:.2e}"
 
