@@ -258,3 +258,40 @@ def test_lpips_converted_checkpoint_executed_parity(rng, tmp_path):
     # and self-distance stays ~0 through the converted weights
     assert float(lpips(jnp.asarray(x), jnp.asarray(x), conv["params"],
                        conv["lin_weights"])) < 1e-9
+
+
+def test_fid_frechet_distance_matches_reference_executed():
+    """enhax frechet_distance == the reference's in-tree BasicSR
+    calculate_fid (restormer/basicsr/metrics/fid.py:57, executed) on
+    random PSD covariances. The vendored fid.py imports
+    basicsr.models.archs.inception, a file upstream never shipped — the
+    class is stubbed (calculate_fid doesn't touch it); documented as an
+    upstream packaging quirk."""
+    import types
+
+    import torch  # noqa: F401  (import outside the stub context)
+
+    from enhax.convert import refload
+    from enhax.nn.fid import frechet_distance
+
+    if not refload.reference_available():
+        import pytest as _pytest
+        _pytest.skip("reference tree not present")
+
+    inception = types.ModuleType("basicsr.models.archs.inception")
+    inception.InceptionV3 = object
+    ref = refload.load_vendored(
+        "vision/enhance/multitask/restormer", "basicsr.metrics.fid",
+        extra_stubs={"basicsr.models.archs.inception": inception})
+
+    rng = np.random.default_rng(0)
+    d = 16
+    for _ in range(3):
+        mu1, mu2 = rng.normal(size=(2, d))
+        a = rng.normal(size=(d, d)) * 0.3
+        b = rng.normal(size=(d, d)) * 0.3
+        cov1 = a @ a.T + np.eye(d) * 0.1
+        cov2 = b @ b.T + np.eye(d) * 0.1
+        want = float(ref.calculate_fid(mu1, cov1, mu2, cov2))
+        got = float(frechet_distance(mu1, cov1, mu2, cov2))
+        assert abs(got - want) < 1e-8 * max(1.0, abs(want)), (got, want)
