@@ -56,8 +56,12 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                     else:
                         placed[k] = v
                 q.put(placed)
-        finally:
-            q.put(_END)
+        except BaseException as e:  # noqa: BLE001
+            # re-raise in the consumer — a decode/collate error must not
+            # masquerade as a clean (truncated) end of epoch
+            q.put(e)
+            return
+        q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -65,6 +69,8 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -121,8 +127,12 @@ class DataModule:
     # -- loaders ----------------------------------------------------------------
 
     def train_loader(self):
+        # reshuffle per call (the Trainer calls this once per epoch, like
+        # the reference's DataLoader(shuffle=True) re-permuting each epoch)
+        epoch = getattr(self, "_train_loader_calls", 0)
+        self._train_loader_calls = epoch + 1
         return batch_iterator(self.train, self.batch_size, shuffle=self.shuffle,
-                              drop_last=self.drop_last, seed=self.seed)
+                              drop_last=self.drop_last, seed=self.seed + epoch)
 
     def val_loader(self):
         return batch_iterator(self.val, self.batch_size, shuffle=False)

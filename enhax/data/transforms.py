@@ -14,6 +14,23 @@ import numpy as np
 from enhax.constants import TRANSFORMS
 
 _IMAGE_KEYS = ("image", "ref_image", "depth", "mask", "edge", "segmentation")
+# label maps: never interpolate class IDs (blending fabricates classes),
+# and cv2.resize rejects int32 inputs outright — force nearest + a
+# cv2-supported dtype roundtrip
+_LABEL_KEYS = ("mask", "segmentation")
+
+
+def _resize_one(v: np.ndarray, size_wh: tuple, interp, is_label: bool):
+    import cv2
+    squeeze = v.ndim == 3 and v.shape[-1] == 1
+    if is_label:
+        src = v.astype(np.float32) if v.dtype not in (np.uint8, np.float32) \
+            else v
+        r = cv2.resize(src, size_wh, interpolation=cv2.INTER_NEAREST)
+        r = r.astype(v.dtype)
+    else:
+        r = cv2.resize(v, size_wh, interpolation=interp)
+    return r[..., None] if squeeze and r.ndim == 2 else r
 
 
 def _image_keys(dp: dict) -> list[str]:
@@ -81,10 +98,8 @@ class Resize:
         import cv2
         interp = cv2.INTER_LINEAR if self.interpolation == "bilinear" else cv2.INTER_NEAREST
         for k in _image_keys(dp):
-            v = dp[k]
-            squeeze = v.ndim == 3 and v.shape[-1] == 1
-            r = cv2.resize(v, (self.size[1], self.size[0]), interpolation=interp)
-            dp[k] = r[..., None] if squeeze and r.ndim == 2 else r
+            dp[k] = _resize_one(dp[k], (self.size[1], self.size[0]), interp,
+                                k in _LABEL_KEYS)
         return dp
 
 
@@ -105,9 +120,7 @@ class ResizeMultipleOf:
             h, w = v.shape[:2]
             th, tw = make_divisible(h, self.divisor), make_divisible(w, self.divisor)
             if (th, tw) != (h, w):
-                squeeze = v.ndim == 3 and v.shape[-1] == 1
-                r = cv2.resize(v, (tw, th), interpolation=interp)
-                dp[k] = r[..., None] if squeeze and r.ndim == 2 else r
+                dp[k] = _resize_one(v, (tw, th), interp, k in _LABEL_KEYS)
         return dp
 
 

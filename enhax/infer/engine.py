@@ -29,6 +29,23 @@ from enhax.ops.layout import make_divisible
 from enhax.ops.resize import resize as resize_op
 
 
+def _pad_hw(v, ph: int, pw: int):
+    """Trailing reflect pad of (ph, pw) on the H/W axes of ...HWC.
+
+    jnp.pad's reflect requires pad < dim: for targets far larger than the
+    image (small image into a big bucket), reflect what fits and
+    edge-extend the rest — the pad region is cropped away after inference.
+    """
+    h, w = v.shape[-3], v.shape[-2]
+    rh, rw = min(ph, h - 1), min(pw, w - 1)
+    pad = [(0, 0)] * (v.ndim - 3) + [(0, rh), (0, rw), (0, 0)]
+    v = jnp.pad(v, pad, mode="reflect")
+    if ph > rh or pw > rw:
+        pad = [(0, 0)] * (v.ndim - 3) + [(0, ph - rh), (0, pw - rw), (0, 0)]
+        v = jnp.pad(v, pad, mode="edge")
+    return v
+
+
 def _pad_batch(images: dict, divisor: int) -> tuple[dict, tuple[int, int]]:
     """Reflect-pad every image-like entry to H/W multiples of divisor."""
     any_img = images["image"]
@@ -39,8 +56,7 @@ def _pad_batch(images: dict, divisor: int) -> tuple[dict, tuple[int, int]]:
     out = {}
     for k, v in images.items():
         if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[-3] == h and v.shape[-2] == w:
-            pad = [(0, 0)] * (v.ndim - 3) + [(0, th - h), (0, tw - w), (0, 0)]
-            out[k] = jnp.pad(v, pad, mode="reflect")
+            out[k] = _pad_hw(v, th - h, tw - w)
         else:
             out[k] = v
     return out, (h, w)
@@ -63,8 +79,7 @@ def _pad_to_bucket(images: dict, buckets: tuple) -> tuple[dict, tuple[int, int]]
     out = {}
     for k, v in images.items():
         if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[-3] == h and v.shape[-2] == w:
-            pad = [(0, 0)] * (v.ndim - 3) + [(0, th - h), (0, tw - w), (0, 0)]
-            out[k] = jnp.pad(v, pad, mode="reflect")
+            out[k] = _pad_hw(v, th - h, tw - w)
         else:
             out[k] = v
     return out, (h, w)
@@ -206,8 +221,13 @@ class Predictor:
     def infer(self, datapoint: dict) -> dict:
         """Single-batch inference with timing (reference infer contract)."""
         self.model.assert_datapoint(datapoint)
+        # keep arrays and numeric lists; drop meta dicts/strings so raw
+        # dataset items (which always carry 'meta') work without manual
+        # stripping at every call site
         dp = {k: jnp.asarray(v) for k, v in datapoint.items()
-              if hasattr(v, "shape") or hasattr(v, "__len__")}
+              if hasattr(v, "shape")
+              or (isinstance(v, (list, tuple)) and len(v) > 0
+                  and not isinstance(v[0], (str, dict)))}
         # to 4D NHWC
         for k, v in dp.items():
             if v.ndim == 3:
@@ -238,6 +258,12 @@ class Predictor:
             dt = time.perf_counter() - t0
         elif self.tile is not None:
             from enhax.infer.tiling import tiled_apply
+            s_tile = getattr(self.model, "scale", 1) or 1
+            if s_tile != 1:
+                raise ValueError(
+                    f"tile= is only supported for shape-preserving models; "
+                    f"{self.model.name} has scale={s_tile} (tiled_apply "
+                    f"accumulates into an input-shaped canvas)")
             t0 = time.perf_counter()
             enhanced = tiled_apply(
                 lambda x: self._jitted(self.variables, {**dp, "image": x})[self.model.out_key],

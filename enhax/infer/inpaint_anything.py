@@ -67,33 +67,13 @@ def remove_anything(
 
     image = np.asarray(image, np.float32)
     h, w = image.shape[:2]
-    if sam_model is None:
-        sam_model = build_model(model_kwargs.pop("sam_name", "sam_lite"),
-                                **model_kwargs.pop("sam_kwargs", {}))
     if lama_model is None:
         lama_model = build_model("lama",
                                  **model_kwargs.pop("lama_kwargs", {}))
 
-    # SAM needs size_divisor-aligned input
-    div = max(sam_model.size_divisor, 1)
-    ph = -h % div
-    pw = -w % div
-    sam_in = np.pad(image, [(0, ph), (0, pw), (0, 0)], mode="reflect")
-    # the click arrives as pixel (x, y); every enhax SAM variant takes
-    # NORMALIZED (y, x) over the image actually fed (here: padded)
-    py = float(point[1]) / sam_in.shape[0]
-    px = float(point[0]) / sam_in.shape[1]
-    dp = {"image": jnp.asarray(sam_in[None]),
-          "points": jnp.asarray([[[py, px]]], jnp.float32),
-          "labels": jnp.asarray([[1]], jnp.int32)}
-    if sam_variables is None:
-        sam_variables = sam_model.init(jax.random.PRNGKey(0), dp)
-    sam_out = sam_model.apply(sam_variables, dp)
-    masks = np.asarray(sam_out["masks"])[0, :, :h, :w] > 0
-
-    mask = masks[mask_index]
-    if dilate_kernel_size:
-        mask = dilate_mask(mask, dilate_kernel_size) > 0
+    mask, masks, sam_out = _sam_point_mask(
+        image, point, sam_model, sam_variables, dilate_kernel_size,
+        mask_index, model_kwargs)
 
     # LaMa: pad image+mask to mod 8 (lama_inpaint.py:76-80)
     mod = max(lama_model.size_divisor, 8)
@@ -230,6 +210,12 @@ def crop_for_filling_post(image, mask, filled_crop, crop_size: int = 512):
         filled_crop, np.float32)
     if flag_padding:
         img = cv2.resize(img, (0, 0), fx=1 / f, fy=1 / f)
+        # upstream quirk reproduced as-is: the un-pad slice uses the
+        # ORIGINAL h0/w0 even when the <crop_size branch upsampled first
+        # (mask_processing.py:118-121 slices by height_ori/width_ori);
+        # when both branches trigger, geometry deviates slightly from the
+        # pre-crop — the final resize + mask-restricted composite below
+        # bounds the effect, exactly as in the reference
         if pad_side == "h":
             img = img[pad // 2:pad // 2 + h0, :]
         else:

@@ -126,11 +126,22 @@ class ProgressiveTrainingHook:
         self.apply_for_epoch(0)
 
     def apply_for_epoch(self, epoch: int):
-        from enhax.data.transforms import Compose, RandomCrop, progressive_patch_schedule
+        from enhax.data.transforms import (
+            Compose, RandomCrop, progressive_patch_schedule,
+        )
         size, bs = progressive_patch_schedule(
             epoch, self.milestones, self.sizes, self.batch_sizes)
         self.dm.batch_size = bs
-        self.dm.transform = Compose([RandomCrop(size)])
+        # swap only the crop size; keep any other configured transforms
+        # (flips, normalization) instead of silently discarding them
+        existing = self.dm.transform
+        rest = []
+        if isinstance(existing, Compose):
+            rest = [t for t in existing.transforms
+                    if not isinstance(t, RandomCrop)]
+        elif existing is not None and not isinstance(existing, RandomCrop):
+            rest = [existing]
+        self.dm.transform = Compose([RandomCrop(size)] + rest)
         if self.dm.train is not None and hasattr(self.dm.train, "transform"):
             self.dm.train.transform = self.dm.transform
         return size, bs

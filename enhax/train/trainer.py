@@ -361,6 +361,10 @@ class Trainer:
 
             if self.max_steps and state.step >= self.max_steps:
                 break
+            # hooks may lower max_epochs (EarlyStopHook) — the range() above
+            # snapshotted the original bound, so re-check it each epoch
+            if epoch + 1 >= self.max_epochs:
+                break
             if self._preempted:
                 if self.ckpt_dir:
                     save_checkpoint(self.ckpt_dir, state, epoch, name="last")

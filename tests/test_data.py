@@ -130,3 +130,45 @@ def test_prefetch_to_device(lol_root):
     batches = list(it)
     assert len(batches) == 2
     assert hasattr(batches[0]["image"], "devices") or hasattr(batches[0]["image"], "device")
+
+
+def test_prefetch_propagates_producer_errors():
+    """A decode/collate error in the prefetch thread must re-raise in the
+    consumer, not truncate the epoch (r3 review)."""
+    from enhax.data.datamodule import prefetch_to_device
+
+    def bad_iterator():
+        yield {"image": np.zeros((1, 4, 4, 3), np.float32)}
+        raise RuntimeError("corrupt image")
+
+    it = prefetch_to_device(bad_iterator())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        next(it)
+
+
+def test_train_loader_reshuffles_each_epoch(lol_root):
+    """Each train_loader() call (one per epoch) uses a fresh permutation,
+    like the reference's DataLoader(shuffle=True) (r3 review)."""
+    from enhax.constants import DATAMODULES
+    dm = DATAMODULES.build("lol_v1", root=lol_root, batch_size=4)
+    dm.setup("train")
+    b1 = next(iter(dm.train_loader()))["image"]
+    b2 = next(iter(dm.train_loader()))["image"]
+    assert b1.shape == b2.shape
+    assert np.abs(b1 - b2).max() > 0  # different order/composition
+
+
+def test_resize_transform_label_maps_nearest():
+    """int32 segmentation maps resize with nearest neighbor (no fabricated
+    classes, no cv2 int32 crash) while images stay bilinear."""
+    from enhax.data.transforms import Resize
+    seg = np.zeros((20, 20, 1), np.int32)
+    seg[10:, 10:] = 7
+    dp = {"image": np.random.default_rng(0).uniform(0, 1, (20, 20, 3))
+          .astype(np.float32),
+          "segmentation": seg}
+    out = Resize(32)(dp)
+    assert out["segmentation"].dtype == np.int32
+    assert set(np.unique(out["segmentation"])) <= {0, 7}
+    assert out["image"].shape == (32, 32, 3)

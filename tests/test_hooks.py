@@ -216,3 +216,17 @@ def test_non_ema_resume_from_ema_checkpoint(batch, tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_early_stop_actually_stops(batch, tmp_path):
+    """EarlyStopHook lowers max_epochs mid-run; the epoch loop must
+    re-check the bound instead of the snapshotted range (r3 review)."""
+    from enhax.train import Trainer
+    from enhax.train.hooks import EarlyStopHook
+
+    m = build_model("zero_dce_re", num_channels=8)
+    hook = EarlyStopHook(monitor="val/psnr", patience=1, min_delta=100.0)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=10, log_every_n_steps=1000, hooks=[hook])
+    tr.fit(lambda: [batch], val_iter_fn=lambda: [batch], resume=False)
+    assert len(tr.history) <= 3, len(tr.history)  # stopped early, not at 10

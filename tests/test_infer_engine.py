@@ -183,3 +183,34 @@ def test_predictor_bf16(rng):
     out16 = p16({"image": img})["enhanced"]
     assert np.asarray(out16).dtype == np.float32
     assert np.max(np.abs(np.asarray(out16) - np.asarray(out32))) < 0.02
+
+
+def test_bucket_much_larger_than_image():
+    """A bucket more than 2x the image must not crash reflect padding
+    (reflect what fits, edge-extend the rest — r3 review)."""
+    import jax.numpy as jnp
+
+    from enhax.infer.engine import _pad_to_bucket
+
+    img = jnp.ones((1, 60, 60, 3), jnp.float32)
+    out, unpad = _pad_to_bucket({"image": img}, (512,))
+    assert out["image"].shape == (1, 512, 512, 3)
+    assert unpad == (60, 60)
+    assert bool(jnp.isfinite(out["image"]).all())
+
+
+def test_infer_accepts_dataset_item_with_meta(rng):
+    """Raw dataset items carry a 'meta' dict; infer must drop it instead of
+    crashing in jnp.asarray (r3 review)."""
+    import jax
+
+    from enhax.infer import Predictor
+    from enhax.models.base import build_model
+
+    m = build_model("zero_dce_re", num_channels=8)
+    pred = Predictor(m)
+    item = {"image": rng.uniform(0, 0.4, (16, 16, 3)).astype(np.float32),
+            "meta": {"name": "0001.png", "path": "/tmp/0001.png"},
+            "caption": "a dark street"}
+    out = pred.infer(item)
+    assert out["enhanced"].shape == (1, 16, 16, 3)
