@@ -152,11 +152,10 @@ def measure_metric(args: dict) -> dict:
         path = args.get("niqe_params")
         if not path:
             raise SystemExit("--metric niqe needs --niqe-params (.mat/.npz)")
-        if str(path).endswith(".npz"):
-            with np.load(path) as z:
-                params = {"mu": z["mu"], "cov": z["cov"]}
-        else:
-            params = load_niqe_params(path)
+        # load_niqe_params handles every layout (.mat, fitted .npz, the
+        # official BasicSR niqe_pris_params.npz) and tags official params
+        # so scoring routes through the official pipeline
+        params = load_niqe_params(path)
         niqe_fn = make_niqe(params)
 
     files = input_dir.image_files()

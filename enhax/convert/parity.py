@@ -81,7 +81,8 @@ def compare_activations(torch_acts: dict, flax_acts: dict,
         rows.append({"layer": tname, "status": "ok",
                      "max_abs_err": float(diff.max()),
                      "mean_abs_err": float(diff.mean())})
-    rows.sort(key=lambda r: -(r.get("max_abs_err") or 1e9))
+    rows.sort(key=lambda r: -(r["max_abs_err"] if "max_abs_err" in r
+                              else 1e9))
     return rows
 
 

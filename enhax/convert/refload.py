@@ -633,6 +633,8 @@ def _build_stub_mon():
     core._callable = typing.Callable   # annotation-only aliases
     core._size_2_t = typing.Any
     core.get_image_size = mon.get_image_size
+    core.to_int_list = lambda v: [int(x) for x in v] \
+        if isinstance(v, (tuple, list)) else [int(v)]
     nn_mod.LearnableInstanceNorm2d = LearnableInstanceNorm2d
     nn_mod.SimAM = SimAM
     nn_mod.LayerNorm2d = LayerNorm2d
@@ -1168,6 +1170,9 @@ def _build_stub_mon():
     gl.DATASETS = _Registry()
     gl.LOSSES = _Registry()
     gl.METRICS = _Registry()
+    gl.OPTIMIZERS = _Registry()
+    gl.LR_SCHEDULERS = _Registry()
+    gl.CALLBACKS = _Registry()
     gl.Task = _AnyEnum()
     gl.Scheme = _AnyEnum()
     gl.ZOO_DIR = pathlib.Path("/tmp/zoo")

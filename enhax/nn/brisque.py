@@ -84,16 +84,21 @@ def _aggd_fit(x):
     r_std = jnp.sqrt(jnp.sum(jnp.where(mask_r, x * x, 0.0)) / cnt_r)
     gamma_hat = l_std / jnp.maximum(r_std, 1e-12)
     e_abs = jnp.mean(jnp.abs(x))
-    rho = jnp.mean(x ** 2) / jnp.maximum(e_abs ** 2, 1e-12)
+    # canonical BRISQUE/NIQE moment ratio: rhat = m1^2 / m2, matched
+    # against r(alpha) = G(2/a)^2/(G(1/a)G(3/a)) directly (the previous
+    # m2/m1^2 vs 1/r inversion mis-fit alpha on any asymmetric sample)
+    rho = e_abs ** 2 / jnp.maximum(jnp.mean(x ** 2), 1e-12)
     rhat = rho * (gamma_hat ** 3 + 1) * (gamma_hat + 1) \
         / jnp.maximum((gamma_hat ** 2 + 1) ** 2, 1e-12)
-    idx = jnp.argmin((1.0 / jnp.maximum(r_tab, 1e-12) - rhat) ** 2)
+    idx = jnp.argmin((r_tab - rhat) ** 2)
     alpha = gam[idx]
-    # mean term from the fitted alpha
+    # mean term in the canonical parameterization:
+    # (beta_r - beta_l) * G(2/a)/G(1/a), beta = std * sqrt(G(1/a)/G(3/a))
     import scipy.special as _sp
     g1 = jnp.asarray(_sp.gamma(1.0 / _GAM), jnp.float32)[idx]
     g2 = jnp.asarray(_sp.gamma(2.0 / _GAM), jnp.float32)[idx]
-    mean = (r_std - l_std) * (g2 / g1)
+    g3 = jnp.asarray(_sp.gamma(3.0 / _GAM), jnp.float32)[idx]
+    mean = (r_std - l_std) * (g2 / g1) * jnp.sqrt(g1 / g3)
     return alpha, mean, l_std ** 2, r_std ** 2
 
 

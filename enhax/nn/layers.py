@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from enhax.ops.filtering import box_filter, sobel_filter
-
 
 class PWConv(nn.Module):
     """1x1 conv with an nn.Dense param layout and a switchable lowering.
@@ -490,28 +488,43 @@ def boundary_aware_prior(image, eps: float = 0.05, normalized: bool = True):
 
 
 class LayeredFeatureAggregation(nn.Module):
-    """Weighted aggregation of multi-layer features (reference moe.py:26).
+    """Layered Feature Aggregation MoE (reference moe.py:26-77).
 
-    Projects each input feature map to ``features`` channels, resizes to the
-    largest spatial size, and combines with softmax-learned weights.
+    With ``size`` set: bilinear-resize every expert to that size and
+    project each through its own 1x1 conv (``linears.{i}``); without it the
+    inputs must already share shape. Gating is DATA-DEPENDENT: a 1x1 conv
+    over the concatenated experts predicts per-pixel logits, softmaxed over
+    channels, and channel i weights expert i's whole map — the reference's
+    ``r[i] * w[:, i]`` broadcast (which upstream only supports at batch 1;
+    here it batches naturally). Param names mirror the torch modules so
+    checkpoints convert (``linears.{i}`` -> ``proj{i}``, ``conv`` ->
+    ``gate``).
     """
     features: int
+    size: tuple | None = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
         n = len(feats)
-        target_hw = feats[0].shape[-3:-1]
         outs = []
         for i, f in enumerate(feats):
-            f = nn.Conv(self.features, (1, 1), dtype=self.dtype, name=f"proj{i}")(f)
-            if f.shape[-3:-1] != target_hw:
-                f = jax.image.resize(
-                    f, f.shape[:-3] + target_hw + f.shape[-1:], method="linear")
+            if self.size is not None:
+                hw = (self.size, self.size) if isinstance(self.size, int) \
+                    else tuple(self.size)
+                if f.shape[-3:-1] != hw:
+                    # nn.Upsample(mode="bilinear", align_corners=False)
+                    # == jax.image.resize half-pixel "linear"
+                    f = jax.image.resize(
+                        f, f.shape[:-3] + hw + f.shape[-1:], method="linear")
+                f = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                            name=f"proj{i}")(f)
             outs.append(f)
-        w = self.param("weights", nn.initializers.ones, (n,))
-        w = jax.nn.softmax(w)
-        return sum(w[i] * outs[i] for i in range(n))
+        o_s = jnp.concatenate(outs, axis=-1)
+        logits = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                         name="gate")(o_s)
+        w = jax.nn.softmax(logits, axis=-1)
+        return sum(outs[i] * w[..., i:i + 1] for i in range(n))
 
 
 # ---------------------------------------------------------------------------

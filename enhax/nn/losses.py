@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from enhax.constants import LOSSES
-from enhax.ops.color import rgb_to_grayscale
 from enhax.ops.filtering import box_filter
 from enhax.ops.layout import image_local_variance
 
@@ -507,12 +506,14 @@ def contradict_channel_loss(kernel_size: int = 35, loss_weight: float = 1.0,
 @LOSSES.register(name="brightness_constancy_loss")
 def brightness_constancy_loss(gamma: float = 2.5, ksize: int = 9, eps: float = 1e-3,
                               loss_weight: float = 1.0, reduction: str = "mean"):
-    """Charbonnier distance to a brightness attention map of the target
-    (image.py:85-107; map: nn/modules/prior — blur(1 - gray^gamma))."""
+    """Charbonnier distance to the target's brightness attention map
+    (image.py:85-107; BAM = prior/image.py:243-289: median blur then
+    (1 - max(R,G,B))^gamma — shared with the layer library)."""
     def fn(input, target, **_):
-        g = rgb_to_grayscale(target) if target.shape[-1] == 3 else target
-        bam = box_filter(1.0 - jnp.power(jnp.maximum(g, 1e-8), gamma), radius=ksize // 2)
-        return loss_weight * reduce_loss(jnp.sqrt((bam - input) ** 2 + eps * eps), reduction)
+        from enhax.nn.layers import brightness_attention_map
+        bam = brightness_attention_map(target, gamma=gamma, ksize=ksize)
+        return loss_weight * reduce_loss(
+            jnp.sqrt((bam - input) ** 2 + eps * eps), reduction)
     return fn
 
 

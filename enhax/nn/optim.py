@@ -135,19 +135,29 @@ def multistep_lr_restart(
     restarts: Sequence[int] = (0,),
     restart_weights: Sequence[float] = (1,),
 ):
-    """MultiStepLR with restart weights (optimizer.py:330)."""
+    """MultiStepLR with restart weights (optimizer.py:330-395).
+
+    Closed form of the reference's stateful rule: a restart at step r
+    RESETS lr to base_lr * weight and the decay restarts from there —
+    lr(t) = base_lr * w(last restart <= t) * gamma^(#milestones in
+    (last_restart, t]). The reference shifts restart epochs by +1
+    (optimizer.py:378), reproduced here.
+    """
     import jax.numpy as jnp
     ms = jnp.asarray(sorted(milestones))
-    rs = jnp.asarray(restarts)
-    rw = jnp.asarray(restart_weights)
+    rs = jnp.asarray([r + 1 for r in restarts])
+    rw = jnp.asarray(restart_weights, jnp.float32)
 
     def schedule(step):
-        decays = jnp.sum(step >= ms)
-        lr = base_lr * gamma**decays
-        # on restart steps, reset to base_lr * weight
-        is_restart = jnp.any(step == rs)
-        ridx = jnp.argmax(step == rs)
-        return jnp.where(is_restart, base_lr * rw[jnp.clip(ridx, 0, len(restart_weights) - 1)], lr)
+        # last restart at or before step (0 with weight 1 if none yet)
+        started = step >= rs
+        any_started = jnp.any(started)
+        last_idx = jnp.where(any_started,
+                             jnp.argmax(jnp.where(started, rs, -1)), 0)
+        last_r = jnp.where(any_started, rs[last_idx], 0)
+        weight = jnp.where(any_started, rw[last_idx], 1.0)
+        decays = jnp.sum((ms > last_r) & (ms <= step))
+        return base_lr * weight * gamma ** decays
 
     return schedule
 

@@ -124,6 +124,8 @@ class VideoWriterFFmpeg:
         self.extra_args = tuple(extra_args)
         self.verbose = verbose
         self.proc = None
+        self._stderr_thread = None
+        self._stderr_tail = []
 
     def _ensure(self, frame):
         import subprocess
@@ -152,15 +154,26 @@ class VideoWriterFFmpeg:
         cmd += [*self.extra_args, str(self.path)]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                                      stderr=subprocess.PIPE)
+        # drain stderr on a thread: an undrained pipe fills after ~64KB of
+        # encoder chatter and deadlocks ffmpeg against stdin.write
+        import collections
+        import threading
+        self._stderr_tail = collections.deque(maxlen=64)
+
+        def _drain(stream, tail):
+            for line in iter(stream.readline, b""):
+                tail.append(line)
+
+        self._stderr_thread = threading.Thread(
+            target=_drain, args=(self.proc.stderr, self._stderr_tail),
+            daemon=True)
+        self._stderr_thread.start()
 
     def _fail(self, action: str):
         rc = self.proc.poll()
-        err = b""
-        if self.proc.stderr is not None:
-            try:
-                err = self.proc.stderr.read() or b""
-            except Exception:
-                pass
+        if self._stderr_thread is not None:
+            self._stderr_thread.join(timeout=2.0)
+        err = b"".join(self._stderr_tail)
         self.proc = None
         raise RuntimeError(
             f"ffmpeg {action} {self.path} failed (exit {rc}): "

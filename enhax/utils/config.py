@@ -78,13 +78,19 @@ def merge_configs(base: dict, *overrides: dict) -> dict:
 
     Mirrors the flags-beat-config precedence of reference train.py:113-131.
     """
-    out = dict(base)
+    # copy nested dicts even when untouched: callers mutate the result
+    # (e.g. opt_cfg["optimizer"]["lr"] = ...) and must never alias the
+    # module-global defaults
+    out = {k: (merge_configs(v) if isinstance(v, dict) else v)
+           for k, v in base.items()}
     for ov in overrides:
         for k, v in (ov or {}).items():
             if v is None:
                 continue
             if isinstance(v, dict) and isinstance(out.get(k), dict):
                 out[k] = merge_configs(out[k], v)
+            elif isinstance(v, dict):
+                out[k] = merge_configs(v)
             else:
                 out[k] = v
     return out

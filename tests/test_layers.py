@@ -184,3 +184,43 @@ def test_dwconv3x3_impls_equivalent(c, rng):
     y_c = m_c.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_c),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_layered_feature_aggregation_reference_parity(rng):
+    """First-party LFA MoE (nn/modules/moe.py:26-77, executed): per-expert
+    resize+1x1, concat, conv-predicted per-pixel softmax gate, channel i
+    weighting expert i. Batch 1 only — upstream's ``r[i] * w[:, i]``
+    broadcast requires it."""
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+
+    import jax
+
+    from enhax.convert import refload
+    from enhax.convert.torch_weights import convert_state_dict
+    from enhax.nn.layers import LayeredFeatureAggregation
+
+    if not refload.reference_available():
+        _pytest.skip("reference tree not present")
+    mod = refload.load_first_party("nn/modules/moe.py")
+
+    torch.manual_seed(0)
+    net = mod.LayeredFeatureAggregation(in_channels=[8, 12], out_channels=6,
+                                        size=16)
+    net.eval()
+    f0 = torch.rand(1, 8, 8, 8)
+    f1 = torch.rand(1, 12, 16, 16)
+    with torch.no_grad():
+        ref = net([f0, f1]).numpy().transpose(0, 2, 3, 1)
+
+    m = LayeredFeatureAggregation(features=6, size=16)
+    feats = [jnp.asarray(f0.numpy().transpose(0, 2, 3, 1)),
+             jnp.asarray(f1.numpy().transpose(0, 2, 3, 1))]
+    template = m.init(jax.random.PRNGKey(0), feats)
+    name_map = {"linears.0": "proj0", "linears.1": "proj1", "conv": "gate"}
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=name_map, strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, unmatched[:5]
+    got = np.asarray(m.apply(params, feats))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -358,3 +358,24 @@ def test_psnr_ssim_match_reference_executed(rng):
     got = float(ssim(jnp.asarray(a255_bgr[None]), jnp.asarray(b255_bgr[None]),
                      data_range=255.0))
     assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_brisque_aggd_matches_canonical_estimator(rng):
+    """BRISQUE's AGGD fit agrees with the reference-grounded NIQE official
+    AGGD estimator (alpha bit-equal, mean in the canonical
+    (beta_r-beta_l)*G(2/a)/G(1/a) parameterization) on asymmetric samples
+    — the previous m2/m1^2-vs-1/r inversion mis-fit alpha (r3 review)."""
+    import scipy.special as sp
+
+    from enhax.nn.brisque import _aggd_fit
+    from enhax.nn.niqe import _aggd_fit_official
+
+    x = jnp.asarray(np.concatenate([
+        -np.abs(rng.normal(0, 1.0, 50000)),
+        np.abs(rng.normal(0, 3.0, 50000))]), jnp.float32)
+    a, m, lv, rv = _aggd_fit(x)
+    a2, bl, br = _aggd_fit_official(x, axis=0)
+    assert float(a) == float(a2)
+    want_mean = float((br - bl) * (sp.gamma(2 / float(a2))
+                                   / sp.gamma(1 / float(a2))))
+    assert abs(float(m) - want_mean) < 1e-5 * max(1.0, abs(want_mean))

@@ -126,3 +126,32 @@ def test_trainer_debug_knobs(rng):
     tr2 = Trainer(m, optax.sgd(1e-3), max_epochs=2, overfit_batches=2)
     st2 = tr2.fit(batches, resume=False)
     assert int(st2.step) == 4  # 2 cached batches x 2 epochs
+
+
+def test_multistep_lr_restart_matches_reference_executed():
+    """The closed-form schedule == the reference's stateful
+    MultiStepLRRestart (optimizer.py:330-395, executed step by step)."""
+    import torch
+
+    from enhax.convert import refload
+    from enhax.nn.optim import multistep_lr_restart
+
+    if not refload.reference_available():
+        import pytest as _pytest
+        _pytest.skip("reference tree not present")
+
+    mod = refload.load_first_party("nn/optimizer.py")
+
+    base_lr = 0.2
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sched = mod.MultiStepLRRestart(opt, milestones=[10, 20], gamma=0.5,
+                                   restarts=[15], weights=[2.0])
+    ours = multistep_lr_restart(base_lr, milestones=[10, 20], gamma=0.5,
+                                restarts=[15], restart_weights=[2.0])
+    for step in range(0, 30):
+        ref_lr = opt.param_groups[0]["lr"]
+        got = float(ours(step))
+        assert abs(got - ref_lr) < 1e-6, (step, got, ref_lr)  # f32 schedule vs f64 torch
+        opt.step()
+        sched.step()
