@@ -71,10 +71,17 @@ def predict(args: dict):
     if not model_name or not data:
         raise SystemExit("--model and --data are required")
 
-    model = MODELS.build(model_name)
+    weights = args.get("weights")
+    if isinstance(weights, str) and weights.startswith("zoo:"):
+        # build with the entry's architecture overrides (nafnet
+        # sidd_width64 -> width=64, ...) so the checkpoint fits
+        from enhax.zoo import build_zoo_model
+        model = build_zoo_model(model_name, weights[4:])
+    else:
+        model = MODELS.build(model_name)
     variables = None
-    if args.get("weights"):
-        variables = _load_weights(model, args["weights"])
+    if weights:
+        variables = _load_weights(model, weights)
 
     tile = None
     if args.get("tile"):

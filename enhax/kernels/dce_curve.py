@@ -23,17 +23,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE_H = 64
-_TILE_W = 512
-
-
-def _curve_kernel(x_ref, r_ref, o_ref, *, num_iters: int, shared: bool):
-    x = x_ref[...]
-    y = x
-    c = x.shape[-1]
-    for i in range(num_iters):
-        r = r_ref[...] if shared else r_ref[..., i * c : (i + 1) * c]
-        y = y + r * (y * y - y)
-    o_ref[...] = y
 
 
 def fused_curve_apply(image, curves, num_iters: int = 8, shared: bool = False,

@@ -369,7 +369,6 @@ def nafnet_fast_apply(variables, x, width: int = 32,
     inp = x
     y = conv("intro", x)
     skips = []
-    c = width
     for i, n in enumerate(enc_blk_nums):
         for j in range(n):
             y = block(y, params[f"enc{i}_{j}"])
@@ -379,13 +378,11 @@ def nafnet_fast_apply(variables, x, width: int = 32,
             y, jnp.asarray(p["kernel"]).astype(y.dtype), (2, 2), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y + jnp.asarray(p["bias"]).astype(y.dtype)
-        c *= 2
     for j in range(middle_blk_num):
         y = block(y, params[f"mid_{j}"])
     for i, n in enumerate(dec_blk_nums):
         y = dense(f"up{i}", y)
         y = pixel_shuffle(y, 2)
-        c //= 2
         y = y + skips[-(i + 1)]
         for j in range(n):
             y = block(y, params[f"dec{i}_{j}"])

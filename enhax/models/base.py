@@ -39,11 +39,8 @@ class Model:
         loss_fn: (outputs, datapoint) -> scalar loss (None for inference-only).
         required_inputs: datapoint keys the model consumes.
         out_key: primary output key (``enhanced`` for enhancement models).
-        out_channels_map: dict describing extra outputs (debug/aux).
         instance_steps: >0 marks per-image test-time optimization models
             (Scheme.INSTANCE); the infer engine runs a scanned inner fit.
-        full_init: optional callable(rng, datapoint) -> variables overriding
-            default flax init (used by models with custom state).
     """
 
     name: str

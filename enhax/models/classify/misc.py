@@ -82,9 +82,12 @@ class MNASNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from enhax.models.classify.mobilenet import InvertedResidual
+        from enhax.models.classify.mobilenet import (
+            InvertedResidual, tv_make_divisible,
+        )
         bn = partial(nn.BatchNorm, use_running_average=not train)
-        w = lambda c: int(c * self.width)
+        # torchvision _get_depths: _round_to_multiple_of(c*alpha, 8)
+        w = lambda c: tv_make_divisible(c * self.width, 8)
         y = nn.relu(bn(name="bn0")(
             nn.Conv(w(32), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     use_bias=False, name="stem")(x)))

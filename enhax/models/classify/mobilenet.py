@@ -17,6 +17,15 @@ def hswish(x):
     return x * jax.nn.relu6(x + 3.0) / 6.0
 
 
+def tv_make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision _make_divisible: round to nearest multiple, never below
+    90% of v (differs from ceil-rounding at e.g. v=17 -> 16, not 24)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class InvertedResidual(nn.Module):
     features: int
     stride: int
@@ -28,7 +37,8 @@ class InvertedResidual(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
-        act = {"relu6": jax.nn.relu6, "hswish": hswish}[self.act]
+        act = {"relu": jax.nn.relu, "relu6": jax.nn.relu6,
+               "hswish": hswish}[self.act]
         inp = x
         c_in = x.shape[-1]
         y = x
@@ -42,7 +52,9 @@ class InvertedResidual(nn.Module):
         y = act(bn(name="bn1")(y))
         if self.use_se:
             s = jnp.mean(y, axis=(-3, -2))
-            s = nn.relu(nn.Dense(max(self.expand // 4, 1), name="se1")(s))
+            # torchvision SqueezeExcitation width: _make_divisible(exp//4, 8)
+            s = nn.relu(nn.Dense(tv_make_divisible(self.expand // 4, 8),
+                                 name="se1")(s))
             s = jax.nn.hard_sigmoid(nn.Dense(self.expand, name="se2")(s))
             y = y * s[..., None, None, :]
         y = bn(name="bn2")(nn.Conv(self.features, (1, 1), use_bias=False,
@@ -86,8 +98,8 @@ class MobileNetV3(nn.Module):
         bn = partial(nn.BatchNorm, use_running_average=not train)
         if self.small:
             cfg = [  # k, exp, c, se, act, s
-                (3, 16, 16, True, "relu6", 2), (3, 72, 24, False, "relu6", 2),
-                (3, 88, 24, False, "relu6", 1), (5, 96, 40, True, "hswish", 2),
+                (3, 16, 16, True, "relu", 2), (3, 72, 24, False, "relu", 2),
+                (3, 88, 24, False, "relu", 1), (5, 96, 40, True, "hswish", 2),
                 (5, 240, 40, True, "hswish", 1), (5, 240, 40, True, "hswish", 1),
                 (5, 120, 48, True, "hswish", 1), (5, 144, 48, True, "hswish", 1),
                 (5, 288, 96, True, "hswish", 2), (5, 576, 96, True, "hswish", 1),
@@ -95,9 +107,9 @@ class MobileNetV3(nn.Module):
             last = 576
         else:
             cfg = [
-                (3, 16, 16, False, "relu6", 1), (3, 64, 24, False, "relu6", 2),
-                (3, 72, 24, False, "relu6", 1), (5, 72, 40, True, "relu6", 2),
-                (5, 120, 40, True, "relu6", 1), (5, 120, 40, True, "relu6", 1),
+                (3, 16, 16, False, "relu", 1), (3, 64, 24, False, "relu", 2),
+                (3, 72, 24, False, "relu", 1), (5, 72, 40, True, "relu", 2),
+                (5, 120, 40, True, "relu", 1), (5, 120, 40, True, "relu", 1),
                 (3, 240, 80, False, "hswish", 2), (3, 200, 80, False, "hswish", 1),
                 (3, 184, 80, False, "hswish", 1), (3, 184, 80, False, "hswish", 1),
                 (3, 480, 112, True, "hswish", 1), (3, 672, 112, True, "hswish", 1),

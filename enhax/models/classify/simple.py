@@ -24,7 +24,10 @@ class AlexNet(nn.Module):
         y = nn.relu(nn.Conv(256, (3, 3), name="conv4")(y))
         y = nn.relu(nn.Conv(256, (3, 3), name="conv5")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2))
-        y = jnp.mean(y, axis=(-3, -2))
+        # torchvision: AdaptiveAvgPool2d(6) then flatten -> Linear(9216, 4096)
+        from enhax.models.classify.base import adaptive_avg_pool
+        y = adaptive_avg_pool(y, 6)
+        y = y.transpose(0, 3, 1, 2).reshape(y.shape[0], -1)
         y = nn.relu(nn.Dense(4096, name="fc1")(y))
         y = nn.relu(nn.Dense(4096, name="fc2")(y))
         return {"logits": nn.Dense(self.num_classes, name="fc3")(y)}

@@ -51,7 +51,9 @@ class Swin(nn.Module):
             if i > 0:
                 # patch merging
                 n, h, w, c = y.shape
-                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+                # torch PatchMerging concat order [x0,x1,x2,x3] =
+                # (dh0dw0, dh1dw0, dh0dw1, dh1dw1): flatten (dw, dh, c)
+                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
                 y = y.reshape(n, h // 2, w // 2, 4 * c)
                 y = nn.LayerNorm(name=f"merge_norm{i}")(y)
                 y = nn.Dense(dim, use_bias=False, name=f"merge{i}")(y)
@@ -107,7 +109,9 @@ class SwinV2(Swin):
             dim = self.dim * 2**i
             if i > 0:
                 n, h, w, c = y.shape
-                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+                # torch PatchMerging concat order [x0,x1,x2,x3] =
+                # (dh0dw0, dh1dw0, dh0dw1, dh1dw1): flatten (dw, dh, c)
+                y = y.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
                 y = y.reshape(n, h // 2, w // 2, 4 * c)
                 y = nn.LayerNorm(name=f"merge_norm{i}")(y)
                 y = nn.Dense(dim, use_bias=False, name=f"merge{i}")(y)

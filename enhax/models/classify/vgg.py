@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from enhax.constants import MODELS, Scheme, Task
-from enhax.models.classify.base import make_classifier
+from enhax.models.classify.base import adaptive_avg_pool, make_classifier
 
 _CFGS = {
     "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -65,7 +65,11 @@ class VGG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x, _ = VGGFeatures(self.cfg, self.use_bn, name="features")(x, train=train)
-        x = jnp.mean(x, axis=(-3, -2))  # adaptive pool to 1x1 (224 input -> 7x7)
+        # torchvision: AdaptiveAvgPool2d(7) then flatten -> Linear(25088, 4096)
+        x = adaptive_avg_pool(x, 7)
+        b = x.shape[0]
+        # flatten in torch CHW order so converted fc1 weights line up
+        x = x.transpose(0, 3, 1, 2).reshape(b, -1)
         x = nn.relu(nn.Dense(4096, name="fc1")(x))
         x = nn.relu(nn.Dense(4096, name="fc2")(x))
         return {"logits": nn.Dense(self.num_classes, name="fc3")(x)}

@@ -238,8 +238,14 @@ class YOLOv8Module(nn.Module):
 
 
 def decode_yolov8(outputs: dict, score_thresh: float = 0.25,
-                  iou_thresh: float = 0.7, max_dets: int = 300) -> np.ndarray:
-    """Host-side: sigmoid cls + class-agnostic NMS -> (N, 6) [xyxy,score,cls]."""
+                  iou_thresh: float = 0.7, max_dets: int = 300,
+                  agnostic: bool = False) -> np.ndarray:
+    """Host-side: sigmoid cls + NMS -> (N, 6) [xyxy, score, cls].
+
+    Class-AWARE by default like ultralytics' non_max_suppression
+    (agnostic=False offsets boxes by class index before NMS, so
+    overlapping detections of different classes both survive).
+    """
     preds = np.asarray(outputs["preds"])[0]  # (A, 4+nc)
     xywh, logits = preds[:, :4], preds[:, 4:]
     scores_all = 1.0 / (1.0 + np.exp(-logits))
@@ -255,7 +261,16 @@ def decode_yolov8(outputs: dict, score_thresh: float = 0.25,
     y2 = xywh[:, 1] + xywh[:, 3] / 2
     dets = np.stack([x1, y1, x2, y2, score, label.astype(float)], axis=-1)
     from enhax.native.nms import nms as _nms
-    keep = _nms(dets, iou_thresh=iou_thresh, score_thresh=score_thresh,
+    if agnostic:
+        nms_dets = dets
+    else:
+        # ultralytics trick: shift each class into its own coordinate
+        # region so cross-class boxes never overlap in the NMS
+        off = label.astype(np.float64)[:, None] * (
+            max(float(np.max(x2)), float(np.max(y2))) + 1.0)
+        nms_dets = dets.copy()
+        nms_dets[:, :4] = dets[:, :4] + off
+    keep = _nms(nms_dets, iou_thresh=iou_thresh, score_thresh=score_thresh,
                 max_keep=max_dets)
     return dets[keep].reshape(-1, 6)
 

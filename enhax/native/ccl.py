@@ -47,7 +47,9 @@ def native_available() -> bool:
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """Label 4-connected components. mask: (H, W) bool/uint8.
+    """Label 8-connected components (cv2.connectedComponentsWithStats
+    connectivity=8, as the reference's remove_small_regions uses —
+    amg.py:281). mask: (H, W) bool/uint8.
     Returns (labels int32 (H, W), n_components)."""
     m = np.ascontiguousarray(mask.astype(np.uint8))
     h, w = m.shape
@@ -82,12 +84,15 @@ def remove_small_regions(mask: np.ndarray, area_thresh: int,
     # numpy fallback
     work = m if mode == "islands" else (1 - m)
     labels, n_comp = _ccl_numpy(work)
+    areas = np.bincount(labels.ravel(), minlength=n_comp + 1)
+    small = [c for c in range(1, n_comp + 1) if areas[c] < area_thresh]
+    if mode == "islands" and n_comp and len(small) == n_comp:
+        # all below threshold: keep the largest (reference amg.py:289-291)
+        small.remove(int(np.argmax(areas[1:])) + 1)
     removed = 0
-    for c in range(1, n_comp + 1):
-        sel = labels == c
-        if sel.sum() < area_thresh:
-            m[sel] = 0 if mode == "islands" else 1
-            removed += 1
+    for c in small:
+        m[labels == c] = 0 if mode == "islands" else 1
+        removed += 1
     return m.astype(bool), removed
 
 
@@ -113,13 +118,20 @@ def _ccl_numpy(mask: np.ndarray) -> tuple[np.ndarray, int]:
         for x in range(w):
             if not mask[y, x]:
                 continue
-            left = labels[y, x - 1] if x > 0 and mask[y, x - 1] else 0
-            top = labels[y - 1, x] if y > 0 and mask[y - 1, x] else 0
-            if left and top:
-                labels[y, x] = min(left, top)
-                union(left, top)
-            elif left or top:
-                labels[y, x] = left or top
+            neigh = []
+            if x > 0 and mask[y, x - 1]:
+                neigh.append(labels[y, x - 1])
+            if y > 0:
+                if mask[y - 1, x]:
+                    neigh.append(labels[y - 1, x])
+                if x > 0 and mask[y - 1, x - 1]:
+                    neigh.append(labels[y - 1, x - 1])
+                if x + 1 < w and mask[y - 1, x + 1]:
+                    neigh.append(labels[y - 1, x + 1])
+            if neigh:
+                labels[y, x] = min(neigh)
+                for a in neigh[1:]:
+                    union(neigh[0], a)
             else:
                 next_label += 1
                 parent[next_label] = next_label

@@ -64,16 +64,21 @@ class OCSORT:
         for r, c in matches:
             t = self.trackers[c]
             if t.time_since_update > 1:
-                # observation-centric re-update: replay a virtual trajectory
-                # between the last and current observation
+                # observation-centric re-update (OC-SORT's ORU): replay a
+                # virtual trajectory between the last and current
+                # observation as a FILTER rollout — kf update + predict per
+                # virtual frame so velocity crosses the gap — without
+                # touching hit bookkeeping; the real detection then counts
+                # as ONE hit via the normal update (the reference's
+                # unfreeze loop, not N simultaneous fusions)
                 steps = t.time_since_update
                 start = t.last_observation
                 end = dets[r, :4]
-                for k in range(1, steps + 1):
+                for k in range(1, steps):
                     virt = start + (end - start) * (k / steps)
-                    t.update(virt)
-            else:
-                t.update(dets[r, :4])
+                    t.kf_update(virt)
+                    t.kf_predict()
+            t.update(dets[r, :4])
         for i in um_d:
             self.trackers.append(KalmanBoxTracker(dets[i, :4]))
         for i in um_t:

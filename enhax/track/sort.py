@@ -77,13 +77,25 @@ class KalmanBoxTracker:
         self.history.append(self.get_bbox())
         return self.history[-1]
 
-    def update(self, bbox):
+    def kf_update(self, bbox):
+        """Raw measurement fusion with no hit/state bookkeeping (used by
+        OC-SORT's observation-centric re-update rollout)."""
         z = _bbox_to_z(bbox)
         y = z - self.H @ self.x
         S = self.H @ self.P @ self.H.T + self.R
         K = self.P @ self.H.T @ np.linalg.inv(S)
         self.x = self.x + K @ y
         self.P = (np.eye(7) - K @ self.H) @ self.P
+
+    def kf_predict(self):
+        """Raw time step with no age/streak bookkeeping (ORU rollout)."""
+        if self.x[6] + self.x[2] <= 0:
+            self.x[6] = 0.0
+        self.x = self.F @ self.x
+        self.P = self.F @ self.P @ self.F.T + self.Q
+
+    def update(self, bbox):
+        self.kf_update(bbox)
         self.time_since_update = 0
         self.hits += 1
         self.hit_streak += 1

@@ -163,13 +163,7 @@ def zoo_keys(model_name: str) -> list[str]:
 
 def resolve_zoo(model_name: str, key: str) -> tuple[Path, ZooEntry]:
     """Zoo key -> (local path, entry). Raises with guidance when absent."""
-    entries = ZOO.get(model_name)
-    if not entries:
-        raise KeyError(f"model {model_name!r} has no zoo entries")
-    entry = entries.get(key)
-    if entry is None:
-        raise KeyError(f"unknown zoo key {key!r} for {model_name!r}; "
-                       f"available: {sorted(entries)}")
+    entry = zoo_entry(model_name, key)
     path = zoo_dir() / model_name / entry.file
     if not path.is_file():
         raise FileNotFoundError(
@@ -186,3 +180,28 @@ def load_zoo_weights(model, key: str, image_size: int = 64, strict: bool = False
     name_map = entry.name_map() if entry.name_map else None
     return load_torch_checkpoint(model, path, name_map=name_map,
                                  image_size=image_size, strict=strict)
+
+
+def zoo_entry(model_name: str, key: str) -> ZooEntry:
+    """Look up a zoo entry WITHOUT requiring the checkpoint file (for
+    building the matching architecture before loading)."""
+    entries = ZOO.get(model_name)
+    if not entries:
+        raise KeyError(f"model {model_name!r} has no zoo entries")
+    entry = entries.get(key)
+    if entry is None:
+        raise KeyError(f"unknown zoo key {key!r} for {model_name!r}; "
+                       f"available: {sorted(entries)}")
+    return entry
+
+
+def build_zoo_model(model_name: str, key: str, **overrides):
+    """Build ``model_name`` with the zoo entry's architecture overrides
+    (e.g. nafnet ``sidd_width64`` -> width=64) so the checkpoint lands on
+    matching shapes instead of silently leaving mismatched leaves at
+    random init. Explicit ``overrides`` beat the entry's."""
+    from enhax.models.base import build_model
+    entry = zoo_entry(model_name, key)
+    kwargs = dict(entry.build_kwargs)
+    kwargs.update(overrides)
+    return build_model(model_name, **kwargs)

@@ -1,4 +1,6 @@
-// Connected-components labeling (union-find, 4-connectivity).
+// Connected-components labeling (union-find, 8-connectivity —
+// matching cv2.connectedComponentsWithStats(_, 8) in the reference's
+// remove_small_regions, sam2/utils/amg.py:269-293).
 //
 // TPU-native rebuild of the reference's single CUDA kernel
 // (src/mon_extra/vision/segment/sam2/sam2/csrc/connected_components.cu:
@@ -40,7 +42,7 @@ struct UnionFind {
 
 extern "C" {
 
-// Label 4-connected foreground components of a binary mask.
+// Label 8-connected foreground components of a binary mask.
 // mask: h*w uint8 (0 = background); labels_out: h*w int32, 0 = background,
 // components numbered 1..n_components (row-major discovery order).
 // Returns the number of components.
@@ -49,13 +51,17 @@ int32_t enhax_ccl_label(const uint8_t* mask, int32_t h, int32_t w,
   const int64_t n = static_cast<int64_t>(h) * w;
   UnionFind uf(n);
 
-  // pass 1: union with left and top neighbors
+  // pass 1: union with left, top, top-left, top-right (8-connectivity)
   for (int32_t y = 0; y < h; ++y) {
     for (int32_t x = 0; x < w; ++x) {
       const int64_t i = static_cast<int64_t>(y) * w + x;
       if (!mask[i]) continue;
       if (x > 0 && mask[i - 1]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - 1));
-      if (y > 0 && mask[i - w]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w));
+      if (y > 0) {
+        if (mask[i - w]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w));
+        if (x > 0 && mask[i - w - 1]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w - 1));
+        if (x + 1 < w && mask[i - w + 1]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w + 1));
+      }
     }
   }
 
@@ -102,6 +108,16 @@ int32_t enhax_remove_small_regions(uint8_t* mask, int32_t h, int32_t w,
   int32_t removed = 0;
   for (int32_t c = 1; c <= n_comp; ++c) {
     if (areas[c] < area_thresh) { small[c] = 1; ++removed; }
+  }
+  if (mode == 0 && removed == n_comp && n_comp > 0) {
+    // islands: if every region is below threshold, keep the largest
+    // (reference amg.py:289-291) instead of erasing the whole mask
+    int32_t largest = 1;
+    for (int32_t c = 2; c <= n_comp; ++c) {
+      if (areas[c] > areas[largest]) largest = c;
+    }
+    small[largest] = 0;
+    --removed;
   }
   for (int64_t i = 0; i < n; ++i) {
     if (labels[i] && small[labels[i]]) mask[i] = (mode == 0) ? 0 : 1;

@@ -93,3 +93,42 @@ def test_nms_native_matches_fallback(rng):
     finally:
         mod._lib, mod._build_failed = saved_lib, saved_failed
     np.testing.assert_array_equal(a, b)
+
+
+def test_islands_keep_largest_when_all_small():
+    """All regions below threshold: keep the largest instead of erasing
+    the whole mask (reference amg.py:289-291; r3 review)."""
+    from enhax.native.ccl import remove_small_regions
+    m = np.zeros((16, 16), bool)
+    m[1:4, 1:4] = True     # area 9
+    m[10:12, 10:12] = True  # area 4
+    out, removed = remove_small_regions(m, area_thresh=50, mode="islands")
+    assert out.sum() == 9 and removed == 1  # largest kept
+
+
+def test_eight_connectivity_diagonal_region():
+    """A diagonally-connected chain is ONE component (cv2 connectivity=8),
+    so it survives a threshold its 4-connected fragments would not."""
+    from enhax.native.ccl import connected_components, remove_small_regions
+    m = np.zeros((8, 8), bool)
+    for i in range(6):
+        m[i, i] = True  # 6-px diagonal chain
+    labels, n = connected_components(m)
+    assert n == 1
+    out, removed = remove_small_regions(m, area_thresh=4, mode="islands")
+    assert removed == 0 and out.sum() == 6
+
+
+def test_numpy_fallback_matches_native():
+    """The pure-python fallback agrees with the C++ path on random masks."""
+    from enhax.native import ccl
+    rng = np.random.default_rng(3)
+    m = rng.random((24, 24)) > 0.6
+    lib_labels, lib_n = ccl.connected_components(m)
+    np_labels, np_n = ccl._ccl_numpy(m.astype(np.uint8))
+    assert lib_n == np_n
+    # same partition (label ids may differ): compare co-label structure
+    for c in range(1, lib_n + 1):
+        sel = lib_labels == c
+        ids = np.unique(np_labels[sel])
+        assert len(ids) == 1 and ids[0] != 0

@@ -335,3 +335,34 @@ def test_vit_l16_reference_parity():
     assert not unmatched, f"vit_l_16: {unmatched[:10]}"
     out = model.apply(params, dp)
     _assert_close(logits.numpy(), out["logits"], 1e-3, "vit_l_16.logits")
+
+
+@pytest.mark.slow
+def test_classify_param_counts_match_torchvision_published():
+    """Trainable-parameter counts equal torchvision's published numbers
+    EXACTLY for families without executable in-tree torch ground truth —
+    counts this tight pin head dims, SE widths, width-multiplier rounding,
+    and merge layouts (r3 review fixes: VGG/AlexNet 7x7/6x6 adaptive-pool
+    heads, MobileNetV3 _make_divisible SE widths, MNASNet
+    _round_to_multiple_of scaling, Swin merge dims)."""
+    import jax
+    import jax.numpy as jnp
+
+    from enhax.constants import MODELS
+
+    published = {
+        "vgg16": 138_357_544,
+        "alexnet": 61_100_840,
+        "swin_t": 28_288_354,
+        "mobilenet_v2": 3_504_872,
+        "mobilenet_v3_large": 5_483_032,
+        "mobilenet_v3_small": 2_542_856,
+        "mnasnet1_0": 4_383_312,
+        "mnasnet0_5": 2_218_512,
+    }
+    for name, want in published.items():
+        m = MODELS.build(name)
+        v = m.init(jax.random.PRNGKey(0),
+                   {"image": jnp.zeros((1, 224, 224, 3), jnp.float32)})
+        got = sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+        assert got == want, (name, got, want)

@@ -50,3 +50,19 @@ def test_predict_cli_weights_zoo_scheme(monkeypatch, tmp_path):
     model = build_model("zero_dce_re")
     with pytest.raises(FileNotFoundError):
         _load_weights(model, "zoo:sice")
+
+
+def test_build_zoo_model_applies_entry_kwargs():
+    """zoo entries with architecture overrides (nafnet sidd_width64,
+    gopro_width32) must build the matching architecture — previously
+    build_kwargs was never consumed and width-64 checkpoints landed on the
+    default width-32 model (r3 review)."""
+    from enhax.zoo import build_zoo_model
+
+    m = build_zoo_model("nafnet", "sidd_width64")
+    assert m.module.width == 64
+    m2 = build_zoo_model("nafnet", "gopro_width32")
+    assert tuple(m2.module.enc_blk_nums) == (1, 1, 1, 28)
+    # explicit overrides beat the entry's
+    m3 = build_zoo_model("nafnet", "sidd_width64", width=16)
+    assert m3.module.width == 16
