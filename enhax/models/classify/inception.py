@@ -103,8 +103,25 @@ class InceptionE(nn.Module):
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+class InceptionAux(nn.Module):
+    """torchvision InceptionAux (5x5-pooled 768 -> 128 -> 768 -> fc):
+    training-only auxiliary classifier, carried so released checkpoints
+    (which include AuxLogits.* weights) convert completely."""
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from enhax.models.classify.base import adaptive_avg_pool
+        y = nn.avg_pool(x, (5, 5), strides=(3, 3))
+        y = BasicConv(128, (1, 1), name="conv0")(y, train)
+        y = BasicConv(768, (5, 5), padding="VALID", name="conv1")(y, train)
+        y = adaptive_avg_pool(y, 1)
+        return nn.Dense(self.num_classes, name="fc")(y[:, 0, 0])
+
+
 class InceptionV3(nn.Module):
     num_classes: int = 1000
+    aux_logits: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,13 +140,19 @@ class InceptionV3(nn.Module):
         y = InceptionC(160, name="mix6c")(y, train)
         y = InceptionC(160, name="mix6d")(y, train)
         y = InceptionC(192, name="mix6e")(y, train)
+        aux = None
+        if self.aux_logits:
+            aux = InceptionAux(self.num_classes, name="aux")(y, train)
         y = InceptionD(name="mix7a")(y, train)
         y = InceptionE(name="mix7b")(y, train)
         y = InceptionE(name="mix7c")(y, train)
         y = jnp.mean(y, axis=(-3, -2))
         # "features" = the 2048-d pre-logits pool (the FID activation layer)
-        return {"logits": nn.Dense(self.num_classes, name="fc")(y),
-                "features": y}
+        out = {"logits": nn.Dense(self.num_classes, name="fc")(y),
+               "features": y}
+        if aux is not None:
+            out["aux_logits"] = aux
+        return out
 
 
 @MODELS.register(name="inception3", arch="inception", aliases=["inception_v3"],

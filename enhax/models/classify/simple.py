@@ -81,8 +81,21 @@ class SqueezeNet(nn.Module):
         return {"logits": jnp.mean(y, axis=(-3, -2))}
 
 
+def _basic_conv(x, features, kernel, train, name, strides=(1, 1),
+                padding="SAME"):
+    """torchvision BasicConv2d: bias-free conv + BN(eps=1e-3) + relu."""
+    y = nn.Conv(features, kernel, strides=strides, padding=padding,
+                use_bias=False, name=f"{name}_conv")(x)
+    y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                     name=f"{name}_bn")(y)
+    return nn.relu(y)
+
+
 class Inception(nn.Module):
-    """GoogLeNet inception block."""
+    """GoogLeNet inception block, torchvision layout: BasicConv2d branches
+    and a 3x3 (not 5x5) second conv in the "5x5" branch — torchvision's
+    known deviation from the paper, kept for released-checkpoint
+    compatibility (the reference wraps torchvision's googlenet)."""
     c1: int
     c3r: int
     c3: int
@@ -91,14 +104,14 @@ class Inception(nn.Module):
     cp: int
 
     @nn.compact
-    def __call__(self, x):
-        b1 = nn.relu(nn.Conv(self.c1, (1, 1), name="b1")(x))
-        b3 = nn.relu(nn.Conv(self.c3r, (1, 1), name="b3r")(x))
-        b3 = nn.relu(nn.Conv(self.c3, (3, 3), name="b3")(b3))
-        b5 = nn.relu(nn.Conv(self.c5r, (1, 1), name="b5r")(x))
-        b5 = nn.relu(nn.Conv(self.c5, (5, 5), name="b5")(b5))
+    def __call__(self, x, train: bool = False):
+        b1 = _basic_conv(x, self.c1, (1, 1), train, "b1")
+        b3 = _basic_conv(x, self.c3r, (1, 1), train, "b3r")
+        b3 = _basic_conv(b3, self.c3, (3, 3), train, "b3")
+        b5 = _basic_conv(x, self.c5r, (1, 1), train, "b5r")
+        b5 = _basic_conv(b5, self.c5, (3, 3), train, "b5")
         bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        bp = nn.relu(nn.Conv(self.cp, (1, 1), name="bp")(bp))
+        bp = _basic_conv(bp, self.cp, (1, 1), train, "bp")
         return jnp.concatenate([b1, b3, b5, bp], axis=-1)
 
 
@@ -107,23 +120,23 @@ class GoogLeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.relu(nn.Conv(64, (7, 7), strides=(2, 2),
-                            padding=((3, 3), (3, 3)), name="conv1")(x))
+        y = _basic_conv(x, 64, (7, 7), train, "conv1", strides=(2, 2),
+                        padding=((3, 3), (3, 3)))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
-        y = nn.relu(nn.Conv(64, (1, 1), name="conv2")(y))
-        y = nn.relu(nn.Conv(192, (3, 3), name="conv3")(y))
+        y = _basic_conv(y, 64, (1, 1), train, "conv2")
+        y = _basic_conv(y, 192, (3, 3), train, "conv3")
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
-        y = Inception(64, 96, 128, 16, 32, 32, name="inc3a")(y)
-        y = Inception(128, 128, 192, 32, 96, 64, name="inc3b")(y)
+        y = Inception(64, 96, 128, 16, 32, 32, name="inc3a")(y, train=train)
+        y = Inception(128, 128, 192, 32, 96, 64, name="inc3b")(y, train=train)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
-        y = Inception(192, 96, 208, 16, 48, 64, name="inc4a")(y)
-        y = Inception(160, 112, 224, 24, 64, 64, name="inc4b")(y)
-        y = Inception(128, 128, 256, 24, 64, 64, name="inc4c")(y)
-        y = Inception(112, 144, 288, 32, 64, 64, name="inc4d")(y)
-        y = Inception(256, 160, 320, 32, 128, 128, name="inc4e")(y)
+        y = Inception(192, 96, 208, 16, 48, 64, name="inc4a")(y, train=train)
+        y = Inception(160, 112, 224, 24, 64, 64, name="inc4b")(y, train=train)
+        y = Inception(128, 128, 256, 24, 64, 64, name="inc4c")(y, train=train)
+        y = Inception(112, 144, 288, 32, 64, 64, name="inc4d")(y, train=train)
+        y = Inception(256, 160, 320, 32, 128, 128, name="inc4e")(y, train=train)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
-        y = Inception(256, 160, 320, 32, 128, 128, name="inc5a")(y)
-        y = Inception(384, 192, 384, 48, 128, 128, name="inc5b")(y)
+        y = Inception(256, 160, 320, 32, 128, 128, name="inc5a")(y, train=train)
+        y = Inception(384, 192, 384, 48, 128, 128, name="inc5b")(y, train=train)
         y = jnp.mean(y, axis=(-3, -2))
         return {"logits": nn.Dense(self.num_classes, name="fc")(y)}
 

@@ -359,10 +359,20 @@ def test_classify_param_counts_match_torchvision_published():
         "mobilenet_v3_small": 2_542_856,
         "mnasnet1_0": 4_383_312,
         "mnasnet0_5": 2_218_512,
+        "googlenet": 6_624_904,
+        "inception3": 27_161_264,
+        "densenet121": 7_978_856,
+        "efficientnet_b0": 5_288_548,
+        "convnext_tiny": 28_589_128,
+        "shufflenet_v2_x1_0": 2_278_604,
+        "squeezenet1_0": 1_248_424,
+        "vit_b_16": 86_567_656,
     }
+    sizes = {"inception3": 299}
     for name, want in published.items():
         m = MODELS.build(name)
+        hw = sizes.get(name, 224)
         v = m.init(jax.random.PRNGKey(0),
-                   {"image": jnp.zeros((1, 224, 224, 3), jnp.float32)})
+                   {"image": jnp.zeros((1, hw, hw, 3), jnp.float32)})
         got = sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
         assert got == want, (name, got, want)
