@@ -96,6 +96,38 @@ class Model:
             return out
         return {self.out_key: out}
 
+    def _module_accepts_train(self) -> bool:
+        import inspect
+        try:
+            return "train" in inspect.signature(
+                type(self.module).__call__).parameters
+        except (TypeError, ValueError):
+            return False
+
+    def apply_train(self, variables: dict, datapoint: dict,
+                    rngs: dict | None = None):
+        """Training-mode forward: passes ``train=True`` to modules that take
+        it and collects mutated ``batch_stats`` (BatchNorm running stats).
+
+        Returns ``(outputs, new_batch_stats_or_None)``. Models without a
+        train flag or without batch_stats behave exactly like
+        ``apply(training=True)``.
+        """
+        inputs = self._model_inputs(datapoint)
+        kwargs = self._optional_inputs(datapoint)
+        if rngs:
+            kwargs["rngs"] = rngs
+        if self._module_accepts_train() and "batch_stats" in variables:
+            out, mut = self.module.apply(variables, *inputs, train=True,
+                                         mutable=["batch_stats"], **kwargs)
+            new_stats = mut.get("batch_stats")
+        else:
+            out = self.module.apply(variables, *inputs, **kwargs)
+            new_stats = None
+        if not isinstance(out, dict):
+            out = {self.out_key: out}
+        return out, new_stats
+
     def forward_loss(self, variables: dict, datapoint: dict,
                      rngs: dict | None = None) -> tuple[jax.Array, dict]:
         """(loss, outputs) — reference forward_loss (enhance/base.py:47)."""

@@ -77,7 +77,8 @@ class DinoV2(nn.Module):
         norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         taps = []
         for i in range(self.depth):
-            y = _ViTBlock(self.dim, self.heads, name=f"block{i}")(y)
+            y = _ViTBlock(self.dim, self.heads, ls_init=1.0,  # dinov2.py:409 init_values=1.0
+              name=f"block{i}")(y)
             if i in tuple(self.out_indices):
                 taps.append(y)
         # get_intermediate_layers(norm=True): shared final norm, drop cls

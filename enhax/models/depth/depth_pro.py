@@ -44,6 +44,8 @@ class _ViTBlock(nn.Module):
     dim: int
     heads: int
     mlp_ratio: float = 4.0
+    # timm LayerScale default; Depth Anything V2's DINOv2 overrides to 1.0
+    ls_init: float = 1e-5
     dtype: Any = None
 
     @nn.compact
@@ -61,13 +63,15 @@ class _ViTBlock(nn.Module):
         y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
         y = nn.Dense(c, dtype=d, name="proj")(y)
-        ls1 = self.param("ls1", nn.initializers.constant(1e-5), (c,))
+        ls1 = self.param("ls1",
+                         nn.initializers.constant(self.ls_init), (c,))
         x = x + y * ls1
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=d, name="fc1")(y)
         y = nn.Dense(c, dtype=d, name="fc2")(
             jax.nn.gelu(y, approximate=False))
-        ls2 = self.param("ls2", nn.initializers.constant(1e-5), (c,))
+        ls2 = self.param("ls2",
+                         nn.initializers.constant(self.ls_init), (c,))
         return x + y * ls2
 
 

@@ -410,7 +410,9 @@ class LLFlowModule(nn.Module):
         lr6 = llflow_preprocess(image) if image.shape[-1] == 3 else image
         enc = self.rrdb(lr6)
         cond = self._conditionals(enc)
-        pixels = gt.shape[1] * gt.shape[2] * gt.shape[3]
+        # thops.pixels is H*W ONLY (LLFlow_arch.py:125/160 via thops.py) —
+        # normalizing by H*W*C would scale loss and gradients by 1/3
+        pixels = gt.shape[1] * gt.shape[2]
         logdet = jnp.full((gt.shape[0],), -np.log(self.quant) * pixels)
         z = gt
         for kind, level, idx in self._plan():
@@ -427,10 +429,13 @@ class LLFlowModule(nn.Module):
 
 
 def _llflow_forward_loss(model, variables, datapoint, rngs):
+    # NLL only: the reference's training step never runs the reverse
+    # sampling pipeline (LLFlow trains on normal_flow alone); running
+    # model.apply here would re-encode the 24-RRDB conditioner and the
+    # full 3-level reverse flow per step just to fill metric outputs
     nll = model.module.apply(variables, datapoint["image"],
                              datapoint["ref_image"], method=LLFlowModule.nll)
-    outputs = model.apply(variables, datapoint)
-    return nll, outputs
+    return nll, {"nll": nll}
 
 
 @MODELS.register(name="llflow", arch="llflow", tasks=(Task.LLIE,),

@@ -125,17 +125,36 @@ class RetinexNetModule(nn.Module):
 
 
 def _grad(t, axis):
-    return jnp.abs(jnp.diff(t, axis=axis, append=t[:, -1:] if axis == 1
-                            else t[:, :, -1:]))
+    """|conv2d(t, 2x2 forward-difference kernel, padding=1)| — the
+    reference's gradient (model.py:240-249), including its (H+1, W+1)
+    zero-pad boundary rows. kx=[[0,0],[-1,1]]; ky is its transpose."""
+    p = jnp.pad(t, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    if axis == 2:   # "x": difference along W at row offset +1
+        g = p[:, 1:, 1:, :] - p[:, 1:, :-1, :]
+    else:           # "y": difference along H at col offset +1
+        g = p[:, 1:, 1:, :] - p[:, :-1, 1:, :]
+    return jnp.abs(g)
+
+
+def _avg_pool3(t):
+    """F.avg_pool2d(kernel 3, stride 1, padding 1) with the torch default
+    count_include_pad=True (always /9)."""
+    s = jax.lax.reduce_window(
+        t, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return s / 9.0
 
 
 def _smooth(illu, refl):
-    """model.py smooth: |grad I| * exp(-10 * avg-pooled |grad R|)."""
-    r_gray = jnp.mean(refl, axis=-1, keepdims=True)
+    """model.py:254-260 smooth: mean over directions of
+    |grad I| * exp(-10 * avg_pool3(|grad R_luma|)), R collapsed to
+    0.299/0.587/0.114 luma first."""
+    r_gray = (0.299 * refl[..., 0] + 0.587 * refl[..., 1]
+              + 0.114 * refl[..., 2])[..., None]
     loss = 0.0
-    for axis in (1, 2):
+    for axis in (2, 1):
         gi = _grad(illu, axis)
-        gr = _grad(r_gray, axis)
+        gr = _avg_pool3(_grad(r_gray, axis))
         loss = loss + jnp.mean(gi * jnp.exp(-10.0 * gr))
     return loss
 

@@ -60,16 +60,18 @@ class ZeroDiDCEModule(nn.Module):
                       5.66 * s - 2.93 * m + 7.2))
         b = jnp.floor(b).astype(jnp.int32)  # torch int(b)
 
-        def cond(carry):
-            i, _ = carry
-            return i < jnp.minimum(b, self.max_iters)
+        # bounded fori_loop with an i<b mask instead of a data-dependent
+        # while_loop: identical iterates (masked steps are identity), and —
+        # unlike lax.while_loop — reverse-mode differentiable, so the
+        # registered zero-reference training path works
+        n_iters = jnp.minimum(b, self.max_iters)
 
-        def body(carry):
-            i, y = carry
+        def body(i, y):
             gain = (n1 - jnp.mean(y)) / (n3 - jnp.mean(y))
-            return i + 1, y + r * (y * y - y) * gain
+            step = r * (y * y - y) * gain
+            return jnp.where(i < n_iters, y + step, y)
 
-        _, y = jax.lax.while_loop(cond, body, (jnp.int32(0), x))
+        y = jax.lax.fori_loop(0, self.max_iters, body, x)
         return {"enhanced": y, "adjust": r}
 
 

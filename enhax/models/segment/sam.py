@@ -437,7 +437,11 @@ class _SAMViTBlock(nn.Module):
             yw = yw.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, c)
             y = yw[:, :h, :w]
         else:
-            y = _SAMRelAttention(self.dim, self.heads, h, w, name="attn")(y)
+            # rel-pos tables parameterized at the CHECKPOINT grid (so
+            # released weights always fit) and interpolated to the runtime
+            # token grid inside the attention (get_rel_pos semantics)
+            y = _SAMRelAttention(self.dim, self.heads, self.grid, self.grid,
+                                 name="attn")(y)
         x = shortcut + y
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(self.dim * 4, name="lin1")(y)
@@ -446,7 +450,14 @@ class _SAMViTBlock(nn.Module):
 
 
 class _SAMRelAttention(nn.Module):
-    """image_encoder.py:176-241 + add_decomposed_rel_pos (q==k sizes)."""
+    """image_encoder.py:176-241 + add_decomposed_rel_pos (q==k sizes).
+
+    ``size_h/size_w`` shape the PARAMETER tables (the checkpoint grid);
+    when the runtime token grid differs (any non-1024 input on a global
+    block) the tables are linearly interpolated to 2h-1/2w-1, as the
+    reference's get_rel_pos does — instead of silently dropping the
+    mismatched leaves at conversion time.
+    """
     dim: int
     heads: int
     size_h: int
@@ -464,6 +475,10 @@ class _SAMRelAttention(nn.Module):
                            (2 * self.size_h - 1, hd))
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.size_w - 1, hd))
+        if rel_h.shape[0] != 2 * h - 1:
+            rel_h = jax.image.resize(rel_h, (2 * h - 1, hd), "linear")
+        if rel_w.shape[0] != 2 * w - 1:
+            rel_w = jax.image.resize(rel_w, (2 * w - 1, hd), "linear")
         idx_h = (jnp.arange(h)[:, None] - jnp.arange(h)[None, :]) + (h - 1)
         idx_w = (jnp.arange(w)[:, None] - jnp.arange(w)[None, :]) + (w - 1)
         rq = q.reshape(b, self.heads, h, w, hd)

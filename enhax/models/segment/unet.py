@@ -48,23 +48,19 @@ class UNetModule(nn.Module):
         x4 = DoubleConv(f[3], name="down3")(pool(x3))
         x5 = DoubleConv(f[4] // 2, name="down4")(pool(x4))
 
-        def up(a, skip, out, inc):
+        def up(a, skip):
             a = resize_align_corners(a, (a.shape[-3] * 2, a.shape[-2] * 2))
             dy = skip.shape[-3] - a.shape[-3]
             dx = skip.shape[-2] - a.shape[-2]
             if dy or dx:
                 a = jnp.pad(a, ((0, 0), (dy // 2, dy - dy // 2),
                                 (dx // 2, dx - dx // 2), (0, 0)))
-            return jnp.concatenate([skip, a], axis=-1), inc // 2
+            return jnp.concatenate([skip, a], axis=-1)
 
-        y, mid = up(x5, x4, f[3] // 2, f[4])
-        y = DoubleConv(f[3] // 2, mid, name="up1")(y)
-        y, mid = up(y, x3, f[2] // 2, f[3])
-        y = DoubleConv(f[2] // 2, mid, name="up2")(y)
-        y, mid = up(y, x2, f[1] // 2, f[2])
-        y = DoubleConv(f[1] // 2, mid, name="up3")(y)
-        y, mid = up(y, x1, f[0], f[1])
-        y = DoubleConv(f[0], mid, name="up4")(y)
+        y = DoubleConv(f[3] // 2, f[4] // 2, name="up1")(up(x5, x4))
+        y = DoubleConv(f[2] // 2, f[3] // 2, name="up2")(up(y, x3))
+        y = DoubleConv(f[1] // 2, f[2] // 2, name="up3")(up(y, x2))
+        y = DoubleConv(f[0], f[1] // 2, name="up4")(up(y, x1))
         logits = nn.Conv(self.num_classes, (1, 1), name="outc")(y)
         return {"semantic": logits, "logits": logits,
                 "mask": jnp.argmax(logits, axis=-1)}

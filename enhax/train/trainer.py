@@ -89,28 +89,50 @@ def make_train_step(model: Model, tx: optax.GradientTransformation,
     in bf16 and only the scalar is upcast.
     """
     use_bf16 = precision in ("bf16", "bf16-mixed", "16-mixed", "16", 16)
+    # BatchNorm running stats are NOT trainable: they are carried outside
+    # the differentiated tree, updated from the batch via mutable
+    # batch_stats on the plain-loss f32 path (the Lightning/torch BN
+    # semantics the reference trains with), and held frozen elsewhere
+    # (bf16 / custom forward_loss paths — like sci.py's documented stance)
+    bn_path = model.forward_loss_fn is None and model.loss_fn is not None \
+        and not use_bf16
 
     def step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         rngs = {"dropout": rng, "params": rng}
+        stats = {k: v for k, v in state.params.items() if k == "batch_stats"}
+        trainable = {k: v for k, v in state.params.items()
+                     if k != "batch_stats"}
 
-        def loss_fn(params):
+        def loss_fn(trainable):
+            params = {**trainable, **stats}
             if not use_bf16:
-                return model.forward_loss(params, batch, rngs=rngs)
+                if bn_path:
+                    outputs, new_stats = model.apply_train(params, batch,
+                                                           rngs=rngs)
+                    return model.loss_fn(outputs, batch), (outputs, new_stats)
+                loss, outputs = model.forward_loss(params, batch, rngs=rngs)
+                return loss, (outputs, None)
             p16 = _cast_floats(params, jnp.bfloat16)
             b16 = _cast_floats(batch, jnp.bfloat16)
             if model.forward_loss_fn is None and model.loss_fn is not None:
                 outputs = model.apply(p16, b16, training=True, rngs=rngs)
                 outputs = _cast_floats(outputs, jnp.float32)
-                return model.loss_fn(outputs, batch), outputs
+                return model.loss_fn(outputs, batch), (outputs, None)
             loss, outputs = model.forward_loss(p16, b16, rngs=rngs)
-            return loss.astype(jnp.float32), _cast_floats(outputs, jnp.float32)
+            return loss.astype(jnp.float32), (
+                _cast_floats(outputs, jnp.float32), None)
 
         if remat:
             loss_fn = jax.checkpoint(loss_fn)
 
-        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        (loss, (outputs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        params = optax.apply_updates(trainable, updates)
+        if new_stats is not None:
+            params["batch_stats"] = new_stats
+        elif stats:
+            params.update(stats)
         ema = state.ema
         if ema_decay and ema is not None:
             # BasicSR model_ema semantics (image_restoration_model.py:81-88):
@@ -246,8 +268,11 @@ class Trainer:
         # and donating params+ema views of one buffer is an XLA error
         ema = jax.tree_util.tree_map(jnp.copy, params) \
             if self.ema_decay else None
+        # optimizer state covers TRAINABLE leaves only (batch_stats are
+        # carried outside the differentiated tree in make_train_step)
+        trainable = {k: v for k, v in params.items() if k != "batch_stats"}
         return TrainState(step=0, params=params,
-                          opt_state=self.tx.init(params), ema=ema)
+                          opt_state=self.tx.init(trainable), ema=ema)
 
     def _place(self, batch: dict) -> dict:
         from enhax.parallel.mesh import shard_datapoint

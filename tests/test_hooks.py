@@ -230,3 +230,42 @@ def test_early_stop_actually_stops(batch, tmp_path):
                  max_epochs=10, log_every_n_steps=1000, hooks=[hook])
     tr.fit(lambda: [batch], val_iter_fn=lambda: [batch], resume=False)
     assert len(tr.history) <= 3, len(tr.history)  # stopped early, not at 10
+
+
+def test_batchnorm_stats_update_and_are_not_optimized(rng):
+    """BN models train with running stats updated from the batch (mutable
+    batch_stats through apply_train) and EXCLUDED from the optimizer —
+    previously Adam applied gradient updates to running means and the
+    stats never saw a batch (r3 review)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from enhax.train.trainer import TrainState, make_train_step
+
+    m = build_model("mobilenet_v2", width_mult=0.25)
+    batch = {"image": rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32),
+             "class_id": np.array([1, 2])}
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    v = m.init(jax.random.PRNGKey(0), b)
+    assert "batch_stats" in v
+    tx = optax.adam(1e-2)
+    trainable = {k: x for k, x in v.items() if k != "batch_stats"}
+    s = TrainState(0, v, tx.init(trainable), ema=None)
+    step = make_train_step(m, tx, donate=False)
+    s1, metrics = step(s, b, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # running stats moved toward the batch statistics (not by Adam steps:
+    # an Adam step has magnitude ~lr everywhere, while the EMA update is
+    # proportional to the batch moment — check a mean actually changed)
+    before = jax.tree_util.tree_leaves(v["batch_stats"])
+    after = jax.tree_util.tree_leaves(s1.params["batch_stats"])
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(bm))))
+                for a, bm in zip(after, before))
+    assert moved > 0
+    # params (non-stats) also trained
+    d = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, bm: np.max(np.abs(a - bm)),
+                               {k: x for k, x in s1.params.items()
+                                if k != "batch_stats"}, trainable))
+    assert max(float(x) for x in d) > 0

@@ -100,9 +100,11 @@ def test_boundary_aware_prior(key):
 
 
 def test_lfa_moe(key):
+    """size= resizes + projects every expert (reference moe.py contract:
+    without size, inputs must already share shape)."""
     feats = [jax.random.uniform(key, (1, 16, 16, 8)),
              jax.random.uniform(key, (1, 8, 8, 16))]
-    mod = layers.LayeredFeatureAggregation(features=12)
+    mod = layers.LayeredFeatureAggregation(features=12, size=16)
     params = mod.init(jax.random.PRNGKey(0), feats)
     out = mod.apply(params, feats)
     assert out.shape == (1, 16, 16, 12)

@@ -144,3 +144,38 @@ def test_bilateral_smooth_loss_grad(rng):
     g = jax.grad(lambda t: fn(guide, t))(guide)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_retinexnet_smooth_matches_torch_formula(rng):
+    """retinexnet's smoothness term == the reference's torch math
+    (model.py:240-260: 2x2 forward-difference conv pad 1, 3x3 avg-pool
+    pad 1 count_include_pad, BT.601 luma). The reference class itself
+    hardcodes .cuda() so it cannot execute here; this reimplements its
+    exact ops in torch."""
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from enhax.models.llie.retinexnet import _smooth
+
+    def ref_smooth(I, R):  # noqa: E741
+        kx = torch.tensor([[0.0, 0.0], [-1.0, 1.0]]).view(1, 1, 2, 2)
+        ky = kx.transpose(2, 3)
+
+        def grad(t, k):
+            return torch.abs(F.conv2d(t, k, stride=1, padding=1))
+
+        def ave(t, k):
+            return F.avg_pool2d(grad(t, k), kernel_size=3, stride=1,
+                                padding=1)
+
+        r = (0.299 * R[:, 0] + 0.587 * R[:, 1] + 0.114 * R[:, 2])[:, None]
+        return torch.mean(grad(I, kx) * torch.exp(-10 * ave(r, kx))
+                          + grad(I, ky) * torch.exp(-10 * ave(r, ky)))
+
+    illu = rng.uniform(0, 1, (2, 12, 14, 1)).astype(np.float32)
+    refl = rng.uniform(0, 1, (2, 12, 14, 3)).astype(np.float32)
+    want = float(ref_smooth(torch.from_numpy(illu.transpose(0, 3, 1, 2)),
+                            torch.from_numpy(refl.transpose(0, 3, 1, 2))))
+    got = float(_smooth(jnp.asarray(illu), jnp.asarray(refl)))
+    assert abs(got - want) < 1e-6, (got, want)

@@ -375,7 +375,9 @@ def test_brisque_aggd_matches_canonical_estimator(rng):
         np.abs(rng.normal(0, 3.0, 50000))]), jnp.float32)
     a, m, lv, rv = _aggd_fit(x)
     a2, bl, br = _aggd_fit_official(x, axis=0)
-    assert float(a) == float(a2)
+    # same grid BIN: the two 0.001-step alpha tables (np vs jnp arange)
+    # differ by ~1 ULP in stored values, so compare well under the step
+    assert abs(float(a) - float(a2)) < 1e-4, (float(a), float(a2))
     want_mean = float((br - bl) * (sp.gamma(2 / float(a2))
                                    / sp.gamma(1 / float(a2))))
     assert abs(float(m) - want_mean) < 1e-5 * max(1.0, abs(want_mean))

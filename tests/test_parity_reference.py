@@ -490,6 +490,27 @@ def test_llflow_reference_parity():
     got = np.asarray(model.apply(params, dp)["enhanced"])
     _assert_close(ref, got, 2e-4, "llflow")
 
+    # NLL (training objective) parity: deterministic config — color-map
+    # mean (train_gt_ratio 0), quant noise off (the -log(quant)*pixels
+    # logdet constant stays), pixels = H*W as thops.pixels
+    from enhax.models.llie.llflow import LLFlowModule
+    opt["train_gt_ratio"] = 0.0
+    opt["network_G"]["flow"]["augmentation"] = _NoneDict({"noiseQuant": False})
+    gt = rng.uniform(0.1, 0.9, (1, 32, 32, 3)).astype(np.float32)
+    gt_t = torch.from_numpy(gt.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out_nf = net(gt=gt_t, lr=lr6_t, reverse=False)
+    nll_ref = float(np.asarray(out_nf[1]))
+    nll_got = float(model.module.apply(params, lr6, jnp.asarray(gt),
+                                       method=LLFlowModule.nll))
+    # enhax keeps the dequantization constant log(quant)/log(2) (= 5 bits
+    # at quant=32) that upstream adds only together with the quant noise
+    # (LLFlow_arch.py:129-134); with noise off here the reference NLL sits
+    # exactly that constant below enhax's — a fixed offset, gradient-free
+    offset = float(np.log(32.0) / np.log(2.0))
+    assert abs((nll_got - offset) - nll_ref) < 5e-4 * max(1.0, abs(nll_ref)), \
+        (nll_got, nll_ref)
+
 
 def test_llflow_histeq_matches_cv2():
     import cv2
