@@ -79,11 +79,14 @@ def main(only: str | None = None):
                 return b
 
             example = {k: jnp.asarray(v) for k, v in synth_batch(0).items()}
-            # TrainState carries the FULL variables dict, as Trainer does
+            # TrainState carries the FULL variables dict; the optimizer
+            # covers trainable leaves only, as Trainer.init_state does
             # (trainer.py init_state): forward_loss applies `variables`.
             variables = model.init(jax.random.PRNGKey(0), example)
             tx = optax.adam(1e-4)
-            state = TrainState(0, variables, tx.init(variables))
+            trainable = {k: v for k, v in variables.items()
+                         if k != "batch_stats"}
+            state = TrainState(0, variables, tx.init(trainable))
             step_fn = make_train_step(model, tx, precision=precision)
             key = jax.random.PRNGKey(1)
 

@@ -117,13 +117,18 @@ class Model:
         kwargs = self._optional_inputs(datapoint)
         if rngs:
             kwargs["rngs"] = rngs
-        if self._module_accepts_train() and "batch_stats" in variables:
-            out, mut = self.module.apply(variables, *inputs, train=True,
-                                         mutable=["batch_stats"], **kwargs)
-            new_stats = mut.get("batch_stats")
+        new_stats = None
+        if self._module_accepts_train():
+            if "batch_stats" in variables:
+                out, mut = self.module.apply(variables, *inputs, train=True,
+                                             mutable=["batch_stats"],
+                                             **kwargs)
+                new_stats = mut.get("batch_stats")
+            else:
+                out = self.module.apply(variables, *inputs, train=True,
+                                        **kwargs)
         else:
             out = self.module.apply(variables, *inputs, **kwargs)
-            new_stats = None
         if not isinstance(out, dict):
             out = {self.out_key: out}
         return out, new_stats

@@ -83,12 +83,12 @@ class SqueezeNet(nn.Module):
 
 def _basic_conv(x, features, kernel, train, name, strides=(1, 1),
                 padding="SAME"):
-    """torchvision BasicConv2d: bias-free conv + BN(eps=1e-3) + relu."""
-    y = nn.Conv(features, kernel, strides=strides, padding=padding,
-                use_bias=False, name=f"{name}_conv")(x)
-    y = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                     name=f"{name}_bn")(y)
-    return nn.relu(y)
+    """torchvision BasicConv2d — the shared inception.BasicConv module
+    (bias-free conv + BN eps=1e-3 + relu), one implementation for both
+    GoogLeNet and InceptionV3."""
+    from enhax.models.classify.inception import BasicConv
+    return BasicConv(features, kernel, strides=strides, padding=padding,
+                     name=name)(x, train)
 
 
 class Inception(nn.Module):

@@ -476,9 +476,13 @@ class _SAMRelAttention(nn.Module):
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.size_w - 1, hd))
         if rel_h.shape[0] != 2 * h - 1:
-            rel_h = jax.image.resize(rel_h, (2 * h - 1, hd), "linear")
+            # antialias=False: F.interpolate(mode="linear") does not widen
+            # the kernel when downsampling
+            rel_h = jax.image.resize(rel_h, (2 * h - 1, hd), "linear",
+                                     antialias=False)
         if rel_w.shape[0] != 2 * w - 1:
-            rel_w = jax.image.resize(rel_w, (2 * w - 1, hd), "linear")
+            rel_w = jax.image.resize(rel_w, (2 * w - 1, hd), "linear",
+                                     antialias=False)
         idx_h = (jnp.arange(h)[:, None] - jnp.arange(h)[None, :]) + (h - 1)
         idx_w = (jnp.arange(w)[:, None] - jnp.arange(w)[None, :]) + (w - 1)
         rq = q.reshape(b, self.heads, h, w, hd)

@@ -49,23 +49,51 @@ def load_checkpoint(path, state):
     if state.ema is not None:
         template["ema"] = state.ema
     ckptr = ocp.PyTreeCheckpointer()
+
+    def _restore(tpl):
+        return ckptr.restore(Path(path).absolute(), item=tpl)
+
     try:
-        restored = ckptr.restore(Path(path).absolute(), item=template)
+        restored = _restore(template)
     except Exception:
+        restored = None
         if "ema" in template:
             # pre-EMA checkpoint resumed by an EMA-enabled trainer: restore
             # without the shadow and re-seed it from the restored params
-            template.pop("ema")
-            restored = ckptr.restore(Path(path).absolute(), item=template)
-            restored["ema"] = jax.tree.map(
-                lambda p: np.array(p, copy=True), restored["params"])
+            try:
+                tpl = dict(template)
+                tpl.pop("ema")
+                restored = _restore(tpl)
+                restored["ema"] = jax.tree.map(
+                    lambda p: np.array(p, copy=True), restored["params"])
+            except Exception:
+                restored = None
         else:
             # EMA checkpoint resumed by a trainer without ema_decay: restore
             # with the shadow in the template, then drop it
-            template["ema"] = jax.tree.map(
-                lambda p: np.array(p, copy=True), state.params)
-            restored = ckptr.restore(Path(path).absolute(), item=template)
-            restored.pop("ema", None)
+            try:
+                tpl = dict(template)
+                tpl["ema"] = jax.tree.map(
+                    lambda p: np.array(p, copy=True), state.params)
+                restored = _restore(tpl)
+                restored.pop("ema", None)
+            except Exception:
+                restored = None
+        if restored is None:
+            # incompatible optimizer-state layout (e.g. a checkpoint from
+            # before batch_stats were excluded from the optimizer tree):
+            # recover params/step from a templateless restore and reset the
+            # optimizer rather than crashing the resume
+            raw = ckptr.restore(Path(path).absolute())
+            restored = {"step": raw["step"], "epoch": raw["epoch"],
+                        "params": raw["params"],
+                        "opt_state": state.opt_state}
+            if "ema" in template:
+                restored["ema"] = raw.get("ema") or jax.tree.map(
+                    lambda p: np.array(p, copy=True), raw["params"])
+            from enhax.utils.console import console
+            console.print("[ckpt] optimizer state layout incompatible — "
+                          "params restored, optimizer reset")
     new_state = TrainState(step=int(restored["step"]), params=restored["params"],
                            opt_state=restored["opt_state"],
                            ema=restored.get("ema"))

@@ -271,6 +271,13 @@ class Trainer:
         # optimizer state covers TRAINABLE leaves only (batch_stats are
         # carried outside the differentiated tree in make_train_step)
         trainable = {k: v for k, v in params.items() if k != "batch_stats"}
+        if "batch_stats" in params and self.precision in (
+                "bf16", "bf16-mixed", "16-mixed", "16", 16):
+            console.print(
+                "[trainer] WARNING: bf16 precision freezes BatchNorm "
+                "running stats at their current values (stat updates run "
+                "only on the f32 plain-loss path); from-scratch BN "
+                "training should use f32")
         return TrainState(step=0, params=params,
                           opt_state=self.tx.init(trainable), ema=ema)
 

@@ -269,3 +269,31 @@ def test_batchnorm_stats_update_and_are_not_optimized(rng):
                                {k: x for k, x in s1.params.items()
                                 if k != "batch_stats"}, trainable))
     assert max(float(x) for x in d) > 0
+
+
+def test_resume_resets_incompatible_optimizer_state(batch, tmp_path):
+    """A checkpoint whose optimizer state has an incompatible layout (e.g.
+    saved before batch_stats were excluded from the optimizer tree)
+    resumes with params restored and the optimizer reset, instead of
+    crashing (r3 review)."""
+    import jax
+    import optax
+
+    from enhax.train.checkpoints import load_checkpoint, save_checkpoint
+    from enhax.train.trainer import TrainState
+
+    m = build_model("zero_dce_re", num_channels=8)
+    import jax.numpy as jnp
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    v = m.init(jax.random.PRNGKey(0), b)
+    tx = optax.adam(1e-3)
+    # legacy layout: optimizer over a DIFFERENT tree (extra subtree)
+    legacy_opt = tx.init({**v, "batch_stats": {"bn": jnp.zeros((3,))}})
+    save_checkpoint(tmp_path / "ckpt", TrainState(7, v, legacy_opt, ema=None),
+                    epoch=3, name="last")
+
+    template = TrainState(0, v, tx.init(v), ema=None)
+    restored, epoch = load_checkpoint(tmp_path / "ckpt" / "last", template)
+    assert int(restored.step) == 7 and epoch == 4
+    for a, bm in zip(jax.tree.leaves(restored.params), jax.tree.leaves(v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bm))
