@@ -202,3 +202,31 @@ def test_shipped_configs_load_and_build():
         if opt:
             from enhax.constants import OPTIMIZERS
             assert opt.get("name") in OPTIMIZERS, f
+
+
+def test_metric_cli_niqe_official_params(tmp_path):
+    """--metric niqe with the reference's official niqe_pris_params.npz
+    routes through the official scoring pipeline end to end (needs
+    >=96px images for the NIQE block size)."""
+    import os
+
+    import cv2
+
+    from enhax.cli.metric import measure_metric
+
+    npz = ("/root/reference/src/mon_extra/vision/enhance/multitask/"
+           "restormer/basicsr/metrics/niqe_pris_params.npz")
+    if not os.path.isfile(npz):
+        pytest.skip("reference tree not present")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        base = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        img = cv2.resize(base, (128, 128), interpolation=cv2.INTER_CUBIC)
+        img += 0.05 * rng.standard_normal((128, 128, 3)).astype(np.float32)
+        cv2.imwrite(str(d / f"{i}.png"),
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    res = measure_metric({"input": str(d),
+                          "metric": ["niqe"], "niqe_params": npz})
+    assert np.isfinite(res["niqe"]) and res["niqe"] > 0
