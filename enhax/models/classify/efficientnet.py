@@ -131,9 +131,11 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train)
 
-        def rc(c):  # round channels to multiple of 8
-            c = c * self.width
-            return int(max(8, int(c + 4) // 8 * 8))
+        def rc(c):
+            # torchvision _make_divisible incl. the 0.9 floor bump
+            # (16*1.2 -> 24, not 16 — the b3 stage-1 width)
+            from enhax.models.classify.mobilenet import tv_make_divisible
+            return tv_make_divisible(c * self.width, 8)
 
         def rd(d):
             return int(math.ceil(d * self.depth))

@@ -367,6 +367,11 @@ def test_classify_param_counts_match_torchvision_published():
         "shufflenet_v2_x1_0": 2_278_604,
         "squeezenet1_0": 1_248_424,
         "vit_b_16": 86_567_656,
+        # b3 regression: the only variant whose widths need the 0.9-floor
+        # bump of _make_divisible (16*1.2 -> 24)
+        "efficientnet_b3": 12_233_232,
+        "efficientnet_v2_s": 21_458_488,
+        "regnet_y_400mf": 4_344_144,
     }
     sizes = {"inception3": 299}
     for name, want in published.items():
