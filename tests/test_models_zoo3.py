@@ -291,3 +291,35 @@ def test_mobile_sam_promptable(rng):
     out = m.apply(params, dp)
     assert out["masks"].shape[-2:] == (128, 128)
     assert np.isfinite(np.asarray(out["masks"])).all()
+
+
+def test_yolov8_decode_class_aware_nms():
+    """Overlapping detections of DIFFERENT classes both survive NMS
+    (ultralytics' class-offset default); same-class overlaps suppress;
+    agnostic=True restores class-blind suppression (r3 review)."""
+    import numpy as np
+
+    from enhax.models.detect.yolov8 import decode_yolov8
+
+    def logit(p):
+        return float(np.log(p / (1 - p)))
+
+    nc = 3
+    # anchors: two near-identical boxes, classes 0 and 1; one same-class
+    # duplicate of the first at lower score
+    rows = []
+    for cx, cy, w, h, cls, p in ((50, 50, 20, 20, 0, 0.9),
+                                 (51, 50, 20, 20, 1, 0.8),
+                                 (50, 51, 20, 20, 0, 0.6)):
+        cls_logits = [logit(0.01)] * nc
+        cls_logits[cls] = logit(p)
+        rows.append([cx, cy, w, h] + cls_logits)
+    preds = np.asarray([rows], np.float32)
+
+    dets = decode_yolov8({"preds": preds}, score_thresh=0.25, iou_thresh=0.5)
+    assert dets.shape[0] == 2                      # one per class
+    assert sorted(dets[:, 5].astype(int).tolist()) == [0, 1]
+
+    dets_ag = decode_yolov8({"preds": preds}, score_thresh=0.25,
+                            iou_thresh=0.5, agnostic=True)
+    assert dets_ag.shape[0] == 1                   # class-blind keeps best
