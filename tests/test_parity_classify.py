@@ -372,8 +372,11 @@ def test_classify_param_counts_match_torchvision_published():
         "efficientnet_b3": 12_233_232,
         "efficientnet_v2_s": 21_458_488,
         "regnet_y_400mf": 4_344_144,
+        # faithful SwinTransformerV2 (cosine attention, CPB MLP, full qkv
+        # bias param with zero-init k section, PatchMergingV2)
+        "swin_v2_t": 28_351_570,
     }
-    sizes = {"inception3": 299}
+    sizes = {"inception3": 299, "swin_v2_t": 256}
     for name, want in published.items():
         m = MODELS.build(name)
         hw = sizes.get(name, 224)
