@@ -36,9 +36,24 @@ def save_checkpoint(ckpt_dir, state, epoch: int, name: str = "last") -> Path:
 
 def load_checkpoint(path, state):
     """Restore (TrainState, epoch) from an orbax dir, using ``state`` as the
-    structure/sharding template."""
+    structure/sharding template.
+
+    A templateless read-through runs first so that a corrupt/unreadable
+    checkpoint raises immediately instead of cascading into the legacy-layout
+    fallbacks; layout reconciliation (EMA present/absent, optimizer-state
+    layout drift) is then decided by inspecting the stored keys, never by
+    swallowing arbitrary errors.
+    """
     import orbax.checkpoint as ocp
     from enhax.train.trainer import TrainState
+
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    # Raises on corrupt / partially-written / missing checkpoints — those
+    # must propagate, not silently reset optimizer state.
+    raw = ckptr.restore(path)
+    has_ema = "ema" in raw
+    want_ema = state.ema is not None
 
     template = {
         "step": int(state.step),
@@ -46,54 +61,46 @@ def load_checkpoint(path, state):
         "params": state.params,
         "opt_state": state.opt_state,
     }
-    if state.ema is not None:
-        template["ema"] = state.ema
-    ckptr = ocp.PyTreeCheckpointer()
+    if has_ema:
+        # the template must mirror the stored tree even when the trainer has
+        # no EMA (the shadow is dropped after restore) — a missing key would
+        # surface as a structure error and wrongly reset the optimizer
+        template["ema"] = state.ema if want_ema else jax.tree.map(
+            np.asarray, state.params)
 
-    def _restore(tpl):
-        return ckptr.restore(Path(path).absolute(), item=tpl)
+    # The checkpoint's params must structurally match the live model — a
+    # wrong-model resume is an error, not a fallback case.
+    raw_pstruct = jax.tree_util.tree_structure(raw["params"])
+    tpl_pstruct = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, state.params))
+    if raw_pstruct != tpl_pstruct:
+        raise ValueError(
+            f"checkpoint params tree at {path} does not match the model: "
+            f"stored {raw_pstruct} vs expected {tpl_pstruct}")
 
     try:
-        restored = _restore(template)
+        restored = ckptr.restore(path, item=template)
     except Exception:
-        restored = None
-        if "ema" in template:
-            # pre-EMA checkpoint resumed by an EMA-enabled trainer: restore
-            # without the shadow and re-seed it from the restored params
-            try:
-                tpl = dict(template)
-                tpl.pop("ema")
-                restored = _restore(tpl)
-                restored["ema"] = jax.tree.map(
-                    lambda p: np.array(p, copy=True), restored["params"])
-            except Exception:
-                restored = None
-        else:
-            # EMA checkpoint resumed by a trainer without ema_decay: restore
-            # with the shadow in the template, then drop it
-            try:
-                tpl = dict(template)
-                tpl["ema"] = jax.tree.map(
-                    lambda p: np.array(p, copy=True), state.params)
-                restored = _restore(tpl)
-                restored.pop("ema", None)
-            except Exception:
-                restored = None
-        if restored is None:
-            # incompatible optimizer-state layout (e.g. a checkpoint from
-            # before batch_stats were excluded from the optimizer tree):
-            # recover params/step from a templateless restore and reset the
-            # optimizer rather than crashing the resume
-            raw = ckptr.restore(Path(path).absolute())
-            restored = {"step": raw["step"], "epoch": raw["epoch"],
-                        "params": raw["params"],
-                        "opt_state": state.opt_state}
-            if "ema" in template:
-                restored["ema"] = raw.get("ema") or jax.tree.map(
-                    lambda p: np.array(p, copy=True), raw["params"])
-            from enhax.utils.console import console
-            console.print("[ckpt] optimizer state layout incompatible — "
-                          "params restored, optimizer reset")
+        # Params verified identical above, so the only remaining mismatch is
+        # the optimizer-state layout (e.g. a checkpoint from before
+        # batch_stats were excluded from the optimizer tree): recover
+        # params/step from the raw payload and reset the optimizer.
+        restored = {"step": raw["step"], "epoch": raw["epoch"],
+                    "params": raw["params"],
+                    "opt_state": state.opt_state}
+        if has_ema:
+            restored["ema"] = raw["ema"]
+        from enhax.utils.console import console
+        console.print("[ckpt] optimizer state layout incompatible — "
+                      "params restored, optimizer reset")
+    if want_ema and not has_ema:
+        # pre-EMA checkpoint resumed by an EMA-enabled trainer: re-seed the
+        # shadow from the restored params
+        restored["ema"] = jax.tree.map(
+            lambda p: np.array(p, copy=True), restored["params"])
+    if not want_ema:
+        # EMA checkpoint resumed by a trainer without ema_decay
+        restored.pop("ema", None)
     new_state = TrainState(step=int(restored["step"]), params=restored["params"],
                            opt_state=restored["opt_state"],
                            ema=restored.get("ema"))

@@ -136,11 +136,16 @@ def make_train_step(model: Model, tx: optax.GradientTransformation,
         ema = state.ema
         if ema_decay and ema is not None:
             # BasicSR model_ema semantics (image_restoration_model.py:81-88):
-            # shadow = decay * shadow + (1 - decay) * params, float leaves only
+            # shadow = decay * shadow + (1 - decay) * NAMED PARAMETERS only —
+            # buffers (batch_stats running stats) are copied, not blended
+            ema_src = {k: v for k, v in params.items() if k != "batch_stats"}
+            ema_shadow = {k: v for k, v in ema.items() if k != "batch_stats"}
             ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay)
                 if jnp.issubdtype(e.dtype, jnp.floating) else p,
-                ema, params)
+                ema_shadow, ema_src)
+            if "batch_stats" in params:
+                ema["batch_stats"] = params["batch_stats"]
         metrics = {"loss": loss}
         if "ref_image" in batch and model.out_key in outputs:
             pred = jnp.clip(outputs[model.out_key], 0.0, 1.0)
@@ -253,6 +258,7 @@ class Trainer:
             self.limit_val_batches = 1
 
         self.ema_decay = ema_decay
+        self.precision = precision
         self._train_step = make_train_step(model, self.tx, remat=remat,
                                            precision=precision,
                                            ema_decay=ema_decay)

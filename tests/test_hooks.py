@@ -297,3 +297,45 @@ def test_resume_resets_incompatible_optimizer_state(batch, tmp_path):
     assert int(restored.step) == 7 and epoch == 4
     for a, bm in zip(jax.tree.leaves(restored.params), jax.tree.leaves(v)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bm))
+
+
+def test_corrupt_checkpoint_raises_not_resets(batch, tmp_path):
+    """A corrupt/unreadable checkpoint must raise (ADVICE r3: bare excepts
+    made corruption indistinguishable from the legacy-layout fallback)."""
+    import pytest
+
+    from enhax.train import Trainer
+    from enhax.train.checkpoints import load_checkpoint
+
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=1, log_every_n_steps=1000)
+    s = tr.init_state({k: np.asarray(v) for k, v in batch.items()})
+    bad = tmp_path / "ckpt" / "last"
+    bad.mkdir(parents=True)
+    (bad / "checkpoint").write_bytes(b"not an orbax payload")
+    with pytest.raises(Exception):
+        load_checkpoint(bad, s)
+
+
+def test_wrong_model_checkpoint_raises(batch, tmp_path):
+    """Resuming a checkpoint from a different architecture raises a
+    ValueError naming the tree mismatch instead of resetting the optimizer."""
+    import pytest
+
+    from enhax.train import Trainer
+    from enhax.train.checkpoints import load_checkpoint
+
+    m1 = build_model("zero_dce_re", num_channels=8)
+    tr1 = Trainer(m1, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=1, ckpt_dir=tmp_path / "ckpt",
+                  log_every_n_steps=1000)
+    tr1.fit(lambda: [batch], resume=False)
+
+    m2 = build_model("hinet_re", num_channels=8, depth=2, in_pos_right=1)
+    tr2 = Trainer(m2, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=1, log_every_n_steps=1000)
+    s2 = tr2.init_state({"image": np.asarray(batch["image"]),
+                         "ref_image": np.asarray(batch["image"])})
+    with pytest.raises(ValueError, match="does not match"):
+        load_checkpoint(tmp_path / "ckpt" / "last", s2)

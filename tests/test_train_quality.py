@@ -61,3 +61,44 @@ def test_supervised_training_improves_psnr(rng):
     psnr_before = float(psnr(jnp.asarray(dark), jnp.asarray(clean)))
     psnr_after = float(psnr(enhanced, jnp.asarray(clean)))
     assert psnr_after > psnr_before + 3.0, (psnr_before, psnr_after)
+
+
+def test_trainer_init_state_and_fit_with_batch_stats(rng):
+    """Trainer.fit on a BatchNorm model: init_state must work (it reads
+    self.precision whenever params carry batch_stats — ADVICE r3 high) and
+    the running stats must update on the f32 plain-loss path."""
+    import flax.linen as nn
+    import optax
+
+    from enhax.models.base import Model
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = nn.Conv(3, (3, 3), padding="SAME")(x)
+            return {"enhanced": x}
+
+    m = Model(name="tiny_bn", arch="test", module=TinyBN(),
+              loss_fn=lambda out, dp: optax.l2_loss(
+                  out["enhanced"], dp["ref_image"]).mean())
+    dark, clean = _make_data(rng, n=4, size=16)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=2, log_every_n_steps=1000)
+    # exercises init_state directly (state=None path)
+    state = tr.fit(lambda: [{"image": dark, "ref_image": clean}])
+    assert "batch_stats" in state.params
+    mean = state.params["batch_stats"]["BatchNorm_0"]["mean"]
+    assert float(jnp.abs(mean).max()) > 0  # running stats actually updated
+    # optimizer state covers trainable leaves only (no batch_stats)
+    flat = jax.tree_util.tree_leaves(state.opt_state)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat if hasattr(l, "shape"))
+    # EMA on a BN model: buffers are copied, not blended (ADVICE r3 low)
+    tr2 = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                  max_epochs=1, log_every_n_steps=1000, ema_decay=0.9)
+    st2 = tr2.fit(lambda: [{"image": dark, "ref_image": clean}])
+    np.testing.assert_array_equal(
+        np.asarray(st2.ema["batch_stats"]["BatchNorm_0"]["mean"]),
+        np.asarray(st2.params["batch_stats"]["BatchNorm_0"]["mean"]))
