@@ -41,6 +41,16 @@ NORTH_STAR_MPS = 100.0  # megapixels/sec/chip (BASELINE.json north_star)
 
 
 def main():
+    # Fail fast when the axon tunnel / TPU backend is down (r3: bench hung
+    # 560 s in backend init and shipped no perf record at all) — probe in a
+    # subprocess with a hard timeout, retry with backoff, then emit one
+    # structured JSON error line instead of hanging.
+    from bench_probe import ensure_tpu, error_row
+    err = ensure_tpu()
+    if err is not None:
+        print(error_row("zero_dcepp_1080p_video_throughput",
+                        "megapixels/sec/chip", err))
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

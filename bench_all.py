@@ -32,6 +32,11 @@ def _timeit(f, *args, runs=5):
 
 
 def main(only: str | None = None):
+    from bench_probe import ensure_tpu, error_row
+    err = ensure_tpu()
+    if err is not None:
+        print(error_row("bench_all", "megapixels/sec/chip", err))
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

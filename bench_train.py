@@ -40,6 +40,11 @@ def _model_flops_per_image(model, example, variables=None):
 
 
 def main(only: str | None = None):
+    from bench_probe import ensure_tpu, error_row
+    err = ensure_tpu()
+    if err is not None:
+        print(error_row("bench_train", "megapixels/sec/chip", err))
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
