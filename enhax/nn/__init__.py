@@ -7,6 +7,10 @@ reference's custom schedules, and the INR stack.
 
 from enhax.nn import losses
 from enhax.nn import metrics
+from enhax.nn import metrics_cls  # classification metric wrappers
+from enhax.nn import metrics_reg  # regression metric wrappers
+from enhax.nn import metrics_nom  # nominal metric wrappers
+from enhax.nn import metrics_img  # extended image metrics
 from enhax.nn import optim
 from enhax.nn import layers
 from enhax.nn import inr

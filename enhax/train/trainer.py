@@ -167,6 +167,15 @@ def make_eval_step(model: Model, compute_ssim: bool = True):
             metrics["psnr"] = psnr(pred, ref)
             if compute_ssim:
                 metrics["ssim"] = ssim(pred, ref)
+        if "class_id" in batch and "logits" in outputs:
+            # classification eval: top-1 AND top-5 (reference evaluates
+            # torchmetrics Accuracy; VERDICT r3 asked for both)
+            from enhax.nn.metrics_cls import accuracy
+            logits = outputs["logits"]
+            metrics["acc_top1"] = accuracy(logits, batch["class_id"])
+            if logits.shape[-1] >= 5:
+                metrics["acc_top5"] = accuracy(logits, batch["class_id"],
+                                               top_k=5)
         if model.loss_fn is not None:
             # trace-time failure (e.g. loss needs inputs absent from val
             # batches) omits the metric but must not be silent: a broken val
