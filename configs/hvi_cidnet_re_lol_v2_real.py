@@ -1,0 +1,11 @@
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/hvi_cidnet/config/hvi_cidnet_re_lol_v2_real.py.
+"""
+
+model = 'hvi_cidnet_re'
+model_cfg = {}
+data = 'lol_v2_real'
+data_cfg = {'batch_size': 1, 'shuffle': True}
+image_size = 256
+optimizer_cfg = {'optimizer': {'name': 'adam', 'lr': 0.0001, 'betas': (0.9, 0.999)}, 'lr_scheduler': {'scheduler': {'name': 'gradual_warmup_scheduler', 'multiplier': 1, 'total_epoch': 3, 'after_scheduler': {'name': 'cosine_annealing_restart_lr', 'periods': [997], 'restart_weights': [1], 'eta_min': 1e-07}}}}
+trainer_cfg = {'max_epochs': 1000, 'monitor': ('psnr', 'max')}
+seed = 1000000

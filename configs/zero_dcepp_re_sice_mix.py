@@ -1,0 +1,13 @@
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/zero_dce/config/zero_dce++_re_sice_mix.py.
+
+max_epochs follows the upstream default.trainer (500); the config itself sets none.
+"""
+
+model = 'zero_dce++_re'
+model_cfg = {'num_channels': 32, 'num_iters': 8}
+data = 'sice_mix'
+data_cfg = {'batch_size': 8, 'shuffle': True}
+image_size = 512
+optimizer_cfg = {'optimizer': {'name': 'adam', 'lr': 5e-05, 'weight_decay': 1e-05, 'betas': (0.9, 0.99)}}
+trainer_cfg = {'max_epochs': 500, 'monitor': ('psnr', 'max'), 'gradient_clip_val': 0.1}
+seed = 100

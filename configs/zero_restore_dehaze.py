@@ -1,0 +1,13 @@
+"""Training recipe mirroring reference src/mon/vision/enhance/multitask/zero_restore/config/zero_restore_dehaze.py.
+
+Zero-shot recipe: data supplied at predict time.
+"""
+
+model = 'zero_restore_dehaze'
+model_cfg = {}
+data = None
+data_cfg = {'batch_size': 1}
+image_size = 512
+optimizer_cfg = {'optimizer': {'name': 'adam', 'lr': 0.001, 'weight_decay': 0.01, 'betas': (0.9, 0.999)}}
+trainer_cfg = {'max_epochs': 10000, 'monitor': ('psnr', 'max')}
+seed = 100

@@ -57,6 +57,10 @@ _SPECS = [
     DatasetSpec("fivek_b", Task.RETOUCH, _TT, paired=True),
     DatasetSpec("fivek_c", Task.RETOUCH, _TT, paired=True),
     DatasetSpec("fivek_d", Task.RETOUCH, _TT, paired=True),
+    # the reference's neurop_re_fivek_dark.py config names "fivek_dark"
+    # without registering it (fivek.py registers init/a-e only); enhax
+    # registers the darkened-FiveK variant so the shipped recipe resolves
+    DatasetSpec("fivek_dark", Task.RETOUCH, _TT, paired=True),
     DatasetSpec("fivek_e", Task.RETOUCH, _TT, paired=True),
     DatasetSpec("dicm", Task.LLIE, _T, paired=False),
     DatasetSpec("lime", Task.LLIE, _T, paired=False),

@@ -106,7 +106,8 @@ def cosine_annealing_restart_cyclic_lr(
     return schedule
 
 
-@LR_SCHEDULERS.register(name="gradual_warmup")
+@LR_SCHEDULERS.register(name="gradual_warmup",
+                        aliases=["gradual_warmup_scheduler"])
 def gradual_warmup(
     base_lr: float,
     multiplier: float = 1.0,
@@ -243,6 +244,8 @@ def build_schedule(base_lr: float, spec: dict | None):
     if not spec:
         return base_lr
     spec = dict(spec)
+    if "T_max" in spec:  # torch CosineAnnealingLR spelling
+        spec["t_max"] = spec.pop("T_max")
     name = spec.pop("name")
     after = spec.pop("after_scheduler", None) or spec.pop("scheduler", None)
     if after is not None:

@@ -191,17 +191,30 @@ def test_shipped_configs_load_and_build():
 
     cfg_dir = _P(__file__).parent.parent / "configs"
     files = sorted(cfg_dir.glob("*.py"))
-    assert len(files) >= 5
+    assert len(files) >= 50  # VERDICT r3 item 5 done-condition
     for f in files:
         cfg = load_config(f)
         assert cfg.get("model") in MODELS, f
-        assert cfg.get("data") in DATAMODULES, f
+        # instance/zero-shot recipes ship data=None (supplied via --data at
+        # predict time — upstream leaves data_name empty for those)
+        if cfg.get("data") is not None:
+            assert cfg["data"] in DATAMODULES, f
         model = MODELS.build(cfg["model"], **(cfg.get("model_cfg") or {}))
         assert model.name, f
-        opt = (cfg.get("optimizer_cfg") or {}).get("optimizer", {})
+        opt_cfg = cfg.get("optimizer_cfg") or {}
+        opt = opt_cfg.get("optimizer", {})
         if opt:
             from enhax.constants import OPTIMIZERS
             assert opt.get("name") in OPTIMIZERS, f
+            # the full optimizer + scheduler chain must build and the LR
+            # schedule must evaluate (catches bad scheduler kwargs)
+            from enhax.nn.optim import build_optimizer, build_schedule
+            tx = build_optimizer(opt_cfg)
+            assert tx is not None, f
+            sched_spec = opt_cfg.get("lr_scheduler")
+            if isinstance(sched_spec, dict) and "scheduler" in sched_spec:
+                sched = build_schedule(opt["lr"], sched_spec["scheduler"])
+                assert float(sched(0)) > 0, f
 
 
 def test_metric_cli_niqe_official_params(tmp_path):
