@@ -66,10 +66,21 @@ def predict(args: dict):
     from enhax.ops.io import write_image
 
     set_random_seed(args.get("seed", 0))
-    model_name = args.get("model")
-    data = args.get("data")
+    # --config resolution (reference predict.py accepts the same config
+    # files as train; flags beat config values — parse_args.py:152-174)
+    cfg = {}
+    if args.get("config"):
+        from enhax.utils.config import load_config, parse_config_file
+        path = parse_config_file(args["config"],
+                                 search_dirs=["configs", "."])
+        if path is None:
+            raise SystemExit(f"config not found: {args['config']}")
+        cfg = load_config(path)
+    model_name = args.get("model") or cfg.get("model")
+    data = args.get("data") or cfg.get("data")
     if not model_name or not data:
         raise SystemExit("--model and --data are required")
+    model_cfg = args.get("model_cfg") or cfg.get("model_cfg") or {}
 
     weights = args.get("weights")
     if isinstance(weights, str) and weights.startswith("zoo:"):
@@ -78,7 +89,7 @@ def predict(args: dict):
         from enhax.zoo import build_zoo_model
         model = build_zoo_model(model_name, weights[4:])
     else:
-        model = MODELS.build(model_name)
+        model = MODELS.build(model_name, **model_cfg)
     variables = None
     if weights:
         variables = _load_weights(model, weights)

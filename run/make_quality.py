@@ -1,0 +1,116 @@
+"""End-to-end quality artifact: train -> predict CLI -> metric CLI -> QUALITY.json.
+
+Rebuild of the reference's de-facto acceptance test — `project/runml/
+metric.py:25-157` run over real result dirs — as a deterministic miniature
+(VERDICT r3 item 7): the committed 4-image golden set (assets/golden/,
+64x64 gamma-darkened scenes) is enhanced by three small models trained at
+fixed seeds, predictions flow through the REAL predict CLI and are scored
+by the REAL metric CLI (PSNR/SSIM, GT-mean variant too), and the scores
+land in QUALITY.json as the cross-round quality regression record.
+
+Usage:  python run/make_quality.py [--out QUALITY.json]
+The fast-suite test (tests/test_quality_artifact.py) re-runs the zero_dce
+chain and asserts the recorded numbers still reproduce.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+# (name, model, model_cfg, supervised, epochs, lr)
+MODELS_UNDER_TEST = [
+    ("zero_dce_re", "zero_dce_re", {"num_channels": 16}, False, 60, 1e-3),
+    ("hinet_tiny", "hinet_re",
+     {"num_channels": 8, "depth": 2, "in_pos_right": 1}, True, 60, 2e-3),
+    ("nafnet_tiny", "nafnet",
+     {"width": 8, "middle_blk_num": 1, "enc_blk_nums": (1, 1),
+      "dec_blk_nums": (1, 1)}, True, 60, 2e-3),
+]
+
+
+def run_one(name, model_name, model_cfg, supervised, epochs, lr, out_root):
+    import numpy as np
+
+    from enhax.cli.metric import measure_metric
+    from enhax.cli.predict import predict
+    from enhax.constants import MODELS
+    from enhax.ops.io import read_image
+    from enhax.train import Trainer
+
+    golden = REPO / "assets" / "golden"
+    inputs = np.stack([read_image(golden / "image" / f"{i:02d}.png")
+                       for i in range(4)]).astype(np.float32)
+    refs = np.stack([read_image(golden / "ref" / f"{i:02d}.png")
+                     for i in range(4)]).astype(np.float32)
+    batch = {"image": inputs}
+    if supervised:
+        batch["ref_image"] = refs
+
+    model = MODELS.build(model_name, **model_cfg)
+    ckpt_dir = out_root / name / "ckpt"
+    tr = Trainer(model, {"optimizer": {"name": "adam", "lr": lr},
+                         "grad_clip_norm": 0.1 if not supervised else None},
+                 max_epochs=epochs, seed=0, ckpt_dir=ckpt_dir,
+                 log_every_n_steps=10**6)
+    tr.fit(lambda: [batch], resume=False)
+
+    # real CLI chain: predict -> metric (reference predict.py:76-124 then
+    # metric.py:25-157)
+    pred_dir = predict({
+        "model": model_name, "model_cfg": model_cfg,
+        "data": str(golden / "image"),
+        "weights": str(ckpt_dir / "last"),
+        "save_dir": str(out_root / name / "pred"),
+        "seed": 0,
+    })
+    scores = measure_metric({
+        "input": str(pred_dir), "target": str(golden / "ref"),
+        "metric": ["psnr", "ssim"],
+    })
+    scores_gt_mean = measure_metric({
+        "input": str(pred_dir), "target": str(golden / "ref"),
+        "metric": ["psnr"], "use_gt_mean": True,
+    })
+    base = measure_metric({
+        "input": str(golden / "image"), "target": str(golden / "ref"),
+        "metric": ["psnr", "ssim"],
+    })
+    return {
+        "psnr": round(float(scores["psnr"]), 3),
+        "ssim": round(float(scores["ssim"]), 4),
+        "psnr_gt_mean": round(float(scores_gt_mean["psnr"]), 3),
+        "input_psnr": round(float(base["psnr"]), 3),
+        "input_ssim": round(float(base["ssim"]), 4),
+        "epochs": epochs, "seed": 0, "model_cfg": model_cfg,
+    }
+
+
+def main(argv=None):
+    import tempfile
+
+    out_path = REPO / "QUALITY.json"
+    if argv and "--out" in argv:
+        out_path = Path(argv[argv.index("--out") + 1])
+
+    out_root = Path(tempfile.mkdtemp(prefix="enhax_quality_"))
+    results = {}
+    for name, model_name, model_cfg, supervised, epochs, lr in MODELS_UNDER_TEST:
+        print(f"[quality] {name} ...", flush=True)
+        results[name] = run_one(name, model_name, model_cfg, supervised,
+                                epochs, lr, out_root)
+        print(f"[quality] {name}: {results[name]}", flush=True)
+
+    payload = {"golden_set": "assets/golden (4x 64x64, committed)",
+               "protocol": "train at fixed seed on the golden set -> real "
+                           "predict CLI -> real metric CLI",
+               "results": results}
+    out_path.write_text(json.dumps(payload, indent=1) + "\n")
+    print(f"[quality] -> {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
