@@ -67,9 +67,14 @@ def main(only: str | None = None):
         gc.collect()
 
     def run(metric, model_name, batch, hw, steps=20, use_pipeline=False,
-            ref_key="ref_image", precision=None, **kw):
+            ref_key="ref_image", precision=None, fused_train=False, **kw):
         if only is not None and metric != only:
             return
+        import os
+        if fused_train:
+            # route the training forward through the fused Pallas blocks
+            # (custom VJP: Pallas fwd, lowered-XLA bwd — nafblock_fused)
+            os.environ["ENHAX_FUSED_TRAIN"] = "1"
         try:
             model = build_model(model_name, **kw)
             rng = np.random.default_rng(0)
@@ -155,6 +160,9 @@ def main(only: str | None = None):
         except Exception as e:  # noqa: BLE001
             report(metric, float("nan"), {"error":
                                           f"{type(e).__name__}: {str(e)[:120]}"})
+        finally:
+            if fused_train:
+                os.environ.pop("ENHAX_FUSED_TRAIN", None)
 
     run("zero_dce_256_b8_train", "zero_dce_re", 8, 256, ref_key=None)
     run("hinet_gopro_256_b16_train", "hinet_re", 16, 256, use_pipeline=True)
@@ -166,6 +174,11 @@ def main(only: str | None = None):
         use_pipeline=True, precision="bf16")
     run("nafnet_sidd_256_b16_train_bf16", "nafnet", 16, 256,
         use_pipeline=True, precision="bf16", width=32, middle_blk_num=12)
+    # fused-forward training: Pallas NAFBlocks under grad via the custom
+    # VJP (nafblock_fused; r4) — measures whether the fused fwd + lowered
+    # bwd beats the plain flax train step
+    run("nafnet_sidd_256_b16_train_fused", "nafnet", 16, 256,
+        use_pipeline=True, fused_train=True, width=32, middle_blk_num=12)
 
     if only is None:
         with open("/root/repo/BENCH_TRAIN.json", "w") as fh:

@@ -329,6 +329,36 @@ def nafblock_xla(x, p: dict, tlc_window: int | None):
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nafblock_fused(x, p: dict, tlc_window: int | None = None,
+                   interpret: bool = False):
+    """Differentiable fused NAFBlock: Pallas forward, XLA backward.
+
+    The Pallas row-tile kernels (K1/K2 + banded-matmul TLC box) have no
+    native transpose; the backward rematerializes through
+    ``nafblock_xla`` — the mathematically identical block math with the
+    conv1x1/dwconv lowerings (so the bwd graph also runs matmul-shaped
+    on the MXU). This closes r3's "kernels define no VJP, training
+    forgoes them" gap (PERF.md): the fast path is now usable under
+    ``jax.grad``, at remat cost (one extra forward in the bwd), the
+    standard trade for fused inference kernels.
+    """
+    return nafblock_fast(x, p, tlc_window, interpret=interpret)
+
+
+def _nafblock_fused_fwd(x, p, tlc_window, interpret):
+    return nafblock_fast(x, p, tlc_window, interpret=interpret), (x, p)
+
+
+def _nafblock_fused_bwd(tlc_window, interpret, res, ct):
+    x, p = res
+    _, vjp = jax.vjp(lambda xx, pp: nafblock_xla(xx, pp, tlc_window), x, p)
+    return vjp(ct)
+
+
+nafblock_fused.defvjp(_nafblock_fused_fwd, _nafblock_fused_bwd)
+
+
 def nafnet_fast_apply(variables, x, width: int = 32,
                       enc_blk_nums=(2, 2, 4, 8), middle_blk_num: int = 12,
                       dec_blk_nums=(2, 2, 2, 2), tlc_window: int | None = None,
@@ -346,7 +376,9 @@ def nafnet_fast_apply(variables, x, width: int = 32,
 
     def block(y, p):
         if y.shape[-1] <= fused_max_c:
-            return nafblock_fast(y, p, tlc_window, interpret=interpret)
+            # custom-vjp wrapper: Pallas fwd, XLA bwd — the fast apply is
+            # differentiable end to end (usable as a training forward)
+            return nafblock_fused(y, p, tlc_window, interpret)
         return nafblock_xla(y, p, tlc_window)
 
     def conv(name, y, stride=1):

@@ -66,8 +66,9 @@ class Model:
     forward_loss_fn: Callable | None = None
     # Optional fused inference path (variables, *inputs) -> outputs dict,
     # e.g. the Pallas NAFBlock kernels (enhax/kernels/nafblock.py). Used
-    # by ``apply`` for inference on TPU backends (no VJP is defined for
-    # the fused kernels, so training keeps the flax path); disable with
+    # by ``apply`` for inference on TPU backends; the fused blocks carry a
+    # custom VJP (Pallas fwd, lowered-XLA bwd), so ENHAX_FUSED_TRAIN=1
+    # also routes training forwards through them. Disable entirely with
     # ENHAX_FUSED=0.
     fast_apply_fn: Callable | None = None
 
@@ -84,9 +85,16 @@ class Model:
         """Pure forward: datapoint dict -> outputs dict."""
         inputs = self._model_inputs(datapoint)
         kwargs = self._optional_inputs(datapoint)
+        # rngs-only kwargs don't block the fast path: the train step always
+        # threads rngs, but models that define fast_apply_fn (nafnet/hinet
+        # families) have no stochastic layers, so the flax path ignores
+        # them too
+        fused_kwargs_ok = not kwargs
         if rngs:
             kwargs["rngs"] = rngs
-        if (self.fast_apply_fn is not None and not training and not kwargs
+        fused_ok = (not training
+                    or os.environ.get("ENHAX_FUSED_TRAIN", "0") == "1")
+        if (self.fast_apply_fn is not None and fused_ok and fused_kwargs_ok
                 and jax.default_backend() == "tpu"
                 and os.environ.get("ENHAX_FUSED", "1") != "0"):
             out = self.fast_apply_fn(variables, *inputs)

@@ -71,3 +71,67 @@ def test_nafnet_fast_apply_matches_model(rng):
     # see tolerance note in test_nafblock_fast_matches_flax
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("tlc", [None, 8])
+def test_nafblock_fused_grad_matches_flax(rng, tlc):
+    """The fused block's custom VJP (Pallas fwd / lowered-XLA bwd,
+    VERDICT r3 #3) must reproduce the flax NAFBlock gradients for both
+    the input and every parameter."""
+    from enhax.kernels.nafblock import nafblock_fused
+
+    c = 8
+    blk = NAFBlock(c, tlc_window=tlc)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, c)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map(lambda a: a + np.float32(0.05), v["params"])
+
+    def loss_ref(xx, pp):
+        return jnp.sum(blk.apply({"params": pp}, xx) ** 2)
+
+    def loss_fused(xx, pp):
+        return jnp.sum(nafblock_fused(xx, pp, tlc, True) ** 2)
+
+    gx_ref, gp_ref = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+    gx, gp = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    assert jax.tree_util.tree_structure(gp) == jax.tree_util.tree_structure(gp_ref)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-3, atol=5e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gp)[0],
+            jax.tree_util.tree_flatten_with_path(gp_ref)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-3,
+                                   err_msg=str(ka))
+
+
+def test_nafnet_fast_apply_differentiable(rng):
+    """The full hybrid fast apply is differentiable end to end: grads flow
+    through fused and XLA stages and match the flax model's grads."""
+    import jax as _jax
+
+    from enhax.kernels.nafblock import nafnet_fast_apply
+
+    m = build_model("nafnet", width=8, middle_blk_num=1,
+                    enc_blk_nums=(1,), dec_blk_nums=(1,))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    v = m.init(_jax.random.PRNGKey(0), {"image": x})
+
+    def loss_fast(vv):
+        out = nafnet_fast_apply(vv, x, width=8, middle_blk_num=1,
+                                enc_blk_nums=(1,), dec_blk_nums=(1,),
+                                fused_max_c=64, interpret=True)
+        return jnp.mean(out["enhanced"] ** 2)
+
+    def loss_flax(vv):
+        return jnp.mean(m.apply(vv, {"image": x})["enhanced"] ** 2)
+
+    g_fast = _jax.grad(loss_fast)(v)
+    g_flax = _jax.grad(loss_flax)(v)
+    assert _jax.tree_util.tree_structure(g_fast) == \
+        _jax.tree_util.tree_structure(g_flax)
+    for (ka, a), (kb, b) in zip(
+            _jax.tree_util.tree_flatten_with_path(g_fast)[0],
+            _jax.tree_util.tree_flatten_with_path(g_flax)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-3, err_msg=str(ka))
