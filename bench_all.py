@@ -66,7 +66,16 @@ def main(only: str | None = None):
                     if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
                 v = jax.tree_util.tree_map(cast, v)
                 x = x.astype(jnp.bfloat16)
-            if tile:
+            if tile and batch > 1:
+                # multi-frame tile pipelining: all frames' tiles through one
+                # chunked dispatch (r4; VERDICT r3 #2)
+                from enhax.infer.tiling import tiled_apply_frames
+                fn = jax.jit(lambda vv, img: tiled_apply_frames(
+                    lambda t: model.apply(vv, {"image": t})["enhanced"],
+                    img, tile=(tile[0], tile[0]), overlap=tile[1],
+                    chunk=chunk))
+                f = lambda: fn(v, x)  # noqa: E731
+            elif tile:
                 # tiles batched through one model call (tiled_apply_batched)
                 # — unrolled per-tile calls OOM'd the 16 GB chip at 1080p
                 fn = jax.jit(lambda vv, img: tiled_apply_batched(
@@ -95,6 +104,8 @@ def main(only: str | None = None):
         gc.collect()
 
     # restormer first: its 1080p tiling needs the full unfragmented heap
+    run("restormer_1080p_tiled256_bf16_mf", "restormer", 4, 1088, 1920,
+        runs=3, tile=(256, 32), chunk=16, bf16=True)
     run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
         runs=3, tile=(256, 32), chunk=16, bf16=True)
     run("restormer_1080p_tiled256", "restormer", 1, 1088, 1920,

@@ -81,6 +81,59 @@ def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32
     return out / acc
 
 
+def tiled_apply_frames(fn, frames, tile: tuple[int, int] = (256, 256),
+                       overlap: int = 32, chunk: int = 8,
+                       blend: str = "hann"):
+    """Multi-frame overlap-tiled apply: ALL frames' tiles through one
+    chunked dispatch stream.
+
+    The r4 Restormer serving path (VERDICT r3 #2): a single 1080p frame's
+    tile grid leaves the tail chunk partially filled and re-dispatches the
+    lax.map per frame; pipelining N frames' tiles through one call
+    amortizes both, so the C=48 MDTA/GDFN matmuls see an MXU-filling batch
+    continuously. Same blend contract as :func:`tiled_apply`
+    (``'uniform'`` = Restormer's my_predict.py:157-167 exactly).
+
+    ``frames``: (N, H, W, C); ``fn``: (B, th, tw, C) -> (B, th, tw, C).
+    """
+    n, h, w, c = frames.shape
+    th = min(tile[0], h)
+    tw = min(tile[1], w)
+    stride_h = max(th - overlap, 1)
+    stride_w = max(tw - overlap, 1)
+    ys = _tile_starts(h, th, stride_h)
+    xs = _tile_starts(w, tw, stride_w)
+    coords = [(y, x) for y in ys for x in xs]
+    n_tiles = len(coords)
+
+    # frame-major tile stack: (N * T, th, tw, C)
+    patches = jnp.stack([
+        jax.lax.dynamic_slice(frames, (f, y, x, 0), (1, th, tw, c))[0]
+        for f in range(n) for y, x in coords])
+    total = n * n_tiles
+    n_groups = -(-total // chunk)
+    pad = n_groups * chunk - total
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.repeat(patches[-1:], pad, axis=0)], axis=0)
+    groups = patches.reshape((n_groups, chunk) + patches.shape[1:])
+    preds = jax.lax.map(fn, groups)
+    preds = preds.reshape((n_groups * chunk,) + preds.shape[2:])[:total]
+    preds = preds.reshape((n, n_tiles) + preds.shape[1:])
+
+    win = _blend_window(th, tw, blend).astype(frames.dtype)
+    out = jnp.zeros_like(frames)
+    acc = jnp.zeros((1, h, w, 1), frames.dtype)
+    for k, (y, x) in enumerate(coords):
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, y, x, 0), (n, th, tw, c))
+            + preds[:, k] * win, (0, y, x, 0))
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (0, y, x, 0), (1, th, tw, 1))
+            + win, (0, y, x, 0))
+    return out / jnp.maximum(acc, 1e-8)
+
+
 def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
                         overlap: int = 32, chunk: int = 8,
                         blend: str = "hann"):

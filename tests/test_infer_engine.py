@@ -214,3 +214,26 @@ def test_infer_accepts_dataset_item_with_meta(rng):
             "caption": "a dark street"}
     out = pred.infer(item)
     assert out["enhanced"].shape == (1, 16, 16, 3)
+
+
+def test_tiled_apply_frames_matches_per_frame(rng):
+    """Multi-frame tile pipelining (r4 Restormer serving path) must equal
+    per-frame tiled_apply for both blend modes — including the uniform
+    blend that is the reference-parity contract."""
+    import jax.numpy as jnp
+
+    from enhax.infer.tiling import tiled_apply, tiled_apply_frames
+
+    frames = jnp.asarray(rng.uniform(0, 1, (3, 40, 56, 3)).astype(np.float32))
+
+    def fn(x):
+        return x * 0.5 + x**2 * 0.1  # shape-preserving, nonlinear
+
+    for blend in ("hann", "uniform"):
+        got = tiled_apply_frames(fn, frames, tile=(16, 16), overlap=4,
+                                 chunk=5, blend=blend)
+        for f in range(3):
+            ref = tiled_apply(fn, frames[f:f + 1], tile=(16, 16), overlap=4,
+                              blend=blend)
+            np.testing.assert_allclose(np.asarray(got[f]), np.asarray(ref[0]),
+                                       atol=1e-5)
