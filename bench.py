@@ -107,4 +107,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — tunnel can die mid-run too
+        from bench_probe import error_row
+        print(error_row("zero_dcepp_1080p_video_throughput",
+                        "megapixels/sec/chip",
+                        f"{type(e).__name__}: {str(e)[:200]}"))

@@ -257,7 +257,7 @@ class Predictor:
                 self._instance_fn(self.variables, dp, jax.random.PRNGKey(self.seed)))
             dt = time.perf_counter() - t0
         elif self.tile is not None:
-            from enhax.infer.tiling import tiled_apply
+            from enhax.infer.tiling import tiled_apply_frames
             s_tile = getattr(self.model, "scale", 1) or 1
             if s_tile != 1:
                 raise ValueError(
@@ -265,7 +265,10 @@ class Predictor:
                     f"{self.model.name} has scale={s_tile} (tiled_apply "
                     f"accumulates into an input-shaped canvas)")
             t0 = time.perf_counter()
-            enhanced = tiled_apply(
+            # all frames' tiles through one chunked dispatch stream (r4:
+            # amortizes the tail chunk + per-frame dispatch; equals
+            # per-frame tiled_apply for both blends — tests assert it)
+            enhanced = tiled_apply_frames(
                 lambda x: self._jitted(self.variables, {**dp, "image": x})[self.model.out_key],
                 dp["image"], tile=self.tile[0:2], overlap=self.tile[2],
                 blend=self.tile_blend)
