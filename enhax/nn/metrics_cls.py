@@ -343,6 +343,38 @@ def calibration_error(preds, target, n_bins: int = 15, norm: str = "l1"):
     return jnp.sum(w * gap)
 
 
+@METRICS.register(name="precision_at_fixed_recall")
+def precision_at_fixed_recall(preds, target, min_recall: float = 0.5):
+    """(best precision with recall >= min_recall, the threshold achieving
+    it) — torchmetrics PrecisionAtFixedRecall semantics, binary."""
+    prec, rec, thr = precision_recall_curve(preds, target)
+    ok = rec >= min_recall
+    masked = jnp.where(ok, prec, -1.0)
+    i = jnp.argmax(masked)
+    return masked[i], thr[i]
+
+
+@METRICS.register(name="recall_at_fixed_precision")
+def recall_at_fixed_precision(preds, target, min_precision: float = 0.5):
+    """(best recall with precision >= min_precision, its threshold)."""
+    prec, rec, thr = precision_recall_curve(preds, target)
+    ok = prec >= min_precision
+    masked = jnp.where(ok, rec, -1.0)
+    i = jnp.argmax(masked)
+    return masked[i], thr[i]
+
+
+@METRICS.register(name="specificity_at_sensitivity")
+def specificity_at_sensitivity(preds, target, min_sensitivity: float = 0.5):
+    """(best specificity with sensitivity/TPR >= min_sensitivity, its
+    threshold) from the ROC curve."""
+    fpr, tpr, thr = _binary_roc_points(preds, target)
+    ok = tpr >= min_sensitivity
+    masked = jnp.where(ok, 1.0 - fpr, -1.0)
+    i = jnp.argmax(masked)
+    return masked[i], thr[i]
+
+
 @METRICS.register(name="hinge_loss")
 def hinge_loss(preds, target, squared: bool = False):
     """Multiclass hinge loss (Crammer-Singer): mean of

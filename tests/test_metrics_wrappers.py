@@ -473,3 +473,23 @@ def test_eval_step_logs_top1_top5(rng):
     metrics = make_eval_step(m)(v, batch)
     assert "acc_top1" in metrics and "acc_top5" in metrics
     assert 0.0 <= float(metrics["acc_top1"]) <= float(metrics["acc_top5"]) <= 1.0
+
+
+def test_threshold_curve_metrics(bin_data):
+    """precision@recall / recall@precision / specificity@sensitivity: the
+    constraint is met and the value matches a numpy scan of the curve."""
+    from sklearn.metrics import precision_recall_curve as sk_prc, roc_curve
+    s, t = bin_data
+    p_at_r, thr = C.precision_at_fixed_recall(s, t, min_recall=0.6)
+    sk_p, sk_r, sk_t = sk_prc(t, s)
+    best = max(p for p, r in zip(sk_p, sk_r) if r >= 0.6)
+    np.testing.assert_allclose(float(p_at_r), best, atol=1e-5)
+
+    r_at_p, _ = C.recall_at_fixed_precision(s, t, min_precision=0.6)
+    cand = [r for p, r in zip(sk_p, sk_r) if p >= 0.6]
+    np.testing.assert_allclose(float(r_at_p), max(cand), atol=1e-5)
+
+    spec, _ = C.specificity_at_sensitivity(s, t, min_sensitivity=0.7)
+    fpr, tpr, _ = roc_curve(t, s, drop_intermediate=False)
+    best_spec = max(1 - f for f, tp in zip(fpr, tpr) if tp >= 0.7)
+    np.testing.assert_allclose(float(spec), best_spec, atol=1e-5)
