@@ -169,12 +169,16 @@ def run_wizard(input_fn=input, defaults: dict | None = None):
         benchmark = _yesno("Benchmark?", False, input_fn)
         save_image = _yesno("Save image?", True, input_fn)
         save_debug = _yesno("Save debug?", False, input_fn)
+        use_data_dir = _yesno("Data dir?", False, input_fn)
+        use_fullpath = _yesno("Fullpath?", False, input_fn)
         verbose = _yesno("Verbosity?", True, input_fn)
         from enhax.cli.predict import predict
         return predict({**common, "model": model, "data": data,
                         "imgsz": int(imgsz) if imgsz else None,
                         "resize": resize, "benchmark": benchmark,
                         "save_image": save_image, "save_debug": save_debug,
+                        "use_data_dir": use_data_dir,
+                        "use_fullpath": use_fullpath,
                         "verbose": verbose})
     if mode == "metric":
         inp = input_fn("Result dir: ").strip()

@@ -54,6 +54,12 @@ def parse_predict_args(argv=None) -> dict:
     p.add_argument("--save-image", action="store_true", default=True)
     p.add_argument("--no-save-image", dest="save_image", action="store_false")
     p.add_argument("--save-debug", action="store_true")
+    p.add_argument("--use-data-dir", action="store_true",
+                   help="resolve a relative --data under $DATA_DIR "
+                        "(reference parse_args.py:213)")
+    p.add_argument("--use-fullpath", action="store_true",
+                   help="preserve the source's subdirectory structure under "
+                        "save-dir (reference predict.py:98-111)")
     p.add_argument("--verbose", action="store_true")
     return vars(p.parse_args(argv))
 
@@ -80,6 +86,11 @@ def predict(args: dict):
     data = args.get("data") or cfg.get("data")
     if not model_name or not data:
         raise SystemExit("--model and --data are required")
+    if args.get("use_data_dir"):
+        from enhax.constants import DATA_DIR
+        from enhax.utils.pathlib import Path as _Path
+        if not _Path(data).exists() and not _Path(data).is_absolute():
+            data = str(DATA_DIR / data)
     model_cfg = args.get("model_cfg") or cfg.get("model_cfg") or {}
 
     weights = args.get("weights")
@@ -142,6 +153,14 @@ def predict(args: dict):
             enhanced = np.asarray(outputs[model.out_key][0])
             meta = item.get("meta", {})
             name = meta.get("name", f"{n:06d}.png")
+            if args.get("use_fullpath") and meta.get("path"):
+                # preserve the source's subdirectory structure under
+                # save_dir (reference predict.py:98-103 rel_path layout)
+                try:
+                    rel = Path(meta["path"]).relative_to(Path(data).absolute())
+                    name = str(rel.parent / f"{rel.stem}.png")
+                except ValueError:
+                    pass  # source outside the data root: flat name
             if writer is not None:
                 writer.write(enhanced)
             elif args.get("save_image", True):

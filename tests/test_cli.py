@@ -268,6 +268,8 @@ def test_wizard_full_prompt_chain_predict(image_dir, tmp_path):
         "no",              # benchmark
         "yes",             # save image
         "no",              # save debug
+        "no",              # data dir
+        "no",              # fullpath
         "no",              # verbosity
     ])
     run_wizard(input_fn=lambda prompt: next(answers))
@@ -290,7 +292,7 @@ def test_wizard_instance_mode_routes_predict(image_dir, tmp_path):
         str(tmp_path / "inst"),            # save dir
         "auto",
         str(image_dir),
-        "", "no", "no", "yes", "no", "no",
+        "", "no", "no", "yes", "no", "no", "no", "no",
     ])
     run_wizard(input_fn=lambda prompt: next(answers))
     import glob
@@ -330,3 +332,28 @@ def test_wizard_train_mode(tmp_path):
         "no",              # verbosity
     ])
     run_wizard(input_fn=lambda prompt: next(answers))
+
+
+def test_predict_use_fullpath_and_data_dir(tmp_path, monkeypatch):
+    """--use-fullpath preserves source subdirectories under save-dir
+    (reference predict.py:98-103); --use-data-dir resolves a relative
+    --data under $DATA_DIR (parse_args.py:213)."""
+    import cv2
+
+    from enhax.cli.predict import predict
+
+    root = tmp_path / "datadir" / "myset"
+    (root / "sub_a").mkdir(parents=True)
+    (root / "sub_b").mkdir()
+    rng = np.random.default_rng(0)
+    for sub in ("sub_a", "sub_b"):
+        cv2.imwrite(str(root / sub / "x.png"),
+                    (rng.uniform(0, 0.3, (16, 16, 3)) * 255).astype(np.uint8))
+
+    import enhax.constants as C
+    monkeypatch.setattr(C, "DATA_DIR", tmp_path / "datadir")
+    out = predict({"model": "zero_dce_re", "data": "myset",
+                   "use_data_dir": True, "use_fullpath": True,
+                   "save_dir": str(tmp_path / "out")})
+    assert (out / "sub_a" / "x.png").is_file()
+    assert (out / "sub_b" / "x.png").is_file()
