@@ -145,6 +145,14 @@ def measure_metric(args: dict) -> dict:
     input_dir = Path(args["input"])
     target_dir = Path(args["target"]) if args.get("target") else None
     names = args.get("metric") or ["psnr", "ssim"]
+    # accept registry aliases (the reference registers torchmetrics
+    # long-form names, e.g. peak_signal_noise_ratio -> psnr)
+    def _canon(m):
+        try:
+            return METRICS.canonical_name(m)
+        except KeyError:
+            return m
+    names = [_canon(m) for m in names]
     use_gt_mean = bool(args.get("use_gt_mean"))
 
     brisque_svm = None

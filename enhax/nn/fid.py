@@ -76,3 +76,46 @@ def fid(input, target, variables=None, **_):
     f1 = inception_features(np.asarray(input), variables)
     f2 = inception_features(np.asarray(target), variables)
     return fid_from_features(f1, f2)
+
+
+def cosine_memorization_distance(fake_feats, real_feats,
+                                 cosine_distance_eps: float = 0.1) -> float:
+    """MiFID memorization penalty.
+
+    Mean over fake features of the minimum cosine distance
+    ``1 - |cos(f, r)|`` to any real (training) feature, thresholded: a
+    mean distance >= ``cosine_distance_eps`` means "no memorization" and
+    clamps the penalty to 1 (torchmetrics MiFID semantics; all-zero
+    feature rows are dropped before normalization).
+    """
+    f = np.asarray(fake_feats, np.float64)
+    r = np.asarray(real_feats, np.float64)
+    f = f[np.abs(f).sum(axis=1) != 0]
+    r = r[np.abs(r).sum(axis=1) != 0]
+    f = f / np.linalg.norm(f, axis=1, keepdims=True)
+    r = r / np.linalg.norm(r, axis=1, keepdims=True)
+    d = 1.0 - np.abs(f @ r.T)
+    mean_min = float(d.min(axis=1).mean())
+    return mean_min if mean_min < cosine_distance_eps else 1.0
+
+
+def mifid_from_features(fake_feats, real_feats,
+                        cosine_distance_eps: float = 0.1) -> float:
+    """Memorization-informed FID between two activation sets."""
+    fid_value = fid_from_features(fake_feats, real_feats)
+    penalty = cosine_memorization_distance(fake_feats, real_feats,
+                                           cosine_distance_eps)
+    return fid_value / (penalty + 1e-15)
+
+
+@METRICS.register(name="mifid",
+                  aliases=["memorization_informed_frechet_inception_distance"])
+def mifid(input, target, variables=None,
+          cosine_distance_eps: float = 0.1, **_):
+    """Memorization-informed FID (reference nn/metric/image.py:47,66 wraps
+    torchmetrics MemorizationInformedFrechetInceptionDistance): FID divided
+    by the thresholded mean min cosine distance from generated to training
+    features, penalizing generators that memorize the training set."""
+    f1 = inception_features(np.asarray(input), variables)
+    f2 = inception_features(np.asarray(target), variables)
+    return mifid_from_features(f1, f2, cosine_distance_eps)

@@ -40,7 +40,7 @@ def _gaussian_filter_valid(x, win):
     return conv_axis(conv_axis(x, -3), -2)
 
 
-@METRICS.register(name="psnr")
+@METRICS.register(name="psnr", aliases=["peak_signal_noise_ratio"])
 def psnr(input, target, data_range: float = 1.0, eps: float = 1e-12):
     """Peak signal-to-noise ratio over the whole batch (torchmetrics default)."""
     mse = jnp.mean((input.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
@@ -71,7 +71,7 @@ def _ssim_components(x, y, data_range, window_size, sigma, k):
     return ssim_map, cs
 
 
-@METRICS.register(name="ssim")
+@METRICS.register(name="ssim", aliases=["structural_similarity_index_measure"])
 def ssim(input, target, data_range: float = 1.0, window_size: int = 11,
          sigma: float = 1.5, k: tuple = (0.01, 0.03), non_negative: bool = False):
     """Structural similarity (pytorch-msssim parity; reference image.py:316-410)."""
@@ -89,7 +89,9 @@ def _avg_pool2(x):
     return x.reshape(*x.shape[:-3], h, 2, w, 2, x.shape[-1]).mean(axis=(-4, -2))
 
 
-@METRICS.register(name="ms_ssim")
+@METRICS.register(name="ms_ssim",
+                  aliases=["multiscale_ssim",
+                           "multiscale_structural_similarity_index_measure"])
 def ms_ssim(input, target, data_range: float = 1.0, window_size: int = 11,
             sigma: float = 1.5, weights=None, k: tuple = (0.01, 0.03)):
     """Multi-scale SSIM with the standard 5-scale weights."""
@@ -239,7 +241,8 @@ def lpips(input, target, params: dict, lin_weights: list,
     return total
 
 
-METRICS.register(name="lpips", obj=lpips)
+METRICS.register(name="lpips", obj=lpips,
+                 aliases=["learned_perceptual_image_patch_similarity"])
 
 
 class SegmentationMetric:

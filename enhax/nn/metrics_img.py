@@ -11,10 +11,10 @@ ours cannot), so parity tests execute independently-written numpy
 references of the same published estimators plus scipy/sklearn where they
 exist (``tests/test_metrics_wrappers.py``).
 
-Not rebuilt: ``perceptual_path_length`` (needs a generative model) and
-``memorization_informed_frechet_inception_distance`` (plain FID is in
-``enhax.nn.fid``; the MiFID memorization penalty needs the Inception
-feature bank of a training set, out of scope for restoration eval).
+``perceptual_path_length`` lives here as an explicit-generator functional
+(pass the generator and a weights-bound similarity such as LPIPS);
+``memorization_informed_frechet_inception_distance`` is in
+``enhax.nn.fid`` next to plain FID.
 """
 
 from __future__ import annotations
@@ -28,9 +28,9 @@ from enhax.nn.metrics import _fspecial_gauss_1d, _gaussian_filter_valid, \
     _ssim_components
 
 __all__ = [
-    "ergas", "psnrb", "rase", "rmse_sw", "scc", "spectral_angle_mapper",
-    "spatial_distortion_index", "spectral_distortion_index",
-    "total_variation", "uiqi", "vif",
+    "ergas", "perceptual_path_length", "psnrb", "rase", "rmse_sw", "scc",
+    "spectral_angle_mapper", "spatial_distortion_index",
+    "spectral_distortion_index", "total_variation", "uiqi", "vif",
 ]
 
 
@@ -270,3 +270,76 @@ def spatial_distortion_index(preds, ms, pan, pan_lr=None, q: int = 1,
         q_lo = uiqi(m[..., l:l + 1], pan_lr, window_size)
         diffs.append(jnp.abs(q_hi - q_lo) ** q)
     return jnp.mean(jnp.stack(diffs)) ** (1.0 / q)
+
+
+def _slerp(z0, z1, t):
+    """Spherical interpolation between latent rows (StyleGAN PPL)."""
+    z0n = z0 / jnp.linalg.norm(z0, axis=-1, keepdims=True)
+    z1n = z1 / jnp.linalg.norm(z1, axis=-1, keepdims=True)
+    omega = jnp.arccos(jnp.clip(jnp.sum(z0n * z1n, axis=-1, keepdims=True),
+                                -1.0, 1.0))
+    so = jnp.sin(omega)
+    # fall back to lerp where the endpoints are (anti)parallel
+    safe = jnp.abs(so) > 1e-7
+    sl = (jnp.sin((1.0 - t) * omega) / jnp.where(safe, so, 1.0)) * z0 \
+        + (jnp.sin(t * omega) / jnp.where(safe, so, 1.0)) * z1
+    return jnp.where(safe, sl, (1.0 - t) * z0 + t * z1)
+
+
+@METRICS.register(name="perceptual_path_length", aliases=["ppl"])
+def perceptual_path_length(generator, z_size: int, similarity,
+                           num_samples: int = 256, batch_size: int = 64,
+                           interpolation: str = "lerp",
+                           epsilon: float = 1e-4, sample_mode: str = "full",
+                           lower_discard: float | None = 0.01,
+                           upper_discard: float | None = 0.99,
+                           key=None):
+    """Perceptual path length of a generator (StyleGAN metric; reference
+    nn/metric/image.py:51,72 wraps torchmetrics PerceptualPathLength).
+
+    Samples latent pairs, perturbs the interpolation coordinate by
+    ``epsilon``, and scores ``similarity(img_t, img_t+eps) / epsilon**2``;
+    extremes beyond the discard quantiles are dropped (torchmetrics
+    semantics). ``generator(z) -> (N, H, W, C)`` images and
+    ``similarity(a, b) -> (N,)`` perceptual distances (e.g. a
+    weights-bound ``enhax.nn.metrics.lpips``) are passed explicitly —
+    this framework has no implicit pretrained downloads.
+
+    Returns ``(mean, std, distances)``.
+    """
+    import jax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k0, k1, kt = jax.random.split(key, 3)
+    z0 = jax.random.normal(k0, (num_samples, z_size))
+    z1 = jax.random.normal(k1, (num_samples, z_size))
+    if sample_mode == "full":
+        t = jax.random.uniform(kt, (num_samples, 1))
+    elif sample_mode == "end":
+        t = jnp.zeros((num_samples, 1))
+    else:
+        raise ValueError(f"sample_mode must be full|end, got {sample_mode}")
+
+    interp = _slerp if interpolation == "slerp" else \
+        (lambda a, b, tt: a + tt * (b - a))
+    if interpolation not in ("lerp", "slerp"):
+        raise ValueError(f"interpolation must be lerp|slerp, "
+                         f"got {interpolation}")
+
+    dists = []
+    for i in range(0, num_samples, batch_size):
+        a = interp(z0[i:i + batch_size], z1[i:i + batch_size],
+                   t[i:i + batch_size])
+        b = interp(z0[i:i + batch_size], z1[i:i + batch_size],
+                   t[i:i + batch_size] + epsilon)
+        d = jnp.asarray(similarity(generator(a), generator(b)))
+        dists.append(d.reshape(-1) / (epsilon ** 2))
+    dists = jnp.concatenate(dists)
+
+    kept = dists
+    if lower_discard is not None:
+        kept = kept[kept >= jnp.quantile(dists, lower_discard)]
+    if upper_discard is not None:
+        kept = kept[kept <= jnp.quantile(dists, upper_discard)]
+    return float(kept.mean()), float(kept.std()), np.asarray(dists)

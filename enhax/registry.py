@@ -103,6 +103,16 @@ class Registry:
             f"Known: {sorted(self._entries)[:20]}..."
         )
 
+    def canonical_name(self, name: str) -> str:
+        """Resolve a name or alias to its canonical registered key
+        (e.g. ``peak_signal_noise_ratio`` -> ``psnr``)."""
+        n = normalize_name(name)
+        if n in self._entries:
+            return n
+        if n in self._aliases:
+            return self._aliases[n]
+        raise KeyError(f"{self.name}: no entry named {name!r}")
+
     # -- construction ------------------------------------------------------
 
     def build(self, name: str | None = None, config: dict | None = None, **kwargs) -> Any:

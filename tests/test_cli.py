@@ -47,6 +47,17 @@ def test_metric_unknown_metric(image_dir):
         measure_metric({"input": str(image_dir), "metric": ["niqe_magic"]})
 
 
+def test_metric_cli_longform_aliases(image_dir):
+    """Torchmetrics long-form names (the reference's registered spelling,
+    nn/metric/image.py:63-83) resolve through the CLI to the same values."""
+    from enhax.cli.metric import measure_metric
+    res = measure_metric({"input": str(image_dir), "target": str(image_dir),
+                          "metric": ["peak_signal_noise_ratio",
+                                     "structural_similarity_index_measure"]})
+    assert res["psnr"] > 60
+    assert abs(res["ssim"] - 1.0) < 1e-4
+
+
 def test_plot_cli_inprocess(image_dir, tmp_path):
     from enhax.cli.plot import plot
     out = plot({"input": str(image_dir), "results": [str(image_dir)],

@@ -493,3 +493,125 @@ def test_threshold_curve_metrics(bin_data):
     fpr, tpr, _ = roc_curve(t, s, drop_intermediate=False)
     best_spec = max(1 - f for f, tp in zip(fpr, tpr) if tp >= 0.7)
     np.testing.assert_allclose(float(spec), best_spec, atol=1e-5)
+
+
+# -- MiFID + PPL (the last two reference metric names) -------------------------
+
+def test_mifid_memorization_penalty(rng):
+    """MiFID feature math vs an independent numpy reference: memorized
+    (copied) features divide FID by a tiny penalty; disjoint sets clamp
+    the penalty to 1 so MiFID == FID."""
+    from enhax.nn.fid import (cosine_memorization_distance,
+                              fid_from_features, mifid_from_features)
+    real = rng.normal(size=(64, 16)).astype(np.float64)
+    far = rng.normal(loc=5.0, size=(64, 16)).astype(np.float64)
+
+    # independent reference of the penalty
+    def ref_penalty(f, r, eps=0.1):
+        fn = f / np.sqrt((f * f).sum(1))[:, None]
+        rn = r / np.sqrt((r * r).sum(1))[:, None]
+        mins = [min(1.0 - abs(float(fi @ rj)) for rj in rn) for fi in fn]
+        m = float(np.mean(mins))
+        return m if m < eps else 1.0
+
+    np.testing.assert_allclose(
+        cosine_memorization_distance(far, real), ref_penalty(far, real),
+        atol=1e-12)
+    # copied features: penalty ~ 0 -> MiFID explodes vs FID
+    copied = real + rng.normal(scale=1e-6, size=real.shape)
+    pen = cosine_memorization_distance(copied, real)
+    assert pen == pytest.approx(ref_penalty(copied, real), abs=1e-12)
+    assert pen < 1e-6
+    assert mifid_from_features(copied, real) > fid_from_features(copied, real)
+    # far-away features: penalty clamps to 1 -> MiFID == FID
+    assert cosine_memorization_distance(far, real) == 1.0
+    np.testing.assert_allclose(mifid_from_features(far, real),
+                               fid_from_features(far, real), rtol=1e-12)
+
+
+def test_perceptual_path_length_lerp(rng):
+    """PPL over a linear generator with L2 similarity has a closed form:
+    d(t, t+eps) = ||G(z_t) - G(z_t+eps)|| = eps * ||W (z1 - z0)||, so every
+    distance equals ||W dz|| / eps."""
+    import jax
+
+    w = jnp.asarray(rng.normal(size=(6, 12)).astype(np.float32))
+
+    def gen(z):
+        return (z @ w).reshape(z.shape[0], 2, 2, 3)
+
+    def l2(a, b):
+        return jnp.sqrt(((a - b) ** 2).sum(axis=(1, 2, 3)))
+
+    eps = 1e-2
+    mean, std, dists = I.perceptual_path_length(
+        gen, z_size=6, similarity=l2, num_samples=32, batch_size=8,
+        epsilon=eps, lower_discard=None, upper_discard=None,
+        key=jax.random.PRNGKey(3))
+    k0, k1, _ = jax.random.split(jax.random.PRNGKey(3), 3)
+    z0 = jax.random.normal(k0, (32, 6))
+    z1 = jax.random.normal(k1, (32, 6))
+    expect = np.linalg.norm(np.asarray((z1 - z0) @ w), axis=1) * eps \
+        / (eps ** 2)
+    np.testing.assert_allclose(dists, expect, rtol=2e-3)
+    np.testing.assert_allclose(mean, expect.mean(), rtol=2e-3)
+
+    # quantile discard drops the extremes
+    m2, _, d2 = I.perceptual_path_length(
+        gen, z_size=6, similarity=l2, num_samples=32, batch_size=8,
+        epsilon=eps, lower_discard=0.1, upper_discard=0.9,
+        key=jax.random.PRNGKey(3))
+    kept = d2[(d2 >= np.quantile(d2, 0.1)) & (d2 <= np.quantile(d2, 0.9))]
+    np.testing.assert_allclose(m2, kept.mean(), rtol=1e-5)
+
+
+def test_perceptual_path_length_slerp_unit_circle():
+    """slerp between orthogonal unit vectors traces the unit circle, so an
+    identity generator + L2 similarity gives d ~ arc length eps (constant
+    speed) for every sample."""
+    import jax
+
+    def gen(z):
+        return z.reshape(z.shape[0], 1, 1, 2)
+
+    def l2(a, b):
+        return jnp.sqrt(((a - b) ** 2).sum(axis=(1, 2, 3)))
+
+    eps = 1e-3
+    # force orthogonal unit endpoints by monkey-feeding via the PRNG is
+    # fragile; instead check _slerp directly plus a smoke run
+    from enhax.nn.metrics_img import _slerp
+    z0 = jnp.asarray([[1.0, 0.0]])
+    z1 = jnp.asarray([[0.0, 1.0]])
+    for t in (0.0, 0.25, 0.5):
+        a = np.asarray(_slerp(z0, z1, jnp.asarray([[t]])))
+        b = np.asarray(_slerp(z0, z1, jnp.asarray([[t + eps]])))
+        np.testing.assert_allclose(np.linalg.norm(a), 1.0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.linalg.norm(b - a), (np.pi / 2) * eps, rtol=1e-3)
+    mean, _, dists = I.perceptual_path_length(
+        gen, z_size=2, similarity=l2, num_samples=16, batch_size=8,
+        interpolation="slerp", epsilon=eps, lower_discard=None,
+        upper_discard=None, key=jax.random.PRNGKey(0))
+    assert np.isfinite(dists).all() and (dists > 0).all()
+
+
+def test_metric_longform_aliases_resolve():
+    """Reference name-for-name parity: every torchmetrics long-form name the
+    reference registers (nn/metric/image.py:63-83 et al.) resolves here."""
+    import enhax  # noqa: F401
+    from enhax.constants import METRICS
+    for name in [
+        "peak_signal_noise_ratio", "structural_similarity_index_measure",
+        "multiscale_ssim", "multiscale_structural_similarity_index_measure",
+        "learned_perceptual_image_patch_similarity",
+        "error_relative_global_dimensionless_synthesis",
+        "peak_signal_noise_ratio_with_blocked_effect",
+        "relative_average_spectral_error",
+        "root_mean_squared_error_using_sliding_window",
+        "spatial_correlation_coefficient", "universal_image_quality_index",
+        "visual_information_fidelity",
+        "memorization_informed_frechet_inception_distance",
+        "perceptual_path_length",
+    ]:
+        assert name in METRICS, name
