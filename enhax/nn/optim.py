@@ -1,10 +1,15 @@
 """Optimizers + LR schedules (optax).
 
 Rebuild of reference ``src/mon/nn/optimizer.py``: 13 registered torch
-optimizers (optimizer.py:78-90) map to optax; the custom schedulers —
-``CosineAnnealingRestartLR`` (:97), ``CosineAnnealingRestartCyclicLR``,
-``GradualWarmupScheduler``, ``MultiStepLRRestart``, ``VibrateLR`` (:398) —
-become optax schedule functions (step -> lr factor * base_lr).
+optimizers (optimizer.py:78-90) map to optax; all 21 registered
+schedulers — the custom ``CosineAnnealingRestartLR``/``LR2`` (:97,:173),
+``CosineAnnealingRestartCyclicLR``, ``GradualWarmupScheduler``,
+``MultiStepLRRestart``, ``VibrateLR`` (:398) plus the torch surface
+(:459-473: warm restarts, cyclic, one-cycle, polynomial, lambda,
+multiplicative, sequential, chained, plateau...) — become closed-form
+schedule functions (step -> lr), torch-executed parity in
+``tests/test_optim.py``. ``reduce_lr_on_plateau`` is the one stateful
+(metric-driven) entry.
 
 ``build_optimizer(config)`` mirrors the reference's declarative
 ``configure_optimizers`` (nn/model.py:498-615): a dict with optimizer name,
@@ -18,6 +23,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from enhax.constants import LR_SCHEDULERS, OPTIMIZERS
@@ -232,6 +238,248 @@ def linear_lr(base_lr: float, start_factor: float = 1.0, end_factor: float = 0.0
     def schedule(step):
         frac = jnp.clip(step / total_iters, 0.0, 1.0)
         return base_lr * (start_factor + (end_factor - start_factor) * frac)
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="cosine_annealing_warm_restarts")
+def cosine_annealing_warm_restarts(base_lr: float, t_0: int, t_mult: int = 1,
+                                   eta_min: float = 0.0):
+    """SGDR (torch CosineAnnealingWarmRestarts closed form): cosine decay
+    within each cycle, cycle lengths t_0 * t_mult**n."""
+    if t_mult < 1:
+        raise ValueError("t_mult must be >= 1")
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if t_mult == 1:
+            t_cur = jnp.mod(step, t_0)
+            t_i = float(t_0)
+        else:
+            # n = floor(log_mult(step/t_0 * (mult-1) + 1))
+            n = jnp.floor(jnp.log(step / t_0 * (t_mult - 1) + 1)
+                          / math.log(t_mult))
+            t_cur = step - t_0 * (t_mult ** n - 1) / (t_mult - 1)
+            t_i = t_0 * t_mult ** n
+        return eta_min + 0.5 * (base_lr - eta_min) * (
+            1 + jnp.cos(jnp.pi * t_cur / t_i))
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="cyclic_lr")
+def cyclic_lr(base_lr: float, max_lr: float, step_size_up: int = 2000,
+              step_size_down: int | None = None, mode: str = "triangular",
+              gamma: float = 1.0):
+    """torch CyclicLR (Smith 2017): triangle between base_lr and max_lr;
+    triangular2 halves the amplitude each cycle, exp_range scales it by
+    gamma**step."""
+    down = step_size_up if step_size_down is None else step_size_down
+    total = step_size_up + down
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + step / total)
+        x = 1.0 + step / total - cycle  # position in cycle, [0, 1)
+        up_frac = step_size_up / total
+        scale_x = jnp.where(x <= up_frac, x / up_frac,
+                            (1.0 - x) / (1.0 - up_frac))
+        if mode == "triangular":
+            amp = 1.0
+        elif mode == "triangular2":
+            amp = 1.0 / (2.0 ** (cycle - 1))
+        elif mode == "exp_range":
+            amp = gamma ** step
+        else:
+            raise ValueError(f"unknown cyclic mode {mode!r}")
+        return base_lr + (max_lr - base_lr) * scale_x * amp
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="one_cycle_lr")
+def one_cycle_lr(base_lr: float, total_steps: int, pct_start: float = 0.3,
+                 anneal_strategy: str = "cos", div_factor: float = 25.0,
+                 final_div_factor: float = 1e4):
+    """torch OneCycleLR: warm up initial->max over pct_start of the run,
+    then anneal max->min. ``base_lr`` plays torch's ``max_lr`` role
+    (our constructors are keyed on the config's lr)."""
+    initial = base_lr / div_factor
+    final = initial / final_div_factor
+    up_steps = float(pct_start * total_steps) - 1.0
+    down_steps = float(total_steps - 1) - up_steps
+
+    def _anneal(start, end, frac):
+        if anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + jnp.cos(jnp.pi * frac))
+        if anneal_strategy == "linear":
+            return start + (end - start) * frac
+        raise ValueError(f"unknown anneal_strategy {anneal_strategy!r}")
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        up = _anneal(initial, base_lr, jnp.clip(step / up_steps, 0.0, 1.0))
+        dn = _anneal(base_lr, final,
+                     jnp.clip((step - up_steps) / down_steps, 0.0, 1.0))
+        return jnp.where(step <= up_steps, up, dn)
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="polynomial_lr")
+def polynomial_lr(base_lr: float, total_iters: int = 5, power: float = 1.0):
+    def schedule(step):
+        frac = jnp.clip(jnp.asarray(step, jnp.float32) / total_iters, 0.0, 1.0)
+        return base_lr * (1.0 - frac) ** power
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="lambda_lr")
+def lambda_lr(base_lr: float, lr_lambda):
+    """torch LambdaLR: lr = base_lr * lr_lambda(step). ``lr_lambda`` must be
+    jit-traceable if the schedule is used inside jit."""
+    def schedule(step):
+        return base_lr * lr_lambda(step)
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="multiplicative_lr")
+def multiplicative_lr(base_lr: float, lr_lambda, total_iters: int = 10000):
+    """torch MultiplicativeLR: lr(n) = base_lr * prod_{k=1..n} lr_lambda(k).
+
+    The cumulative product over an arbitrary Python callable has no closed
+    form, so factors are pretabulated to ``total_iters`` and looked up
+    (clipped at the end) — jit-friendly and exact within the table.
+    """
+    facts = np.cumprod([1.0] + [float(lr_lambda(k))
+                                for k in range(1, total_iters + 1)])
+    table = jnp.asarray(base_lr * facts, jnp.float32)
+
+    def schedule(step):
+        idx = jnp.clip(jnp.asarray(step, jnp.int32), 0, total_iters)
+        return jnp.take(table, idx)
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="sequential_lr")
+def sequential_lr(base_lr: float, schedulers: Sequence[dict],
+                  milestones: Sequence[int]):
+    """torch SequentialLR: switch between child schedules at milestones;
+    each child sees steps relative to its activation point."""
+    from enhax.nn.optim import build_schedule  # self-import for clarity
+    if len(schedulers) != len(milestones) + 1:
+        raise ValueError("need len(schedulers) == len(milestones) + 1")
+    children = [build_schedule(base_lr, dict(s)) for s in schedulers]
+    starts = [0] + list(milestones)
+    ms = jnp.asarray(list(milestones))
+
+    def schedule(step):
+        step = jnp.asarray(step)
+        idx = jnp.sum(step >= ms)
+        vals = jnp.stack([
+            jnp.asarray(c(step - s) if callable(c) else c, jnp.float32)
+            for c, s in zip(children, starts)])
+        return jnp.take(vals, idx)
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="chained_scheduler")
+def chained_scheduler(base_lr: float, schedulers: Sequence[dict]):
+    """torch ChainedScheduler: apply every child's multiplicative factor at
+    each step — lr = base_lr * prod_i (child_i(step) / base_lr). Exact for
+    the factor-style schedules chaining is used with (constant / linear /
+    exponential)."""
+    from enhax.nn.optim import build_schedule
+    children = [build_schedule(base_lr, dict(s)) for s in schedulers]
+
+    def schedule(step):
+        lr = jnp.asarray(base_lr, jnp.float32)
+        for c in children:
+            f = (jnp.asarray(c(step), jnp.float32) / base_lr) if callable(c) \
+                else jnp.asarray(c, jnp.float32) / base_lr
+            lr = lr * f
+        return lr
+    return schedule
+
+
+@LR_SCHEDULERS.register(name="reduce_lr_on_plateau")
+class ReduceLROnPlateau:
+    """torch ReduceLROnPlateau: metric-driven, hence stateful host-side.
+
+    Call ``step(metric)`` once per validation; read ``lr`` (or call the
+    object with any step index) for the current value. The Trainer's
+    epoch hook feeds ``val/loss`` when this schedule is configured.
+    """
+
+    def __init__(self, base_lr: float, mode: str = "min", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0,
+                 min_lr: float = 0.0):
+        if mode not in ("min", "max"):
+            raise ValueError("mode must be min|max")
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError("threshold_mode must be rel|abs")
+        self.lr = float(base_lr)
+        self.mode, self.factor = mode, factor
+        self.patience, self.threshold = patience, threshold
+        self.threshold_mode, self.cooldown = threshold_mode, cooldown
+        self.min_lr = min_lr
+        self.best = math.inf if mode == "min" else -math.inf
+        self.num_bad = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, current):
+        if self.mode == "min":
+            thr = self.best * (1.0 - self.threshold) \
+                if self.threshold_mode == "rel" else self.best - self.threshold
+            return current < thr
+        thr = self.best * (1.0 + self.threshold) \
+            if self.threshold_mode == "rel" else self.best + self.threshold
+        return current > thr
+
+    def step(self, metric) -> float:
+        current = float(metric)
+        if self._is_better(current):
+            self.best = current
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
+        return self.lr
+
+    def __call__(self, step=None) -> float:
+        return self.lr
+
+
+@LR_SCHEDULERS.register(name="cosine_annealing_restart_lr2")
+def cosine_annealing_restart_lr2(base_lr: float, periods: Sequence[int],
+                                 restarts: Sequence[int],
+                                 restart_weights: Sequence[float] = (1,),
+                                 eta_min: float = 0.0):
+    """Closed form of the reference's CosineAnnealingRestartLR2
+    (optimizer.py:173-216): at each restart epoch r_i the lr resets to
+    restart_weights[i] * base_lr and cosine-cycles with period
+    periods[i+1]; the recursive torch update telescopes to the standard
+    cosine between eta_min and the restart peak. Note the reference
+    shifts restart epochs by +1 internally (restarts = [v+1 ...])."""
+    if len(restarts) != len(restart_weights):
+        raise ValueError("restarts and restart_weights must match in length")
+    shifted = [v + 1 for v in restarts]
+    rs = jnp.asarray([0] + shifted)
+    ws = jnp.asarray([1.0] + list(restart_weights), jnp.float32)
+    ps = jnp.asarray(list(periods[:len(shifted) + 1]), jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = jnp.sum(step >= rs) - 1
+        last_restart = jnp.take(rs, idx)
+        t_max = jnp.take(ps, idx)
+        peak = jnp.take(ws, idx) * base_lr
+        t = step - last_restart
+        return eta_min + 0.5 * (peak - eta_min) * (
+            1 + jnp.cos(jnp.pi * t / t_max))
     return schedule
 
 

@@ -155,3 +155,168 @@ def test_multistep_lr_restart_matches_reference_executed():
         assert abs(got - ref_lr) < 1e-6, (step, got, ref_lr)  # f32 schedule vs f64 torch
         opt.step()
         sched.step()
+
+
+def _torch_lrs(sched_ctor, steps, base_lr=0.1):
+    """Run a torch scheduler and collect the lr before each step."""
+    import torch
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sched = sched_ctor(opt)
+    out = []
+    for _ in range(steps):
+        out.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    return out
+
+
+def test_torch_scheduler_closed_forms_match_torch_executed():
+    """Every torch-mapped schedule == torch's own scheduler, executed
+    (reference registers these at optimizer.py:459-473)."""
+    import torch.optim.lr_scheduler as tls
+
+    from enhax.nn import optim as O
+
+    base = 0.1
+    cases = [
+        (O.cosine_annealing_warm_restarts(base, t_0=10, t_mult=1, eta_min=1e-3),
+         lambda o: tls.CosineAnnealingWarmRestarts(o, T_0=10, eta_min=1e-3)),
+        (O.cosine_annealing_warm_restarts(base, t_0=5, t_mult=2),
+         lambda o: tls.CosineAnnealingWarmRestarts(o, T_0=5, T_mult=2)),
+        (O.cyclic_lr(0.01, max_lr=base, step_size_up=8),
+         lambda o: tls.CyclicLR(o, base_lr=0.01, max_lr=base, step_size_up=8)),
+        (O.cyclic_lr(0.01, max_lr=base, step_size_up=6, step_size_down=10,
+                     mode="triangular2"),
+         lambda o: tls.CyclicLR(o, base_lr=0.01, max_lr=base, step_size_up=6,
+                                step_size_down=10, mode="triangular2")),
+        (O.cyclic_lr(0.01, max_lr=base, step_size_up=8, mode="exp_range",
+                     gamma=0.98),
+         lambda o: tls.CyclicLR(o, base_lr=0.01, max_lr=base, step_size_up=8,
+                                mode="exp_range", gamma=0.98)),
+        (O.one_cycle_lr(base, total_steps=40),
+         lambda o: tls.OneCycleLR(o, max_lr=base, total_steps=40)),
+        (O.one_cycle_lr(base, total_steps=40, anneal_strategy="linear",
+                        pct_start=0.25),
+         lambda o: tls.OneCycleLR(o, max_lr=base, total_steps=40,
+                                  anneal_strategy="linear", pct_start=0.25)),
+        (O.polynomial_lr(base, total_iters=12, power=2.0),
+         lambda o: tls.PolynomialLR(o, total_iters=12, power=2.0)),
+        (O.lambda_lr(base, lambda s: 1.0 / (1.0 + 0.1 * s)),
+         lambda o: tls.LambdaLR(o, lr_lambda=lambda s: 1.0 / (1.0 + 0.1 * s))),
+        (O.multiplicative_lr(base, lambda s: 0.95, total_iters=50),
+         lambda o: tls.MultiplicativeLR(o, lr_lambda=lambda s: 0.95)),
+    ]
+    for ours, ctor in cases:
+        ref = _torch_lrs(ctor, steps=38, base_lr=base)
+        for step, ref_lr in enumerate(ref):
+            got = float(ours(step))
+            assert abs(got - ref_lr) < 5e-6, (ours, step, got, ref_lr)
+
+
+def test_sequential_and_chained_match_torch_executed():
+    import torch.optim.lr_scheduler as tls
+
+    from enhax.nn.optim import build_schedule
+
+    base = 0.1
+    ours = build_schedule(base, {
+        "name": "sequential_lr",
+        "schedulers": [
+            {"name": "linear_lr", "start_factor": 0.25, "end_factor": 1.0,
+             "total_iters": 5},
+            {"name": "exponential_lr", "gamma": 0.9},
+        ],
+        "milestones": [5],
+    })
+
+    def ctor(o):
+        return tls.SequentialLR(
+            o, [tls.LinearLR(o, start_factor=0.25, end_factor=1.0,
+                             total_iters=5),
+                tls.ExponentialLR(o, gamma=0.9)], milestones=[5])
+
+    ref = _torch_lrs(ctor, steps=20, base_lr=base)
+    for step, ref_lr in enumerate(ref):
+        assert abs(float(ours(step)) - ref_lr) < 5e-6, (step,)
+
+    ours_ch = build_schedule(base, {
+        "name": "chained_scheduler",
+        "schedulers": [
+            {"name": "exponential_lr", "gamma": 0.95},
+            {"name": "constant_lr"},
+        ],
+    })
+    ref_ch = _torch_lrs(
+        lambda o: tls.ChainedScheduler(
+            [tls.ExponentialLR(o, gamma=0.95),
+             tls.ConstantLR(o, factor=1.0, total_iters=0)]),
+        steps=15, base_lr=base)
+    for step, ref_lr in enumerate(ref_ch):
+        assert abs(float(ours_ch(step)) - ref_lr) < 5e-6, (step,)
+
+
+def test_reduce_lr_on_plateau_matches_torch_executed():
+    import torch
+    import torch.optim.lr_scheduler as tls
+
+    from enhax.nn.optim import ReduceLROnPlateau
+
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89, 0.89, 0.89, 0.89, 0.89,
+               0.5, 0.5, 0.5, 0.5, 0.6, 0.7]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    ref = tls.ReduceLROnPlateau(opt, mode="min", factor=0.5, patience=2)
+    ours = ReduceLROnPlateau(0.1, mode="min", factor=0.5, patience=2)
+    for m in metrics:
+        ref.step(m)
+        got = ours.step(m)
+        assert abs(got - opt.param_groups[0]["lr"]) < 1e-9, (m, got)
+
+
+def test_cosine_annealing_restart_lr2_matches_reference_executed():
+    """Closed form == the reference's stateful CosineAnnealingRestartLR2
+    (optimizer.py:173-216, executed step by step)."""
+    import torch
+
+    from enhax.convert import refload
+    from enhax.nn.optim import cosine_annealing_restart_lr2
+
+    if not refload.reference_available():
+        import pytest as _pytest
+        _pytest.skip("reference tree not present")
+
+    mod = refload.load_first_party("nn/optimizer.py")
+
+    base_lr = 0.2
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sched = mod.CosineAnnealingRestartLR2(
+        opt, periods=[10, 8, 6], restarts=[10, 18],
+        restart_weights=[0.5, 0.25], eta_min=1e-4)
+    ours = cosine_annealing_restart_lr2(
+        base_lr, periods=[10, 8, 6], restarts=[10, 18],
+        restart_weights=[0.5, 0.25], eta_min=1e-4)
+    for step in range(0, 24):
+        ref_lr = opt.param_groups[0]["lr"]
+        got = float(ours(step))
+        assert abs(got - ref_lr) < 1e-5, (step, got, ref_lr)
+        opt.step()
+        sched.step()
+
+
+def test_scheduler_registry_full_torch_surface():
+    """Reference registers 21 scheduler names (optimizer.py:97-473); all
+    resolve here."""
+    import enhax  # noqa: F401
+    from enhax.constants import LR_SCHEDULERS
+    for name in [
+        "cosine_annealing_restart_lr", "cosine_annealing_restart_lr2",
+        "cosine_annealing_restart_cyclic_lr", "gradual_warmup_scheduler",
+        "multistep_lr_restart", "vibrate_lr", "chained_scheduler",
+        "constant_lr", "cosine_annealing_lr", "cosine_annealing_warm_restarts",
+        "cyclic_lr", "exponential_lr", "lambda_lr", "linear_lr",
+        "multistep_lr", "multiplicative_lr", "one_cycle_lr", "polynomial_lr",
+        "reduce_lr_on_plateau", "sequential_lr", "step_lr",
+    ]:
+        assert name in LR_SCHEDULERS, name
