@@ -50,6 +50,57 @@ _register_opt("lamb", optax.lamb)
 _register_opt("lars", optax.lars)
 _register_opt("lion", optax.lion)
 _register_opt("adafactor", optax.adafactor)
+_register_opt("lbfgs", optax.lbfgs)
+_register_opt("rprop", optax.rprop)
+# torch SparseAdam == Adam over dense gradients (it only differs in how
+# sparse grad *tensors* are handled; XLA gradients are always dense)
+_register_opt("sparse_adam", optax.adam)
+
+
+def asgd(learning_rate: float, lambd: float = 1e-4, alpha: float = 0.75,
+         t0: float = 1e6, weight_decay: float = 0.0):
+    """Averaged SGD with torch.optim.ASGD's exact update rule.
+
+    Per step (torch ASGD): eta_t = lr / (1 + lambd*lr*t)^alpha,
+    p <- p*(1 - lambd*eta_t) - eta_t*(g + wd*p), with the Polyak-Ruppert
+    tail average ``ax`` kept in state (mu_t = 1/max(1, t - t0)); read it
+    via ``opt_state[0].ax`` for averaged-parameter evaluation. Not in
+    optax; implemented as a custom GradientTransformation.
+    """
+    import typing
+
+    class AsgdState(typing.NamedTuple):
+        count: jnp.ndarray
+        ax: typing.Any
+
+    def init_fn(params):
+        return AsgdState(count=jnp.zeros([], jnp.int32),
+                         ax=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("asgd requires params")
+        # torch updates eta/mu AFTER each step, so step k uses values
+        # derived from k-1 (= pre-increment count)
+        t = state.count.astype(jnp.float32)
+        eta = learning_rate / (1.0 + lambd * learning_rate * t) ** alpha
+        mu = 1.0 / jnp.maximum(1.0, t - t0)
+
+        def upd(g, p):
+            g = g + weight_decay * p
+            return -(lambd * eta) * p - eta * g
+
+        new_updates = jax.tree.map(upd, updates, params)
+        new_p = jax.tree.map(lambda p, u: p + u, params, new_updates)
+        new_ax = jax.tree.map(
+            lambda a, p: jnp.where(mu < 1.0, a + mu * (p - a), p),
+            state.ax, new_p)
+        return new_updates, AsgdState(count=state.count + 1, ax=new_ax)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+_register_opt("asgd", asgd)
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,22 @@ MODELS_UNDER_TEST = [
       "dec_blk_nums": (1, 1)}, True, 60, 2e-3),
 ]
 
+# instance-mode (per-image scanned fit) and tiled-predict chains exercise
+# the Predictor's other two inference paths through the same CLI harness
+EXTRA_CHAINS = [
+    # colie: zero-shot INR illumination fit, 100 scanned Adam steps/image
+    ("colie_instance", {"model": "colie_re", "model_cfg": {},
+                        "seed": 0}),
+    # hinet-tiny again but overlap-tiled (tile 32, overlap 8, uniform blend
+    # = the reference contract) — reuses the hinet_tiny checkpoint
+    ("hinet_tiny_tiled", {"model": "hinet_re",
+                          "model_cfg": {"num_channels": 8, "depth": 2,
+                                        "in_pos_right": 1},
+                          "tile": 32, "tile_overlap": 8,
+                          "tile_blend": "uniform", "seed": 0,
+                          "_reuse_ckpt": "hinet_tiny"}),
+]
+
 
 def run_one(name, model_name, model_cfg, supervised, epochs, lr, out_root):
     import numpy as np
@@ -89,6 +105,36 @@ def run_one(name, model_name, model_cfg, supervised, epochs, lr, out_root):
     }
 
 
+def run_chain(name, spec, out_root):
+    """Predict->metric chain without training (instance / tiled paths)."""
+    from enhax.cli.metric import measure_metric
+    from enhax.cli.predict import predict
+
+    golden = REPO / "assets" / "golden"
+    args = {k: v for k, v in spec.items() if not k.startswith("_")}
+    if spec.get("_reuse_ckpt"):
+        args["weights"] = str(out_root / spec["_reuse_ckpt"] / "ckpt" / "last")
+    pred_dir = predict({**args, "data": str(golden / "image"),
+                        "save_dir": str(out_root / name / "pred")})
+    scores = measure_metric({"input": str(pred_dir),
+                             "target": str(golden / "ref"),
+                             "metric": ["psnr", "ssim"]})
+    scores_gt_mean = measure_metric({"input": str(pred_dir),
+                                     "target": str(golden / "ref"),
+                                     "metric": ["psnr"],
+                                     "use_gt_mean": True})
+    base = measure_metric({"input": str(golden / "image"),
+                           "target": str(golden / "ref"),
+                           "metric": ["psnr", "ssim"]})
+    return {"psnr": round(float(scores["psnr"]), 3),
+            "ssim": round(float(scores["ssim"]), 4),
+            "psnr_gt_mean": round(float(scores_gt_mean["psnr"]), 3),
+            "input_psnr": round(float(base["psnr"]), 3),
+            "input_ssim": round(float(base["ssim"]), 4),
+            "seed": 0, "spec": {k: v for k, v in spec.items()
+                                if k != "model_cfg"}}
+
+
 def main(argv=None):
     import tempfile
 
@@ -102,6 +148,10 @@ def main(argv=None):
         print(f"[quality] {name} ...", flush=True)
         results[name] = run_one(name, model_name, model_cfg, supervised,
                                 epochs, lr, out_root)
+        print(f"[quality] {name}: {results[name]}", flush=True)
+    for name, spec in EXTRA_CHAINS:
+        print(f"[quality] {name} ...", flush=True)
+        results[name] = run_chain(name, spec, out_root)
         print(f"[quality] {name}: {results[name]}", flush=True)
 
     payload = {"golden_set": "assets/golden (4x 64x64, committed)",

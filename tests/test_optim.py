@@ -320,3 +320,52 @@ def test_scheduler_registry_full_torch_surface():
         "reduce_lr_on_plateau", "sequential_lr", "step_lr",
     ]:
         assert name in LR_SCHEDULERS, name
+
+
+def test_asgd_matches_torch_executed():
+    """Custom ASGD transformation == torch.optim.ASGD, params and the
+    Polyak-Ruppert average, incl. a small t0 so the tail average engages."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from enhax.nn.optim import asgd
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4,)).astype(np.float32)
+    gs = [rng.normal(size=(4,)).astype(np.float32) for _ in range(12)]
+
+    # torch
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.ASGD([p], lr=0.1, lambd=1e-2, alpha=0.75, t0=3,
+                           weight_decay=1e-3)
+    for g in gs:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+    ax_t = opt.state[p]["ax"].numpy()
+
+    # ours
+    tx = asgd(0.1, lambd=1e-2, alpha=0.75, t0=3, weight_decay=1e-3)
+    params = jnp.asarray(w0)
+    st = tx.init(params)
+    for g in gs:
+        u, st = tx.update(jnp.asarray(g), st, params)
+        params = params + u
+
+    np.testing.assert_allclose(np.asarray(params), p.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.ax), ax_t, rtol=1e-5, atol=1e-6)
+
+
+def test_optimizer_registry_reference_names():
+    """Every optimizer name the reference registers (optimizer.py:78-90)
+    resolves here (lbfgs/rprop via optax; sparse_adam == adam on dense
+    XLA grads; asgd custom)."""
+    import enhax  # noqa: F401
+    from enhax.constants import OPTIMIZERS
+    for name in ["adadelta", "adagrad", "adam", "adamax", "adamw", "asgd",
+                 "lbfgs", "nadam", "radam", "rmsprop", "rprop", "sgd",
+                 "sparse_adam"]:
+        assert name in OPTIMIZERS, name
