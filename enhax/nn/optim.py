@@ -454,8 +454,12 @@ class ReduceLROnPlateau:
     """torch ReduceLROnPlateau: metric-driven, hence stateful host-side.
 
     Call ``step(metric)`` once per validation; read ``lr`` (or call the
-    object with any step index) for the current value. The Trainer's
-    epoch hook feeds ``val/loss`` when this schedule is configured.
+    object with any step index) for the current value. Configured through
+    ``build_optimizer``, the optimizer is wrapped in
+    ``optax.inject_hyperparams`` so the learning rate lives in
+    ``opt_state`` as a device value; the Trainer steps the plateau object
+    on its monitor after each validation epoch and writes the new lr back
+    with ``set_opt_learning_rate`` (no retrace).
     """
 
     def __init__(self, base_lr: float, mode: str = "min", factor: float = 0.1,
@@ -600,6 +604,18 @@ def build_optimizer(config: dict):
               "grad_clip_norm": float | None}
     Also accepts the flat form {"name": "adam", "lr": ...}.
     """
+    return build_optimizer_with_plateau(config)[0]
+
+
+def build_optimizer_with_plateau(config: dict):
+    """Like ``build_optimizer`` but returns ``(tx, plateau, monitor)``.
+
+    When the scheduler spec is ``reduce_lr_on_plateau``, the optimizer is
+    wrapped in ``optax.inject_hyperparams`` (lr becomes an
+    ``opt_state.hyperparams`` device value) and the stateful plateau
+    object plus its monitor key (default ``val/loss``) are returned for
+    the Trainer to drive; otherwise ``(tx, None, None)``.
+    """
     cfg = dict(config)
     opt_cfg = cfg.get("optimizer", cfg)
     if isinstance(opt_cfg, str):
@@ -616,7 +632,17 @@ def build_optimizer(config: dict):
     sched_spec = cfg.get("lr_scheduler")
     if isinstance(sched_spec, dict) and "scheduler" in sched_spec:
         sched_spec = sched_spec["scheduler"]
-    lr_or_schedule = build_schedule(lr, sched_spec) if sched_spec else lr
+
+    plateau = monitor = None
+    if isinstance(sched_spec, dict) and sched_spec.get("name") and \
+            _is_plateau(sched_spec["name"]):
+        p_cfg = {k: v for k, v in sched_spec.items()
+                 if k not in ("name", "monitor")}
+        plateau = ReduceLROnPlateau(lr, **p_cfg)
+        monitor = sched_spec.get("monitor", "val/loss")
+        lr_or_schedule = lr
+    else:
+        lr_or_schedule = build_schedule(lr, sched_spec) if sched_spec else lr
 
     builder = OPTIMIZERS.get(name)
     kwargs = dict(opt_cfg)
@@ -625,7 +651,11 @@ def build_optimizer(config: dict):
     import inspect
     accepted = set(inspect.signature(builder).parameters)
     kwargs = {k: v for k, v in kwargs.items() if k in accepted}
-    tx = builder(lr_or_schedule, **kwargs)
+    if plateau is not None:
+        tx = optax.inject_hyperparams(builder)(
+            learning_rate=lr_or_schedule, **kwargs)
+    else:
+        tx = builder(lr_or_schedule, **kwargs)
     if wd is not None and "weight_decay" not in kwargs and wd:
         tx = optax.chain(optax.add_decayed_weights(wd), tx)
 
@@ -642,4 +672,33 @@ def build_optimizer(config: dict):
         tx = optax.chain(
             tx, freeze_after(lambda p: bool(pat.search(p)),
                              int(frz["after_steps"])))
-    return tx
+    return tx, plateau, monitor
+
+
+def _is_plateau(name: str) -> bool:
+    try:
+        return LR_SCHEDULERS.canonical_name(name) == "reduce_lr_on_plateau"
+    except KeyError:
+        return False
+
+
+def set_opt_learning_rate(opt_state, lr):
+    """Write ``lr`` into every ``optax.InjectHyperparamsState`` found in an
+    optimizer state pytree (walks chain tuples / MultiSteps wrappers).
+    Shape/dtype-preserving, so jitted steps do not retrace."""
+    def walk(s):
+        # both optax inject flavors (InjectHyperparamsState and the
+        # stateful variant) are NamedTuples with a `hyperparams` dict
+        if hasattr(s, "_fields") and "hyperparams" in s._fields \
+                and isinstance(s.hyperparams, dict) \
+                and "learning_rate" in s.hyperparams:
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, getattr(hp["learning_rate"], "dtype", jnp.float32))
+            return s._replace(hyperparams=hp)
+        if hasattr(s, "_fields"):  # any NamedTuple state wrapper
+            return s._replace(**{f: walk(getattr(s, f)) for f in s._fields})
+        if isinstance(s, tuple):
+            return tuple(walk(x) for x in s)
+        return s
+    return walk(opt_state)

@@ -230,9 +230,12 @@ class Trainer:
         ema_decay: float | None = None,
     ):
         self.model = model
+        self.plateau = None
+        self.plateau_monitor = None
         if isinstance(optimizer, dict):
-            from enhax.nn.optim import build_optimizer
-            optimizer = build_optimizer(optimizer)
+            from enhax.nn.optim import build_optimizer_with_plateau
+            optimizer, self.plateau, self.plateau_monitor = \
+                build_optimizer_with_plateau(optimizer)
         import optax
         # reference trainer knobs (config/default.py:142-143,158):
         # gradient clipping + gradient accumulation, expressed as optax
@@ -390,6 +393,13 @@ class Trainer:
                 if vals:
                     stacked = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *vals)
                     row.update({f"val/{k}": float(v) for k, v in stacked.items()})
+
+            # -- metric-driven lr (torch ReduceLROnPlateau semantics) ------------
+            if self.plateau is not None and self.plateau_monitor in row:
+                from enhax.nn.optim import set_opt_learning_rate
+                new_lr = self.plateau.step(row[self.plateau_monitor])
+                state.opt_state = set_opt_learning_rate(state.opt_state, new_lr)
+                row["lr"] = new_lr
 
             self.history.append(row)
             self._write_csv_log()

@@ -369,3 +369,56 @@ def test_optimizer_registry_reference_names():
                  "lbfgs", "nadam", "radam", "rmsprop", "rprop", "sgd",
                  "sparse_adam"]:
         assert name in OPTIMIZERS, name
+
+
+def test_trainer_reduce_lr_on_plateau_integration(rng, tmp_path):
+    """A plateau scheduler config wires end-to-end: lr lives in opt_state
+    via inject_hyperparams, and Trainer.fit drops it after `patience`
+    stalled validation epochs (torch ReduceLROnPlateau semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from enhax.models.base import build_model
+    from enhax.train.trainer import Trainer
+
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = Trainer(m, {"optimizer": {"name": "sgd", "lr": 1e-2},
+                     "lr_scheduler": {"scheduler": {
+                         "name": "reduce_lr_on_plateau", "factor": 0.5,
+                         "patience": 1, "monitor": "val/loss",
+                         # demand a 100% relative improvement per epoch so
+                         # the run deterministically "plateaus"
+                         "threshold": 1.0}}},
+                 max_epochs=6, ckpt_dir=None, save_dir=str(tmp_path))
+    assert tr.plateau is not None and tr.plateau_monitor == "val/loss"
+
+    batch = {"image": jnp.asarray(
+        rng.uniform(0.02, 0.3, (2, 16, 16, 3)).astype(np.float32))}
+    state = tr.fit(lambda: [batch], val_iter_fn=lambda: [batch])
+
+    lrs = [r.get("lr") for r in tr.history]
+    assert all(v is not None for v in lrs)
+    # val loss stalls within a few epochs at this lr -> at least one cut,
+    # each cut exactly halves the lr
+    assert lrs[-1] < 1e-2
+    uniq = sorted(set(round(v, 10) for v in lrs), reverse=True)
+    for a, b in zip(uniq, uniq[1:]):
+        np.testing.assert_allclose(b, a * 0.5, rtol=1e-6)
+    # the device-side hyperparam matches the host object
+    def find_inject(s):
+        if hasattr(s, "_fields"):
+            if "hyperparams" in s._fields and isinstance(s.hyperparams, dict) \
+                    and "learning_rate" in s.hyperparams:
+                yield s
+            for f in s._fields:
+                yield from find_inject(getattr(s, f))
+        elif isinstance(s, tuple):
+            for x in s:
+                yield from find_inject(x)
+
+    leaves = list(find_inject(state.opt_state))
+    assert leaves, "inject_hyperparams state not found"
+    np.testing.assert_allclose(
+        float(leaves[0].hyperparams["learning_rate"]), tr.plateau.lr,
+        rtol=1e-6)
