@@ -32,5 +32,7 @@ from enhax import ops  # noqa: E402
 from enhax import nn  # noqa: E402  (registers losses/metrics/optimizers)
 from enhax import models  # noqa: E402  (registers models)
 from enhax import data  # noqa: E402  (registers datasets/datamodules)
-from enhax import parallel  # noqa: E402
+from enhax import parallel  # noqa: E402  (registers mesh strategies)
+from enhax import train  # noqa: E402  (registers callbacks/loggers)
+from enhax import track  # noqa: E402  (registers trackers/motions)
 from enhax.models.base import Model, build_model  # noqa: E402

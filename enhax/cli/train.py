@@ -106,6 +106,13 @@ def train(args: dict):
         p = args["progressive"]
         hooks.append(ProgressiveTrainingHook(dm, p["milestones"], p["sizes"],
                                              p["batch_sizes"]))
+    # declarative callbacks (reference train.py:53 CALLBACKS.build_instances):
+    # trainer_cfg["callbacks"] = ["timer", {"name": "early_stopping", ...}]
+    for cb in tr_cfg.get("callbacks") or []:
+        from enhax.constants import CALLBACKS
+        if isinstance(cb, str):
+            cb = {"name": cb}
+        hooks.append(CALLBACKS.build(config=dict(cb)))
 
     from enhax.train import Trainer
     trainer = Trainer(

@@ -75,3 +75,66 @@ def shard_datapoint(datapoint: dict, mesh: Mesh, axis: str = "data") -> dict:
         else:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Named strategies (reference nn/strategy.py:67-80 registers lightning
+# DDP/FSDP/XLA/SingleDevice strategies; the TPU-native analog is a named
+# mesh recipe — build with STRATEGIES.build(name, devices=...)).
+# ---------------------------------------------------------------------------
+
+from enhax.constants import STRATEGIES  # noqa: E402
+
+
+@STRATEGIES.register(name="single_device")
+def single_device_strategy(devices=None, **_):
+    """One-device mesh (lightning SingleDeviceStrategy)."""
+    devs = list(devices if devices is not None else jax.devices())[:1]
+    return make_mesh(("data",), devices=devs)
+
+
+@STRATEGIES.register(name="ddp", aliases=["dp", "parallel", "xla"])
+def ddp_strategy(devices=None, **_):
+    """Pure data parallelism: 1D batch mesh; XLA psums grads over ICI —
+    the replacement for DDPStrategy/XLAStrategy + NCCL process groups."""
+    return make_mesh(("data",), devices=devices)
+
+
+@STRATEGIES.register(name="fsdp", aliases=["deepspeed"])
+def fsdp_strategy(devices=None, **_):
+    """Fully-sharded data parallelism: same 1D mesh; shard params over the
+    ``data`` axis with ``fsdp_shardings`` so each device holds 1/N of every
+    weight and XLA inserts all-gathers at use (ZeRO-3 semantics)."""
+    return make_mesh(("data",), devices=devices)
+
+
+@STRATEGIES.register(name="spatial")
+def spatial_strategy(devices=None, shape=None, **_):
+    """2D (data, space) mesh for spatially-sharded full-res inference
+    (halo-exchange conv path, enhax.parallel.spatial)."""
+    return make_mesh(("data", "space"), shape=shape, devices=devices)
+
+
+def fsdp_shardings(params, mesh: Mesh, axis: str = "data",
+                   min_size: int = 2 ** 14):
+    """Per-leaf NamedShardings sharding the largest dim of each big param
+    over ``axis`` (ZeRO-3-style weight sharding for the fsdp strategy).
+
+    Leaves smaller than ``min_size`` elements (or with no dim divisible by
+    the axis size) stay replicated — the standard scheme from the scaling
+    playbook: shard where it pays, replicate the rest.
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf):
+        if not hasattr(leaf, "shape") or leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        for d in dims:
+            if leaf.shape[d] % n == 0:
+                parts = [None] * leaf.ndim
+                parts[d] = axis
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from enhax.constants import TrackState
+from enhax.constants import TRACKERS, TrackState
 from enhax.track.sort import KalmanBoxTracker, associate, iou_batch
 
 
@@ -21,6 +21,7 @@ def _speed_direction(b1, b2):
     return v / (np.linalg.norm(v) + 1e-6)
 
 
+@TRACKERS.register(name="ocsort")
 class OCSORT:
     def __init__(self, max_age: int = 30, min_hits: int = 3,
                  iou_threshold: float = 0.3, vdc_weight: float = 0.2):

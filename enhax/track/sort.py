@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from enhax.constants import TrackState
+from enhax.constants import MOTIONS, TRACKERS, TrackState
 
 
 def iou_batch(bb_test: np.ndarray, bb_gt: np.ndarray) -> np.ndarray:
@@ -40,8 +40,10 @@ def _z_to_bbox(x):
     return np.array([x[0] - w / 2, x[1] - h / 2, x[0] + w / 2, x[1] + h / 2]).reshape(4)
 
 
+@MOTIONS.register(name="kf_bbox_motion")
 class KalmanBoxTracker:
-    """Constant-velocity Kalman filter for one track."""
+    """Constant-velocity Kalman filter for one track (the reference's
+    KFBBoxMotion, track_old/motion/kalman_filter.py)."""
 
     count = 0
 
@@ -127,6 +129,7 @@ def associate(dets, trks, iou_threshold=0.3):
             np.asarray(um_d, int), np.asarray(um_t, int))
 
 
+@TRACKERS.register(name="sort", aliases=["sort_bbox"])
 class SORT:
     """reference sort.py:222 Tracker."""
 

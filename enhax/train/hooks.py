@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from enhax.constants import CALLBACKS
+from enhax.constants import CALLBACKS, LOGGERS
 
 
 @CALLBACKS.register(name="debug_image")
@@ -46,7 +46,7 @@ class DebugImageHook:
             write_image(out_dir / f"{i:03d}.jpg", np.concatenate(panels, axis=1))
 
 
-@CALLBACKS.register(name="early_stop")
+@CALLBACKS.register(name="early_stop", aliases=["early_stopping"])
 class EarlyStopHook:
     """Set trainer.max_epochs to the current epoch when the monitored metric
     stops improving for ``patience`` epochs."""
@@ -73,6 +73,7 @@ class EarlyStopHook:
                 trainer.max_epochs = row["epoch"]  # stop after this epoch
 
 
+@LOGGERS.register(name="tensorboard", aliases=["tensorboard_logger"])
 @CALLBACKS.register(name="tensorboard")
 class TensorBoardHook:
     """TensorBoard scalar/image logging (reference nn/logger/tensorboard.py:34).
@@ -204,3 +205,113 @@ class SWAHook:
                             TrainState(state.step, self.swa_params,
                                        state.opt_state),
                             row["epoch"], name="swa")
+
+
+@CALLBACKS.register(name="learning_rate_monitor")
+class LearningRateMonitorHook:
+    """Record the current learning rate into the epoch row / CSV log
+    (lightning ``LearningRateMonitor``, reference nn/callback/base.py:33).
+
+    Reads, in order: an explicit ``schedule`` callable evaluated at the
+    current step, or the ``learning_rate`` hyperparam in ``opt_state``
+    (present when the optimizer was built under
+    ``optax.inject_hyperparams``, e.g. the plateau path).
+    """
+
+    def __init__(self, schedule=None, key: str = "lr"):
+        self.schedule = schedule
+        self.key = key
+
+    @staticmethod
+    def _find_injected(s):
+        if hasattr(s, "_fields"):
+            if "hyperparams" in s._fields and isinstance(s.hyperparams, dict) \
+                    and "learning_rate" in s.hyperparams:
+                return s.hyperparams["learning_rate"]
+            for f in s._fields:
+                got = LearningRateMonitorHook._find_injected(getattr(s, f))
+                if got is not None:
+                    return got
+        elif isinstance(s, tuple):
+            for x in s:
+                got = LearningRateMonitorHook._find_injected(x)
+                if got is not None:
+                    return got
+        return None
+
+    def __call__(self, trainer, state, row):
+        if self.key in row:
+            return
+        if self.schedule is not None:
+            row[self.key] = float(self.schedule(int(state.step)))
+            return
+        lr = self._find_injected(state.opt_state)
+        if lr is not None:
+            row[self.key] = float(lr)
+
+
+@CALLBACKS.register(name="timer")
+class TimerHook:
+    """Stop training when a wall-clock budget is exhausted (lightning
+    ``Timer``): sets trainer.max_epochs once ``duration`` seconds have
+    elapsed since construction; always records cumulative ``elapsed_s``."""
+
+    def __init__(self, duration: float | None = None):
+        import time
+        self.t0 = time.perf_counter()
+        self.duration = duration
+
+    def __call__(self, trainer, state, row):
+        import time
+        elapsed = time.perf_counter() - self.t0
+        row["elapsed_s"] = round(elapsed, 3)
+        if self.duration is not None and elapsed >= self.duration:
+            trainer.max_epochs = row["epoch"]
+
+
+@CALLBACKS.register(name="model_checkpoint")
+class ModelCheckpointHook:
+    """Config-name compatibility with the reference's ``model_checkpoint``
+    callback (nn/callback/model_checkpoint.py:35): checkpointing itself is
+    built into Trainer.fit (best-on-monitor + last); this hook re-points
+    the trainer's monitor/ckpt_dir from a config dict at first epoch end."""
+
+    def __init__(self, monitor: str = "val/psnr", mode: str = "max",
+                 dirpath: str | None = None):
+        self.monitor = monitor.split("/")[-1]
+        self.mode = mode
+        self.dirpath = dirpath
+        self._applied = False
+
+    def __call__(self, trainer, state, row):
+        if self._applied:
+            return
+        trainer.monitor = (self.monitor, self.mode)
+        if self.dirpath:
+            trainer.ckpt_dir = self.dirpath
+        self._applied = True
+
+
+@LOGGERS.register(name="csv", aliases=["csv_logger", "log_training_progress"])
+class CSVLogHook:
+    """Standalone CSV epoch logger to a custom path (lightning CSVLogger /
+    the reference's LogTrainingProgress, nn/callback/console_logging.py:38).
+    The Trainer already writes ``save_dir/log.csv``; use this to mirror
+    rows elsewhere (e.g. a shared experiment dir)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._wrote_header = False
+
+    def __call__(self, trainer, state, row):
+        import csv
+        from enhax.utils.pathlib import Path
+        p = Path(self.path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        flat = {k: v for k, v in row.items() if isinstance(v, (int, float, str))}
+        with open(p, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(flat))
+            if not self._wrote_header:
+                w.writeheader()
+                self._wrote_header = True
+            w.writerow(flat)

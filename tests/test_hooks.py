@@ -339,3 +339,71 @@ def test_wrong_model_checkpoint_raises(batch, tmp_path):
                          "ref_image": np.asarray(batch["image"])})
     with pytest.raises(ValueError, match="does not match"):
         load_checkpoint(tmp_path / "ckpt" / "last", s2)
+
+
+def test_registry_callback_logger_tracker_population():
+    """All reference registry surfaces populate on `import enhax`
+    (globals.py:1210-1229): callbacks, loggers, trackers, motions,
+    strategies — including the reference's exact names as aliases."""
+    import enhax  # noqa: F401
+    from enhax.constants import (CALLBACKS, LOGGERS, MOTIONS, STRATEGIES,
+                                 TRACKERS)
+    for name in ["early_stopping", "stochastic_weight_averaging",
+                 "model_checkpoint", "learning_rate_monitor", "timer",
+                 "tensorboard"]:
+        assert name in CALLBACKS, name
+    for name in ["tensorboard", "tensorboard_logger", "csv", "csv_logger",
+                 "log_training_progress"]:
+        assert name in LOGGERS, name
+    for name in ["sort", "sort_bbox", "ocsort"]:
+        assert name in TRACKERS, name
+    assert "kf_bbox_motion" in MOTIONS
+    for name in ["ddp", "dp", "xla", "fsdp", "single_device", "spatial"]:
+        assert name in STRATEGIES, name
+
+
+def test_lr_monitor_and_timer_hooks(batch, tmp_path):
+    from enhax.train.hooks import LearningRateMonitorHook, TimerHook
+    m = build_model("zero_dce_re", num_channels=8)
+    sched = lambda step: 1e-3 * (0.5 ** step)  # noqa: E731
+    tr = _trainer(m, tmp_path,
+                  [LearningRateMonitorHook(schedule=sched), TimerHook()],
+                  epochs=2)
+    tr.fit(lambda: [batch])
+    for row in tr.history:
+        assert "elapsed_s" in row
+        assert row["lr"] == 1e-3 * (0.5 ** (row["epoch"] + 1))
+
+
+def test_timer_hook_stops_training(batch, tmp_path):
+    from enhax.train.hooks import TimerHook
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = _trainer(m, tmp_path, [TimerHook(duration=0.0)], epochs=50)
+    tr.fit(lambda: [batch])
+    assert len(tr.history) == 1  # budget exhausted after the first epoch
+
+
+def test_csv_log_hook(batch, tmp_path):
+    import csv
+
+    from enhax.train.hooks import CSVLogHook
+    m = build_model("zero_dce_re", num_channels=8)
+    path = tmp_path / "mirror" / "log.csv"
+    tr = _trainer(m, tmp_path, [CSVLogHook(str(path))], epochs=3)
+    tr.fit(lambda: [batch])
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 3
+    assert "train/loss" in rows[0]
+
+
+def test_callbacks_built_from_config(batch, tmp_path):
+    """CALLBACKS.build from declarative config specs (reference
+    train.py:53 CALLBACKS.build_instances)."""
+    from enhax.constants import CALLBACKS
+    hook = CALLBACKS.build(config={"name": "early_stopping",
+                                   "monitor": "val/psnr", "patience": 1,
+                                   "min_delta": 100.0})
+    m = build_model("zero_dce_re", num_channels=8)
+    tr = _trainer(m, tmp_path, [hook], epochs=20)
+    tr.fit(lambda: [batch], val_iter_fn=lambda: [batch])
+    assert tr.max_epochs < 20

@@ -243,3 +243,47 @@ def test_2d_mesh_train_step_grad_parity(rng, model_name, cfg):
     for a, b in zip(jax.tree.leaves(s_single.params),
                     jax.tree.leaves(s_mesh.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fsdp_sharded_train_step_matches_replicated(rng):
+    """ZeRO-3 weight sharding (STRATEGIES 'fsdp' + fsdp_shardings): params
+    sharded 1/N per device over the data axis train to the same values as
+    fully-replicated params — XLA inserts the all-gathers."""
+    import optax
+
+    from enhax.constants import MODELS, STRATEGIES
+    from enhax.parallel.mesh import fsdp_shardings
+    from enhax.train.trainer import TrainState, make_train_step
+
+    mesh = STRATEGIES.build("fsdp")
+    assert tuple(mesh.axis_names) == ("data",) and mesh.size == 8
+
+    m = MODELS.build("hinet_re", num_channels=16, depth=2)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 0.4, (8, 32, 32, 3)).astype(np.float32)),
+        "ref_image": jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)),
+    }
+    v = m.init(jax.random.PRNGKey(0), batch)
+    shardings = fsdp_shardings(v, mesh, min_size=2 ** 10)
+    kinds = set()
+    for leaf, sh in zip(jax.tree.leaves(v), jax.tree.leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec"))):
+        kinds.add(tuple(sh.spec))
+    assert ("data",) in kinds or (None, "data") in kinds or any(
+        "data" in (s or ()) for s in kinds), f"nothing sharded: {kinds}"
+
+    tx = optax.sgd(1e-2)
+    step = make_train_step(m, tx, donate=False)
+    key = jax.random.PRNGKey(1)
+
+    s_rep, m_rep = step(TrainState(0, v, tx.init(v), None), batch, key)
+
+    v_sh = jax.tree.map(lambda a, s: jax.device_put(a, s), v, shardings)
+    s_fsdp, m_fsdp = step(TrainState(0, v_sh, tx.init(v_sh), None),
+                          jax.device_put(batch, data_sharding(mesh)), key)
+
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_fsdp["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_rep.params),
+                    jax.tree.leaves(s_fsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
