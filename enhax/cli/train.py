@@ -40,6 +40,9 @@ def parse_train_args(argv=None) -> dict:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--strategy", type=str, default=None,
+                   help="ddp | fsdp | single_device | spatial "
+                        "(reference --strategy, train.py:35)")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices in the data mesh")
     p.add_argument("--exist-ok", action="store_true")
@@ -93,6 +96,8 @@ def train(args: dict):
         tr_cfg["max_epochs"] = args["epochs"]
     if args.get("steps"):
         tr_cfg["max_steps"] = args["steps"]
+    if args.get("strategy"):
+        tr_cfg["strategy"] = args["strategy"]
 
     mesh = None
     if args.get("devices"):
@@ -118,7 +123,8 @@ def train(args: dict):
     trainer = Trainer(
         model, opt_cfg,
         max_epochs=tr_cfg["max_epochs"], max_steps=tr_cfg.get("max_steps"),
-        mesh=mesh, ckpt_dir=str(save_dir) + "/ckpt", monitor=tr_cfg["monitor"],
+        mesh=mesh, strategy=tr_cfg.get("strategy"),
+        ckpt_dir=str(save_dir) + "/ckpt", monitor=tr_cfg["monitor"],
         log_every_n_steps=tr_cfg["log_every_n_steps"], save_dir=save_dir,
         seed=tr_cfg["seed"], hooks=hooks,
         remat=bool(tr_cfg.get("remat", False)),

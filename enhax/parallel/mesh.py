@@ -93,7 +93,7 @@ def single_device_strategy(devices=None, **_):
     return make_mesh(("data",), devices=devs)
 
 
-@STRATEGIES.register(name="ddp", aliases=["dp", "parallel", "xla"])
+@STRATEGIES.register(name="ddp", aliases=["dp", "parallel", "xla", "auto"])
 def ddp_strategy(devices=None, **_):
     """Pure data parallelism: 1D batch mesh; XLA psums grads over ICI —
     the replacement for DDPStrategy/XLAStrategy + NCCL process groups."""

@@ -199,6 +199,10 @@ class Trainer:
         optimizer: optax transformation or a reference-style config dict.
         max_epochs/max_steps: stop conditions (trainer config, default.py:150).
         mesh: optional Mesh; default = 1D data mesh over all devices.
+        strategy: optional name from STRATEGIES ("ddp", "fsdp",
+            "single_device", "spatial") — builds the mesh (unless one is
+            given) and, for "fsdp", ZeRO-3-shards the params at
+            init_state (reference nn/strategy.py:67-80 analog).
         ckpt_dir: checkpoint directory; monitor ("psnr", "max") selects best.
         log_every_n_steps, save_dir, log_image_every_n_epochs: observability
             (reference trainer.py:37, default.py:141).
@@ -211,6 +215,7 @@ class Trainer:
         max_epochs: int = 100,
         max_steps: int | None = None,
         mesh=None,
+        strategy: str | None = None,
         ckpt_dir=None,
         monitor: tuple[str, str] = ("psnr", "max"),
         log_every_n_steps: int = 50,
@@ -228,6 +233,7 @@ class Trainer:
         fast_dev_run: bool = False,
         precision: str | None = None,
         ema_decay: float | None = None,
+        fsdp_min_size: int = 2 ** 14,
     ):
         self.model = model
         self.plateau = None
@@ -251,6 +257,11 @@ class Trainer:
         self.tx = optimizer
         self.max_epochs = max_epochs
         self.max_steps = max_steps
+        self.strategy = strategy
+        self.fsdp_min_size = fsdp_min_size
+        if mesh is None and strategy is not None:
+            from enhax.constants import STRATEGIES
+            mesh = STRATEGIES.build(strategy)
         self.mesh = mesh if mesh is not None else make_mesh(("data",))
         self.ckpt_dir = ckpt_dir
         self.monitor = monitor
@@ -282,6 +293,14 @@ class Trainer:
     def init_state(self, example_batch: dict, params=None) -> TrainState:
         if params is None:
             params = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
+        if self.strategy == "fsdp":
+            # ZeRO-3: each device holds 1/N of every large param; XLA
+            # all-gathers at use and reduce-scatters grads
+            from enhax.parallel.mesh import fsdp_shardings
+            params = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, s), params,
+                fsdp_shardings(params, self.mesh,
+                               min_size=self.fsdp_min_size))
         # real copies, not aliases: the jitted step donates the TrainState,
         # and donating params+ema views of one buffer is an XLA error
         ema = jax.tree_util.tree_map(jnp.copy, params) \

@@ -287,3 +287,36 @@ def test_fsdp_sharded_train_step_matches_replicated(rng):
     for a, b in zip(jax.tree.leaves(s_rep.params),
                     jax.tree.leaves(s_fsdp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_trainer_strategy_fsdp_fit(rng, tmp_path):
+    """Trainer(strategy='fsdp') trains with ZeRO-3-sharded params end to
+    end, matching a replicated-strategy run at fixed seed."""
+    import optax  # noqa: F401
+
+    from enhax.models.base import build_model
+    from enhax.train.trainer import Trainer
+
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 0.4, (8, 32, 32, 3)).astype(np.float32)),
+        "ref_image": jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)),
+    }
+
+    def run(strategy):
+        m = build_model("hinet_re", num_channels=16, depth=2)
+        tr = Trainer(m, {"optimizer": {"name": "sgd", "lr": 1e-2}},
+                     max_epochs=2, strategy=strategy, seed=0,
+                     fsdp_min_size=2 ** 10,
+                     save_dir=str(tmp_path / (strategy or "none")))
+        return tr.fit(lambda: [batch])
+
+    s_fsdp = run("fsdp")
+    s_ddp = run("ddp")
+    for a, b in zip(jax.tree.leaves(s_ddp.params),
+                    jax.tree.leaves(s_fsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the fsdp run's params really are distributed: at least one leaf is
+    # sharded over the data axis
+    specs = {tuple(getattr(l.sharding, "spec", ())) for l in
+             jax.tree.leaves(s_fsdp.params)}
+    assert any(any(p == "data" for p in s if p) for s in specs), specs
