@@ -30,6 +30,9 @@ DEFAULT_DATAMODULE = {
     "batch_size": 8,
     "shuffle": True,
     "drop_last": False,
+    # thread-pool sample decode (reference datamodule.py:85-90 uses
+    # 4 x devices torch workers; threads suffice here — cv2 drops the GIL)
+    "num_workers": 4,
 }
 
 DEFAULT_PREDICTOR = {

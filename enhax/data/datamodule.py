@@ -22,18 +22,38 @@ from enhax.utils.console import console
 
 def batch_iterator(dataset, batch_size: int = 8, shuffle: bool = False,
                    drop_last: bool = False, seed: int = 0,
-                   collate_fn: Callable | None = None) -> Iterator[dict]:
-    """Yield collated numpy batch dicts from a map-style dataset."""
+                   collate_fn: Callable | None = None,
+                   num_workers: int = 0) -> Iterator[dict]:
+    """Yield collated numpy batch dicts from a map-style dataset.
+
+    ``num_workers > 0`` decodes the samples of each batch on a thread
+    pool — the analog of DataLoader(num_workers=...) in the reference
+    datamodule (core/data/datamodule.py:28-120). cv2/np decode releases
+    the GIL, so threads give real parallelism without the process-fork
+    cost torch pays; batch order and content are identical either way.
+    """
     n = len(dataset)
     idx = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
     collate = collate_fn or getattr(dataset, "collate", None) or collate_datapoints
-    for start in range(0, n, batch_size):
-        sel = idx[start : start + batch_size]
-        if drop_last and len(sel) < batch_size:
-            break
-        yield collate([dataset[int(i)] for i in sel])
+
+    def batches():
+        for start in range(0, n, batch_size):
+            sel = idx[start : start + batch_size]
+            if drop_last and len(sel) < batch_size:
+                break
+            yield sel
+
+    if num_workers and num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=int(num_workers)) as pool:
+            for sel in batches():
+                yield collate(list(pool.map(
+                    lambda i: dataset[int(i)], sel)))
+    else:
+        for sel in batches():
+            yield collate([dataset[int(i)] for i in sel])
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
@@ -87,7 +107,8 @@ class DataModule:
 
     def __init__(self, root=None, batch_size: int = 8, shuffle: bool = True,
                  transform=None, val_transform=None, drop_last: bool = False,
-                 seed: int = 0, verbose: bool = False, **dataset_kwargs):
+                 seed: int = 0, verbose: bool = False, num_workers: int = 0,
+                 **dataset_kwargs):
         self.root = root
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -96,6 +117,7 @@ class DataModule:
         self.drop_last = drop_last
         self.seed = seed
         self.verbose = verbose
+        self.num_workers = num_workers
         self.dataset_kwargs = dataset_kwargs
         self.train = self.val = self.test = self.predict = None
 
@@ -132,13 +154,16 @@ class DataModule:
         epoch = getattr(self, "_train_loader_calls", 0)
         self._train_loader_calls = epoch + 1
         return batch_iterator(self.train, self.batch_size, shuffle=self.shuffle,
-                              drop_last=self.drop_last, seed=self.seed + epoch)
+                              drop_last=self.drop_last, seed=self.seed + epoch,
+                              num_workers=self.num_workers)
 
     def val_loader(self):
-        return batch_iterator(self.val, self.batch_size, shuffle=False)
+        return batch_iterator(self.val, self.batch_size, shuffle=False,
+                              num_workers=self.num_workers)
 
     def test_loader(self):
-        return batch_iterator(self.test, self.batch_size, shuffle=False)
+        return batch_iterator(self.test, self.batch_size, shuffle=False,
+                              num_workers=self.num_workers)
 
     def split_train_val(self, ratio: float = 0.8, seed: int = 0):
         """Split self.train into train/val subsets (reference datamodule.py:223)."""

@@ -172,3 +172,30 @@ def test_resize_transform_label_maps_nearest():
     assert out["segmentation"].dtype == np.int32
     assert set(np.unique(out["segmentation"])) <= {0, 7}
     assert out["image"].shape == (32, 32, 3)
+
+
+def test_num_workers_batches_identical(lol_root):
+    """Thread-pool decode (num_workers>0) yields byte-identical batches in
+    the same order as the serial path (reference DataLoader num_workers
+    analog, core/data/datamodule.py:85-90)."""
+    from enhax.data.datamodule import batch_iterator
+
+    ds = DATASETS.build("lol_v1", root=lol_root, split="train")
+    serial = list(batch_iterator(ds, batch_size=3, shuffle=True, seed=7))
+    pooled = list(batch_iterator(ds, batch_size=3, shuffle=True, seed=7,
+                                 num_workers=4))
+    assert len(serial) == len(pooled) == 2
+    for a, b in zip(serial, pooled):
+        assert set(a) == set(b)
+        for k in a:
+            if isinstance(a[k], np.ndarray):
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_datamodule_num_workers_loader(lol_root):
+    dm = DATAMODULES.build("lol_v1", root=lol_root, batch_size=2,
+                           num_workers=2)
+    dm.setup()
+    batches = list(dm.train_loader())
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 20, 24, 3)
