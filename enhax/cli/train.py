@@ -43,6 +43,11 @@ def parse_train_args(argv=None) -> dict:
     p.add_argument("--strategy", type=str, default=None,
                    help="ddp | fsdp | single_device | spatial "
                         "(reference --strategy, train.py:35)")
+    p.add_argument("--precision", type=str, default=None,
+                   help="bf16-mixed | bf16 | 32 (reference Lightning "
+                        "precision, config/default.py:151)")
+    p.add_argument("--bf16", action="store_true",
+                   help="shorthand for --precision bf16-mixed")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices in the data mesh")
     p.add_argument("--exist-ok", action="store_true")
@@ -98,6 +103,10 @@ def train(args: dict):
         tr_cfg["max_steps"] = args["steps"]
     if args.get("strategy"):
         tr_cfg["strategy"] = args["strategy"]
+    if args.get("bf16"):
+        tr_cfg["precision"] = "bf16-mixed"
+    elif args.get("precision"):
+        tr_cfg["precision"] = args["precision"]
 
     mesh = None
     if args.get("devices"):
