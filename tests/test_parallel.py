@@ -320,3 +320,32 @@ def test_trainer_strategy_fsdp_fit(rng, tmp_path):
     specs = {tuple(getattr(l.sharding, "spec", ())) for l in
              jax.tree.leaves(s_fsdp.params)}
     assert any(any(p == "data" for p in s if p) for s in specs), specs
+
+
+def test_trainer_fsdp_bf16_mixed(rng, tmp_path):
+    """ZeRO-3 sharding composes with bf16-mixed precision: f32 master
+    params stay sharded, loss is finite, params move."""
+    from enhax.models.base import build_model
+    from enhax.train.trainer import Trainer
+
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 0.4, (8, 32, 32, 3)).astype(np.float32)),
+        "ref_image": jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)),
+    }
+    m = build_model("hinet_re", num_channels=16, depth=2)
+    tr = Trainer(m, {"optimizer": {"name": "adam", "lr": 1e-3}},
+                 max_epochs=2, strategy="fsdp", fsdp_min_size=2 ** 10,
+                 precision="bf16-mixed", seed=0,
+                 save_dir=str(tmp_path / "fsdp_bf16"))
+    p0 = m.init(jax.random.PRNGKey(0), batch)
+    state = tr.fit(lambda: [batch])
+    assert int(state.step) == 2
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # master params stay f32 and at least one is still data-sharded
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    specs = {tuple(getattr(l.sharding, "spec", ())) for l in leaves}
+    assert any(any(p == "data" for p in s if p) for s in specs), specs
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(jax.tree.leaves(p0), leaves))
+    assert moved > 0
