@@ -29,6 +29,11 @@ MODELS_UNDER_TEST = [
     ("nafnet_tiny", "nafnet",
      {"width": 8, "middle_blk_num": 1, "enc_blk_nums": (1, 1),
       "dec_blk_nums": (1, 1)}, True, 60, 2e-3),
+    # the transformer restorer path (MDTA channel attention + GDFN)
+    # through the same train->predict->metric chain
+    ("restormer_tiny", "restormer",
+     {"dim": 8, "num_blocks": (1, 1, 1, 1), "num_refinement": 1,
+      "heads": (1, 1, 2, 2)}, True, 60, 2e-3),
 ]
 
 # instance-mode (per-image scanned fit) and tiled-predict chains exercise
