@@ -772,6 +772,29 @@ def zero_mie_name_map(hidden_layers: int = 2, out_layers: int = 1) -> dict:
     return m
 
 
+def zero_mie_ms_name_map(num_scales: int = 3, hidden_layers: int = 2,
+                         out_layers: int = 1) -> dict:
+    """ZeroMIE_MS (zero_mie_ms.py:234-607): per-scale value_nets ModuleList
+    + depth/edge/coords encoders + decoder; the coords Fourier buffer B
+    (inr.py:856-860) maps to the flax param ``B`` (exact rule FIRST — the
+    prefix scan is first-match-wins)."""
+    m = {"mlp.coords_net.B": "B"}
+    for s in range(num_scales):
+        for i in range(hidden_layers + 1):
+            m[f"mlp.value_nets.{s}.net.{i}.nonlinear.linear."] = \
+                f"value_net{s}_net{i}.Dense_0."
+    for net in ("depth_net", "edge_net", "coords_net"):
+        for i in range(hidden_layers + 1):
+            m[f"mlp.{net}.net.{i}.nonlinear.linear."] = \
+                f"{net}_net{i}.Dense_0."
+    for i in range(out_layers):
+        m[f"mlp.output_net.net.{i}.nonlinear.linear."] = \
+            f"output_net_net{i}.Dense_0."
+    m[f"mlp.output_net.net.{out_layers}.nonlinear.linear."] = \
+        f"output_net_net{out_layers}."
+    return m
+
+
 def zid_name_map(skips=(0, 0, 0, 4, 4)) -> dict:
     """ZID (zid.py:79-189): the DIP hourglass is built with
     ``add_module(str(len+1))`` so container children are named 1..8 and

@@ -834,17 +834,32 @@ def _build_stub_mon():
                                          _np.linspace(0, 1, w)))
         return torch.from_numpy(coords).float()
 
+    def _ff_embedding(x, B):
+        """Gaussian Fourier features (inr.py:820-826): [sin, cos](2πx·Bᵀ)."""
+        if B is None:
+            return x
+        x_proj = (2.0 * _np.pi * x) @ B.T
+        return torch.cat([torch.sin(x_proj), torch.cos(x_proj)], dim=-1)
+
     class ContextImplicitFeatureEncoder(torch.nn.Module):
         """mon.nn.ContextImplicitFeatureEncoder (inr.py:752-828)."""
 
         def __init__(self, window_size=1, out_channels=256, down_size=256,
                      hidden_layers=2, omega_0=30.0, first_bias_scale=None,
-                     nonlinear="sine", weight_decay=0.0001, **k):
+                     nonlinear="sine", weight_decay=0.0001, use_ff=False,
+                     ff_gaussian_scale=10, **k):
             super().__init__()
             self.window_size = window_size
             self.down_size = down_size
             in_ch = window_size ** 2
-            net = [INRLayer(in_ch, out_channels, is_first=True,
+            net_in = in_ch
+            if use_ff:
+                self.register_buffer(
+                    "B", torch.randn((out_channels, in_ch)) * ff_gaussian_scale)
+                net_in = out_channels * 2
+            else:
+                self.B = None
+            net = [INRLayer(net_in, out_channels, is_first=True,
                             omega_0=omega_0, nonlinear=nonlinear)]
             for _ in range(1, hidden_layers):
                 net.append(INRLayer(out_channels, out_channels,
@@ -866,18 +881,26 @@ def _build_stub_mon():
             pad = torch.nn.ReflectionPad2d(ws // 2)
             patch = torch.nn.functional.conv2d(pad(image_lr), kernel).squeeze(0)
             patch = torch.movedim(patch, 0, -1)
-            return image_lr, self.net(patch)
+            return image_lr, self.net(_ff_embedding(patch, self.B))
 
     class ContextImplicitCoordinatesEncoder(torch.nn.Module):
         """mon.nn.ContextImplicitCoordinatesEncoder (inr.py:829-885)."""
 
         def __init__(self, out_channels=256, down_size=256, hidden_layers=2,
                      omega_0=30.0, first_bias_scale=None, nonlinear="sine",
-                     weight_decay=0.1, **k):
+                     weight_decay=0.1, use_ff=False, ff_gaussian_scale=10,
+                     **k):
             super().__init__()
             self.down_size = down_size
-            net = [INRLayer(2, out_channels, is_first=True, omega_0=omega_0,
-                            nonlinear=nonlinear)]
+            net_in = 2
+            if use_ff:
+                self.register_buffer(
+                    "B", torch.randn((out_channels, 2)) * ff_gaussian_scale)
+                net_in = out_channels * 2
+            else:
+                self.B = None
+            net = [INRLayer(net_in, out_channels, is_first=True,
+                            omega_0=omega_0, nonlinear=nonlinear)]
             for _ in range(1, hidden_layers):
                 net.append(INRLayer(out_channels, out_channels,
                                     omega_0=omega_0, nonlinear=nonlinear))
@@ -886,7 +909,8 @@ def _build_stub_mon():
             self.net = torch.nn.Sequential(*net)
 
         def forward(self, image):
-            return self.net(_get_coords((self.down_size, self.down_size)))
+            coords = _get_coords((self.down_size, self.down_size))
+            return self.net(_ff_embedding(coords, self.B))
 
     class ContextImplicitDecoder(torch.nn.Module):
         """mon.nn.ContextImplicitDecoder (inr.py:886-925): sine hidden
@@ -1064,6 +1088,47 @@ def _build_stub_mon():
                 torch.mean((mean - self.mean_val) ** 2))
 
     nn_mod.ExposureValueControlLoss = ExposureValueControlLoss
+
+    class DepthWeightedSmoothnessLoss(torch.nn.Module):
+        """mon.nn.DepthWeightedSmoothnessLoss (loss/image.py:291-330):
+        illumination gradients weighted by exp(-alpha * |depth grads|)."""
+
+        def __init__(self, alpha=1.0, loss_weight=1.0, **k):
+            super().__init__()
+            self.alpha = alpha
+            self.loss_weight = loss_weight
+
+        def forward(self, input, depth):
+            l_dx = input[:, :, :, 1:] - input[:, :, :, :-1]
+            l_dy = input[:, :, 1:, :] - input[:, :, :-1, :]
+            d_dx = depth[:, :, :, 1:] - depth[:, :, :, :-1]
+            d_dy = depth[:, :, 1:, :] - depth[:, :, :-1, :]
+            loss = (torch.mean(torch.exp(-self.alpha * torch.abs(d_dx))
+                               * torch.abs(l_dx))
+                    + torch.mean(torch.exp(-self.alpha * torch.abs(d_dy))
+                                 * torch.abs(l_dy)))
+            return self.loss_weight * loss
+
+    nn_mod.DepthWeightedSmoothnessLoss = DepthWeightedSmoothnessLoss
+
+    class EdgeAwareLoss(torch.nn.Module):
+        """mon.nn.EdgeAwareLoss (loss/image.py:334-365): illumination
+        gradients weighted by exp(-|edge grads|)."""
+
+        def __init__(self, loss_weight=1.0, **k):
+            super().__init__()
+            self.loss_weight = loss_weight
+
+        def forward(self, input, edge):
+            l_dx = input[:, :, :, 1:] - input[:, :, :, :-1]
+            l_dy = input[:, :, 1:, :] - input[:, :, :-1, :]
+            e_dx = edge[:, :, :, 1:] - edge[:, :, :, :-1]
+            e_dy = edge[:, :, 1:, :] - edge[:, :, :-1, :]
+            loss = (torch.mean(torch.exp(-torch.abs(e_dx)) * torch.abs(l_dx))
+                    + torch.mean(torch.exp(-torch.abs(e_dy)) * torch.abs(l_dy)))
+            return self.loss_weight * loss
+
+    nn_mod.EdgeAwareLoss = EdgeAwareLoss
 
     def _rgb_to_hsv(image, eps=1e-8):
         # kornia.color.rgb_to_hsv: H in [0, 2pi]
@@ -1362,6 +1427,99 @@ def load_first_party(model_rel: str, extra_stubs: dict | None = None):
             else:
                 sys.modules[k] = v
     return mod
+
+
+class _RecordedTransform:
+    """Albumentation stub used by :func:`load_reference_config` — records the
+    transform class name and kwargs so config-fidelity tests can assert
+    against e.g. ``A.Resize(height=..., width=...)`` without albumentations
+    installed (reference configs build ``mon.albumentation`` pipelines,
+    config/*.py:66-78)."""
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+        self.kwargs = kwargs
+
+    def __init_subclass__(cls, **k):
+        super().__init_subclass__(**k)
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.args}, {self.kwargs})"
+
+
+def load_reference_config(config_rel: str):
+    """Execute a first-party reference CONFIG module (the importable Python
+    recipes under ``src/mon/**/config/*.py``, e.g.
+    ``vision/enhance/llie/zero_mie/config/zero_mie_ms_lol_v1.py``) with a
+    minimal stub ``mon`` and return the module namespace.
+
+    The real ``mon/config/default.py`` is executed verbatim (it is a pure
+    dict module with no imports), so ``default.trainer | {...}`` merges in
+    configs resolve to the reference's actual default values."""
+    path = REFERENCE_ROOT / "src" / "mon" / config_rel
+    if not path.is_file():
+        raise FileNotFoundError(path)
+
+    mon = types.ModuleType("mon")
+    mon.Path = pathlib.Path
+    mon.DATA_DIR = pathlib.Path("/data")
+    mon.ZOO_DIR = pathlib.Path("/zoo")
+
+    default_path = REFERENCE_ROOT / "src" / "mon" / "config" / "default.py"
+    default = types.ModuleType("mon.config.default")
+    exec(compile(default_path.read_text(), str(default_path), "exec"),
+         default.__dict__)
+    config_mod = types.ModuleType("mon.config")
+    config_mod.default = default
+    mon.config = config_mod
+
+    alb = types.ModuleType("mon.albumentation")
+
+    def _alb_getattr(name):
+        return type(name, (_RecordedTransform,), {})
+
+    alb.__getattr__ = _alb_getattr
+    mon.albumentation = alb
+
+    stubs = {
+        "mon": mon,
+        "mon.config": config_mod,
+        "mon.config.default": default,
+        "mon.albumentation": alb,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        name = "refcfg_" + path.stem.replace("+", "p")
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        try:
+            spec.loader.exec_module(mod)
+        finally:
+            del sys.modules[name]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def reference_config_files() -> list:
+    """All first-party reference config modules, as paths relative to
+    ``src/mon`` (the 57 per-model recipes under ``**/config/``)."""
+    root = REFERENCE_ROOT / "src" / "mon"
+    if not root.is_dir():
+        return []
+    skip = {"config.py", "__init__.py", "default.py", "parse_args.py"}
+    out = []
+    for p in sorted(root.rglob("*/config/*.py")):
+        if p.name in skip or p.parent == root / "config":
+            continue
+        out.append(str(p.relative_to(root)))
+    return out
 
 
 def neutralize_losses(module) -> None:

@@ -215,3 +215,36 @@ def deep_guided_filter_module(radius: int = 1, features: int = 24):
             return gf(guide(x_lr, "glr"), y_lr, guide(x_hr, "ghr"))
 
     return DeepGuidedFilter()
+
+
+def bilateral_blur(x, kernel_size: tuple[int, int] = (3, 3),
+                   sigma_color: float = 0.5,
+                   sigma_space: tuple[float, float] = (1.5, 1.5)):
+    """Bilateral blur with kornia semantics (kornia.filters.bilateral_blur,
+    reflect padding, L1 color distance) — used by ZeroMIE_MS's optional
+    ``use_denoise`` path (reference zero_mie_ms.py:304-305, default off).
+
+    NHWC. joint weight = gaussian(space) * exp(-0.5/sigma_c^2 * d(p,q)^2)
+    with d = per-pixel L1 distance summed over channels, normalized by the
+    total weight. Static kernel size -> fully XLA-unrollable.
+    """
+    kh, kw = int(kernel_size[0]), int(kernel_size[1])
+    ph, pw = kh // 2, kw // 2
+    sy, sx = float(sigma_space[0]), float(sigma_space[1])
+    gy = np.exp(-0.5 * ((np.arange(kh) - ph) / sy) ** 2)
+    gx = np.exp(-0.5 * ((np.arange(kw) - pw) / sx) ** 2)
+    space = np.outer(gy, gx)
+    space = jnp.asarray(space / space.sum(), dtype=x.dtype)
+
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+    h, w = x.shape[1], x.shape[2]
+    num = jnp.zeros_like(x)
+    den = jnp.zeros(x.shape[:3] + (1,), dtype=x.dtype)
+    for dy in range(kh):
+        for dx in range(kw):
+            nb = xp[:, dy:dy + h, dx:dx + w, :]
+            dist = jnp.sum(jnp.abs(nb - x), axis=-1, keepdims=True)
+            wgt = space[dy, dx] * jnp.exp(-0.5 * (dist / sigma_color) ** 2)
+            num = num + wgt * nb
+            den = den + wgt
+    return num / den

@@ -1557,6 +1557,47 @@ def test_zero_mie_reference_parity(cs):
         (cs, float(loss), ref_loss)
 
 
+@pytest.mark.parametrize("cs,use_ff", [("hsv", True), ("rgb_d", False)])
+def test_zero_mie_ms_reference_parity(cs, use_ff):
+    """First-party ZeroMIE_MS (zero_mie_ms.py:623-729): the MULTI-SCALE
+    architecture — one context value-encoder per window size [3,5,7] with
+    all INR features concatenated (:380-390), depth-gamma illumination
+    modulation (:394-396), coords-only Gaussian Fourier features
+    (inr.py:856-860, converted from the torch B buffer), NO /max
+    normalization (:400), and the live LossHSV/Loss values including the
+    depth-weighted-smoothness and edge-aware terms."""
+    import jax
+    from enhax.convert.mappings import zero_mie_ms_name_map
+    mod = refload.load_first_party(
+        "vision/enhance/llie/zero_mie/zero_mie_ms.py")
+    torch.manual_seed(0)
+    net = mod.ZeroMIE_MS(color_space=cs, window_size=[3, 5, 7],
+                         hidden_channels=32, down_size=32, use_ff=use_ff)
+    net.eval()
+    net.device = torch.device("cpu")
+    x = torch.rand(1, 3, 64, 64) * 0.5 + 0.05
+    with torch.no_grad():
+        ref = net({"image": x})
+        ref_loss = float(net.forward_loss({"image": x})["loss"])
+    model = MODELS.build("zero_mie_ms", color_space=cs,
+                         window_size=[3, 5, 7], hidden_channels=32,
+                         down_size=32, use_ff=use_ff)
+    dp = {"image": _to_nhwc(x)}
+    template = model.init(jax.random.PRNGKey(0), dp)
+    params, report = convert_state_dict(net.state_dict(), template,
+                                        name_map=zero_mie_ms_name_map(),
+                                        strict=True)
+    unmatched = [r for r in report if r.startswith("unmatched")]
+    assert not unmatched, f"zero_mie_ms_{cs}: {unmatched[:10]}"
+    got = model.apply(params, dp)
+    for k in ("image_lr", "illu_lr", "illu_lr2", "enhanced_lr", "enhanced"):
+        _assert_close(_to_nhwc(ref[k]), np.asarray(got[k]), 5e-4,
+                      f"zero_mie_ms_{cs}.{k}")
+    loss, _ = model.forward_loss(params, dp)
+    assert abs(float(loss) - ref_loss) / max(abs(ref_loss), 1e-6) < 2e-3, \
+        (cs, float(loss), ref_loss)
+
+
 @pytest.mark.parametrize("variant", ["hvi", "hvid"])
 def test_colie_hvi_reference_parity(variant):
     """First-party CoLIE-HVI/HVID: learnable-density HVI intensity
