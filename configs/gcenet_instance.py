@@ -1,10 +1,10 @@
-"""Training recipe mirroring reference src/mon/vision/enhance/llie/gcenet/config/gcenet_instance.py.
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/gcenet/config/gcenet_instance.py (refload-executed; see tests/test_config_fidelity.py).
 
 Instance (per-image test-time optimization) recipe: data is supplied at predict time (--data), matching the upstream config's empty data_name.
 """
 
 model = 'gcenet_instance'
-model_cfg = {'num_channels': 32}
+model_cfg = {'num_channels': 32, 'num_iters': 8, 'dba_eps': 0.05, 'gf_radius': 3, 'gf_eps': 0.0001, 'bam_gamma': 2.6, 'bam_ksize': 9, 'use_depth': True, 'use_edge': True}
 data = None
 data_cfg = {'batch_size': 1}
 image_size = 512

@@ -1,8 +1,8 @@
-"""Training recipe mirroring reference src/mon/vision/enhance/llie/gcenet/config/gcenet_nightcity.py.
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/gcenet/config/gcenet_nightcity.py (refload-executed; see tests/test_config_fidelity.py).
 """
 
 model = 'gcenet'
-model_cfg = {'num_channels': 32}
+model_cfg = {'num_channels': 32, 'num_iters': 8, 'dba_eps': 0.05, 'gf_radius': 3, 'gf_eps': 0.0001, 'bam_gamma': 2.6, 'bam_ksize': 9, 'use_depth': True, 'use_edge': True}
 data = 'nightcity'
 data_cfg = {'batch_size': 8, 'shuffle': True}
 image_size = 512

@@ -1,10 +1,10 @@
-"""Training recipe mirroring reference src/mon/vision/enhance/llie/zero_dce/config/zero_dce_re_sice_mix.py.
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/zero_dce/config/zero_dce_re_sice_mix.py (refload-executed; see tests/test_config_fidelity.py).
 
 max_epochs follows the upstream default.trainer (500); the config itself sets none.
 """
 
 model = 'zero_dce_re'
-model_cfg = {'num_channels': 32, 'num_iters': 8}
+model_cfg = {}
 data = 'sice_mix'
 data_cfg = {'batch_size': 8, 'shuffle': True}
 image_size = 512

@@ -1,10 +1,10 @@
-"""Training recipe mirroring reference src/mon/vision/enhance/llie/zero_dce/config/zero_dce_v.py.
+"""Training recipe mirroring reference src/mon/vision/enhance/llie/zero_dce/config/zero_dce_v.py (refload-executed; see tests/test_config_fidelity.py).
 
 Instance recipe: data supplied at predict time.
 """
 
 model = 'zero_dce_v'
-model_cfg = {}
+model_cfg = {'num_channels': 32, 'num_iters': 15, 'down_size': 256}
 data = None
 data_cfg = {'batch_size': 1}
 image_size = 512
