@@ -97,6 +97,15 @@ class Model:
         if (self.fast_apply_fn is not None and fused_ok and fused_kwargs_ok
                 and jax.default_backend() == "tpu"
                 and os.environ.get("ENHAX_FUSED", "1") != "0"):
+            if rngs and training:
+                # the fused kernels are deterministic; a model that actually
+                # consumes rngs (dropout) must not silently lose them
+                import warnings
+                warnings.warn(
+                    f"{self.name}: ENHAX_FUSED_TRAIN=1 drops rngs "
+                    f"{sorted(rngs)} on the fused path — only valid for "
+                    "models with no stochastic layers (nafnet/hinet "
+                    "families)", stacklevel=2)
             out = self.fast_apply_fn(variables, *inputs)
         else:
             out = self.module.apply(variables, *inputs, **kwargs)

@@ -354,8 +354,11 @@ def one_cycle_lr(base_lr: float, total_steps: int, pct_start: float = 0.3,
     (our constructors are keyed on the config's lr)."""
     initial = base_lr / div_factor
     final = initial / final_div_factor
-    up_steps = float(pct_start * total_steps) - 1.0
-    down_steps = float(total_steps - 1) - up_steps
+    # pct_start*total_steps == 1 would give up_steps == 0 and a 0/0 NaN at
+    # step 0 (jnp.where evaluates both branches); clamp to a tiny positive
+    # so the schedule starts directly in the anneal phase instead.
+    up_steps = max(float(pct_start * total_steps) - 1.0, 1e-6)
+    down_steps = max(float(total_steps - 1) - up_steps, 1e-6)
 
     def _anneal(start, end, frac):
         if anneal_strategy == "cos":

@@ -38,21 +38,24 @@ def load_checkpoint(path, state):
     """Restore (TrainState, epoch) from an orbax dir, using ``state`` as the
     structure/sharding template.
 
-    A templateless read-through runs first so that a corrupt/unreadable
-    checkpoint raises immediately instead of cascading into the legacy-layout
-    fallbacks; layout reconciliation (EMA present/absent, optimizer-state
-    layout drift) is then decided by inspecting the stored keys, never by
-    swallowing arbitrary errors.
+    Layout reconciliation (EMA present/absent, optimizer-state layout
+    drift) is decided by inspecting the checkpoint METADATA (structure
+    only — no tensor I/O, so large/FSDP-sharded checkpoints are read once,
+    not twice), never by swallowing arbitrary errors. A missing/unreadable
+    structure raises immediately; tensor-level corruption surfaces from the
+    single templated restore.
     """
     import orbax.checkpoint as ocp
     from enhax.train.trainer import TrainState
 
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
-    # Raises on corrupt / partially-written / missing checkpoints — those
-    # must propagate, not silently reset optimizer state.
-    raw = ckptr.restore(path)
-    has_ema = "ema" in raw
+    # Structure-only read: raises on missing/unreadable checkpoints — those
+    # must propagate, not silently reset optimizer state. The stored tree
+    # lives under StepMetadata.item_metadata.tree (metadata leaves, no
+    # tensor data).
+    meta = ckptr.metadata(path).item_metadata.tree
+    has_ema = "ema" in meta
     want_ema = state.ema is not None
 
     template = {
@@ -69,8 +72,9 @@ def load_checkpoint(path, state):
             np.asarray, state.params)
 
     # The checkpoint's params must structurally match the live model — a
-    # wrong-model resume is an error, not a fallback case.
-    raw_pstruct = jax.tree_util.tree_structure(raw["params"])
+    # wrong-model resume is an error, not a fallback case. Metadata leaves
+    # mirror the stored tree structure 1:1.
+    raw_pstruct = jax.tree_util.tree_structure(meta["params"])
     tpl_pstruct = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, state.params))
     if raw_pstruct != tpl_pstruct:
@@ -84,7 +88,9 @@ def load_checkpoint(path, state):
         # Params verified identical above, so the only remaining mismatch is
         # the optimizer-state layout (e.g. a checkpoint from before
         # batch_stats were excluded from the optimizer tree): recover
-        # params/step from the raw payload and reset the optimizer.
+        # params/step from a raw (templateless) read — only this legacy
+        # path pays the second read — and reset the optimizer.
+        raw = ckptr.restore(path)
         restored = {"step": raw["step"], "epoch": raw["epoch"],
                     "params": raw["params"],
                     "opt_state": state.opt_state}

@@ -301,7 +301,7 @@ class CSVLogHook:
 
     def __init__(self, path: str):
         self.path = path
-        self._wrote_header = False
+        self._fieldnames: list | None = None
 
     def __call__(self, trainer, state, row):
         import csv
@@ -309,9 +309,32 @@ class CSVLogHook:
         p = Path(self.path)
         p.parent.mkdir(parents=True, exist_ok=True)
         flat = {k: v for k, v in row.items() if isinstance(v, (int, float, str))}
-        with open(p, "a", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(flat))
-            if not self._wrote_header:
+        # Freeze fieldnames at the first row: later rows gaining keys
+        # (val/* only on validation epochs, 'lr' after the first plateau
+        # step) must not silently misalign with the written header; rewrite
+        # the file with the union of keys when new columns appear.
+        if self._fieldnames is not None and any(
+                k not in self._fieldnames for k in flat):
+            import io
+            old_rows = []
+            if p.exists():
+                with open(p, newline="") as fh:
+                    old_rows = list(csv.DictReader(fh))
+            self._fieldnames += [k for k in flat if k not in self._fieldnames]
+            with open(p, "w", newline="") as fh:
+                w = csv.DictWriter(fh, fieldnames=self._fieldnames,
+                                   restval="", extrasaction="ignore")
                 w.writeheader()
-                self._wrote_header = True
+                w.writerows(old_rows)
+                w.writerow(flat)
+            return
+        with open(p, "a", newline="") as fh:
+            if self._fieldnames is None:
+                self._fieldnames = list(flat)
+                w = csv.DictWriter(fh, fieldnames=self._fieldnames,
+                                   restval="", extrasaction="ignore")
+                w.writeheader()
+            else:
+                w = csv.DictWriter(fh, fieldnames=self._fieldnames,
+                                   restval="", extrasaction="ignore")
             w.writerow(flat)

@@ -396,6 +396,25 @@ def test_csv_log_hook(batch, tmp_path):
     assert "train/loss" in rows[0]
 
 
+def test_csv_log_hook_late_columns(tmp_path):
+    """Columns appearing after the header (val/* on validation epochs,
+    'lr' after the first plateau step) must not misalign rows — the file is
+    rewritten with the union of keys (ADVICE r4)."""
+    import csv
+
+    from enhax.train.hooks import CSVLogHook
+    path = tmp_path / "log.csv"
+    hook = CSVLogHook(str(path))
+    hook(None, None, {"epoch": 0, "train/loss": 1.0})
+    hook(None, None, {"epoch": 1, "train/loss": 0.5, "val/psnr": 20.0})
+    hook(None, None, {"epoch": 2, "train/loss": 0.25})
+    rows = list(csv.DictReader(open(path)))
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+    assert rows[1]["val/psnr"] == "20.0"
+    assert rows[0]["val/psnr"] == "" and rows[2]["val/psnr"] == ""
+    assert [r["train/loss"] for r in rows] == ["1.0", "0.5", "0.25"]
+
+
 def test_callbacks_built_from_config(batch, tmp_path):
     """CALLBACKS.build from declarative config specs (reference
     train.py:53 CALLBACKS.build_instances)."""

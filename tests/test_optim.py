@@ -214,6 +214,19 @@ def test_torch_scheduler_closed_forms_match_torch_executed():
             assert abs(got - ref_lr) < 5e-6, (ours, step, got, ref_lr)
 
 
+def test_one_cycle_degenerate_warmup_is_finite():
+    """pct_start*total_steps == 1 used to produce 0/0 = NaN at step 0
+    (ADVICE r4): the schedule must start directly in the anneal phase."""
+    import numpy as np
+
+    from enhax.nn import optim as O
+
+    sched = O.one_cycle_lr(0.1, total_steps=10, pct_start=0.1)
+    vals = [float(sched(s)) for s in range(10)]
+    assert all(np.isfinite(v) for v in vals), vals
+    assert vals[0] > vals[-1] > 0  # annealing from max toward final
+
+
 def test_sequential_and_chained_match_torch_executed():
     import torch.optim.lr_scheduler as tls
 
