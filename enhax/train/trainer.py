@@ -318,6 +318,34 @@ class Trainer:
         return TrainState(step=0, params=params,
                           opt_state=self.tx.init(trainable), ema=ema)
 
+    def _restore_placement(self, state: TrainState) -> TrainState:
+        """Re-establish the strategy's device placement after a checkpoint
+        restore.
+
+        Checkpoints are topology-agnostic host trees (save_checkpoint
+        gathers with np.asarray), so a resume may land on a DIFFERENT mesh
+        shape than the one that saved — the TPU-fleet preemption story.
+        Without re-placement the restored params enter the jitted step with
+        default placement and the ZeRO-3 sharding silently degrades to
+        replicated. fsdp_shardings is shape-driven, so the same rule
+        re-shards params, EMA, and the param-shaped optimizer moments on
+        the CURRENT mesh regardless of the saving topology.
+        """
+        if self.strategy != "fsdp":
+            return state
+        from enhax.parallel.mesh import fsdp_shardings
+
+        def put(tree):
+            if tree is None:
+                return None
+            sh = fsdp_shardings(tree, self.mesh, min_size=self.fsdp_min_size)
+            return jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, s), tree, sh)
+
+        return TrainState(step=state.step, params=put(state.params),
+                          opt_state=put(state.opt_state),
+                          ema=put(state.ema))
+
     def _place(self, batch: dict) -> dict:
         from enhax.parallel.mesh import shard_datapoint
         # strip host-only entries (meta, string lists) before the jitted step
@@ -344,6 +372,7 @@ class Trainer:
                 ck = latest_checkpoint(self.ckpt_dir)
                 if ck:
                     state, start_epoch = load_checkpoint(ck, state)
+                    state = self._restore_placement(state)
                     console.print(f"[trainer] resumed from {ck} (epoch {start_epoch})")
 
         best = None
