@@ -318,9 +318,11 @@ def precision_recall_curve(preds, target):
 
 @METRICS.register(name="calibration_error")
 def calibration_error(preds, target, n_bins: int = 15, norm: str = "l1"):
-    """Expected (l1) / maximum (max) calibration error over equal-width
-    confidence bins. preds: (N, C) probabilities or (N,) confidences of the
-    positive class."""
+    """Expected (l1) / RMS (l2) / maximum (max) calibration error over
+    equal-width confidence bins (torchmetrics CalibrationError semantics;
+    golden-valued against its published doc example in
+    tests/test_metrics_golden.py). preds: (N, C) probabilities or (N,)
+    confidences of the positive class."""
     preds = jnp.asarray(preds).astype(jnp.float32)
     t = jnp.asarray(target)
     if preds.ndim == 2:
@@ -340,6 +342,10 @@ def calibration_error(preds, target, n_bins: int = 15, norm: str = "l1"):
     if norm == "max":
         return jnp.max(jnp.where(nonzero, gap, 0.0))
     w = counts / jnp.clip(counts.sum(), 1e-12)
+    if norm == "l2":
+        return jnp.sqrt(jnp.sum(w * gap * gap))
+    if norm != "l1":
+        raise ValueError(f"unknown calibration norm {norm!r}")
     return jnp.sum(w * gap)
 
 
