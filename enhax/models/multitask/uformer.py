@@ -153,9 +153,11 @@ def _make_uformer(name, dim, depths, use_shift=True, modulator=True):
 
 @MODELS.register(name="uformer_re", arch="uformer", aliases=["uformer"],
                  tasks=(Task.DENOISE, Task.DEBLUR), schemes=(Scheme.SUPERVISED,))
-def uformer_re(dim: int = 32, modulator: bool = False, **kwargs) -> Model:
-    return _make_uformer("uformer_re", dim, (2, 2, 2, 2, 2, 2, 2, 2, 2),
-                         modulator=modulator)
+def uformer_re(dim: int = 32, modulator: bool = False,
+               depths=(2, 2, 2, 2, 2, 2, 2, 2, 2), use_shift: bool = True,
+               **kwargs) -> Model:
+    return _make_uformer("uformer_re", dim, tuple(depths),
+                         use_shift=use_shift, modulator=modulator)
 
 
 @MODELS.register(name="uformer_t", arch="uformer",

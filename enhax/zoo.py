@@ -2,15 +2,17 @@
 
 Rebuild of the reference's per-model ``zoo`` dicts and resolution logic
 (nn/model.py:145-165 zoo-key -> path, :381-426 load + partial intersection).
-This environment has no egress, so entries map keys to the EXPECTED file
-names of the published releases under a local zoo directory
-(``$ENHAX_ZOO_DIR``, default ``~/zoo``); users drop the downloaded files
-there and load with ``weights="zoo:<key>"`` (predict CLI) or
-``load_zoo_weights(model, key)``.
+Resolution order (``resolve_zoo``): cache hit under the local zoo directory
+(``$ENHAX_ZOO_DIR``, default ``~/zoo``) -> download via
+``download_weights_from_url`` when the entry's URL is fetchable
+(http/https/file) -> placement guidance otherwise. Load with
+``weights="zoo:<key>"`` (predict CLI) or ``load_zoo_weights(model, key)``.
 
-Each entry: file name, source URL (documentation only — never fetched),
-the converter name-map, and build kwargs that make the enhax architecture
-match that checkpoint's hyperparameters.
+Each entry: file name, source URL (downloaded when fetchable; the GitHub
+release pages recorded here are landing pages, kept as provenance for
+no-egress deployments where users drop files in manually), the converter
+name-map, and build kwargs that make the enhax architecture match that
+checkpoint's hyperparameters.
 """
 
 from __future__ import annotations
@@ -161,15 +163,52 @@ def zoo_keys(model_name: str) -> list[str]:
     return sorted(ZOO.get(model_name, {}))
 
 
+def download_weights_from_url(url: str, path, overwrite: bool = False) -> Path:
+    """Download weights from ``url`` to ``path`` (reference
+    ``download_weights_from_url``, nn/model.py:145-165): skip when cached,
+    atomic .part rename, parent dirs created. Supports any urllib scheme —
+    https:// in egress-enabled deployments, file:// in tests."""
+    import shutil
+    import urllib.request
+
+    path = Path(path)
+    if path.is_file() and not overwrite:
+        return path
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".part")
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as fh:
+        shutil.copyfileobj(resp, fh)
+    tmp.replace(path)
+    return path
+
+
+def _fetchable(url: str) -> bool:
+    return isinstance(url, str) and url.split("://", 1)[0] in (
+        "http", "https", "file") and "://" in url
+
+
 def resolve_zoo(model_name: str, key: str) -> tuple[Path, ZooEntry]:
-    """Zoo key -> (local path, entry). Raises with guidance when absent."""
+    """Zoo key -> (local path, entry): cache hit under $ENHAX_ZOO_DIR, else
+    download when the entry carries a fetchable URL (the reference's
+    zoo-key -> download_weights_from_url flow, nn/model.py:381-426), else
+    raise with placement guidance (no-egress deployments)."""
     entry = zoo_entry(model_name, key)
     path = zoo_dir() / model_name / entry.file
     if not path.is_file():
-        raise FileNotFoundError(
-            f"zoo checkpoint not found: {path}\n"
-            f"download from {entry.url} and place it there "
-            f"(set ENHAX_ZOO_DIR to relocate the zoo)")
+        if _fetchable(entry.url):
+            try:
+                download_weights_from_url(entry.url, path)
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"zoo checkpoint not cached at {path} and the download "
+                    f"from {entry.url} failed ({e}); place the file there "
+                    f"manually (set ENHAX_ZOO_DIR to relocate the zoo)"
+                ) from e
+        else:
+            raise FileNotFoundError(
+                f"zoo checkpoint not found: {path}\n"
+                f"download from {entry.url} and place it there "
+                f"(set ENHAX_ZOO_DIR to relocate the zoo)")
     return path, entry
 
 

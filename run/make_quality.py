@@ -34,6 +34,10 @@ MODELS_UNDER_TEST = [
     ("restormer_tiny", "restormer",
      {"dim": 8, "num_blocks": (1, 1, 1, 1), "num_refinement": 1,
       "heads": (1, 1, 2, 2)}, True, 60, 2e-3),
+    # shifted-window attention (LeWin blocks); size_divisor 128 so run_one
+    # reflect-pads the 64x64 golden batch up to the divisor for training
+    ("uformer_tiny", "uformer_re",
+     {"dim": 4, "depths": (1, 1, 1, 1, 1, 1, 1, 1, 1)}, True, 60, 2e-3),
 ]
 
 # instance-mode (per-image scanned fit) and tiled-predict chains exercise
@@ -49,7 +53,17 @@ EXTRA_CHAINS = [
                                         "in_pos_right": 1},
                           "tile": 32, "tile_overlap": 8,
                           "tile_blend": "uniform", "seed": 0,
-                          "_reuse_ckpt": "hinet_tiny"}),
+                          "_reuse_ckpt": "hinet_tiny",
+                          # tile 32 on 64x64 puts instance-norm statistics
+                          # off train-time — record + bound the gap
+                          "_delta_vs": "hinet_tiny"}),
+    # zero_mie_ms: the multi-scale INR instance fit (ZeroMIE_MS.infer
+    # defaults zero_mie_ms.py:799-806 — 10 Adam steps per image)
+    ("zero_mie_ms_instance", {"model": "zero_mie_ms",
+                              "model_cfg": {"hidden_channels": 32,
+                                            "down_size": 32,
+                                            "window_size": [3, 5]},
+                              "seed": 0}),
 ]
 
 
@@ -72,6 +86,15 @@ def run_one(name, model_name, model_cfg, supervised, epochs, lr, out_root):
         batch["ref_image"] = refs
 
     model = MODELS.build(model_name, **model_cfg)
+    # models whose architecture needs larger multiples (uformer: 4 window-8
+    # levels -> 128) train on a reflect-padded golden batch; the predict CLI
+    # pads/unpads on its own via size_divisor
+    div = getattr(model, "size_divisor", 1) or 1
+    h = inputs.shape[1]
+    if h % div:
+        pad = div - h % div
+        batch = {k: np.pad(v, ((0, 0), (0, pad), (0, pad), (0, 0)),
+                           mode="reflect") for k, v in batch.items()}
     ckpt_dir = out_root / name / "ckpt"
     tr = Trainer(model, {"optimizer": {"name": "adam", "lr": lr},
                          "grad_clip_norm": 0.1 if not supervised else None},
@@ -140,6 +163,69 @@ def run_chain(name, spec, out_root):
                                 if k != "model_cfg"}}
 
 
+def run_video_chain(name, out_root, results):
+    """8-frame synthetic video -> VideoLoader -> predict (video writer) ->
+    frames extracted -> metric CLI. Exercises the full video IO surface
+    (reference predict.py video branch + VideoWriter)."""
+    import numpy as np
+
+    from enhax.cli.metric import measure_metric
+    from enhax.cli.predict import predict
+    from enhax.ops.io import read_image, write_image
+    from enhax.ops.video import VideoReaderCV, VideoWriterCV
+
+    golden = REPO / "assets" / "golden"
+    vdir = out_root / name
+    vdir.mkdir(parents=True, exist_ok=True)
+
+    # synthesize the input video: the 4 golden scenes cycled twice
+    in_vid = vdir / "in.avi"  # MJPG avi: deterministic, codec always present
+    w = VideoWriterCV(in_vid, fps=8.0, fourcc="MJPG")
+    frame_ids = [i % 4 for i in range(8)]
+    for i in frame_ids:
+        w.write(read_image(golden / "image" / f"{i:02d}.png"))
+    w.close()
+
+    pred_dir = predict({
+        "model": "hinet_re",
+        "model_cfg": {"num_channels": 8, "depth": 2, "in_pos_right": 1},
+        "weights": str(out_root / "hinet_tiny" / "ckpt" / "last"),
+        "data": str(in_vid),
+        "save_dir": str(vdir / "pred"),
+        "seed": 0,
+    })
+    out_vid = pred_dir / "video.mp4"
+    assert out_vid.is_file(), f"predict did not write {out_vid}"
+
+    # extract output frames and pair them with the cycled refs
+    frames_dir = vdir / "frames"
+    ref_dir = vdir / "ref"
+    frames_dir.mkdir(exist_ok=True)
+    ref_dir.mkdir(exist_ok=True)
+    n = 0
+    for frame in VideoReaderCV(out_vid):
+        write_image(frames_dir / f"{n:02d}.png", frame)
+        write_image(ref_dir / f"{n:02d}.png",
+                    read_image(golden / "ref" / f"{frame_ids[n]:02d}.png"))
+        n += 1
+    assert n == 8, f"expected 8 output frames, got {n}"
+
+    scores = measure_metric({"input": str(frames_dir),
+                             "target": str(ref_dir),
+                             "metric": ["psnr", "ssim"]})
+    base = measure_metric({"input": str(golden / "image"),
+                           "target": str(golden / "ref"),
+                           "metric": ["psnr", "ssim"]})
+    return {"psnr": round(float(scores["psnr"]), 3),
+            "ssim": round(float(scores["ssim"]), 4),
+            "input_psnr": round(float(base["psnr"]), 3),
+            "input_ssim": round(float(base["ssim"]), 4),
+            "frames": n, "seed": 0,
+            "spec": {"source": "8-frame MJPG avi of the golden scenes",
+                     "model": "hinet_tiny ckpt reused",
+                     "writer": "predict CLI video.mp4"}}
+
+
 def main(argv=None):
     import tempfile
 
@@ -157,7 +243,15 @@ def main(argv=None):
     for name, spec in EXTRA_CHAINS:
         print(f"[quality] {name} ...", flush=True)
         results[name] = run_chain(name, spec, out_root)
+        if spec.get("_delta_vs"):
+            base = results[spec["_delta_vs"]]["psnr"]
+            results[name]["delta_vs_untiled"] = round(
+                results[name]["psnr"] - base, 3)
         print(f"[quality] {name}: {results[name]}", flush=True)
+
+    print("[quality] video_chain ...", flush=True)
+    results["video_chain"] = run_video_chain("video_chain", out_root, results)
+    print(f"[quality] video_chain: {results['video_chain']}", flush=True)
 
     payload = {"golden_set": "assets/golden (4x 64x64, committed)",
                "protocol": "train at fixed seed on the golden set -> real "
