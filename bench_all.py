@@ -32,11 +32,18 @@ def _timeit(f, *args, runs=5):
 
 
 def main(only: str | None = None):
+    import os
+
+    # ENHAX_BENCH_SMOKE=1: CPU dry-run of every bench code path (tiny
+    # shapes/models, 1 rep, artifact NOT written) so a broken row is caught
+    # BEFORE burning a healthy tunnel window on the self-armed sweep.
+    smoke = os.environ.get("ENHAX_BENCH_SMOKE") == "1"
     from bench_probe import ensure_tpu, error_row
-    err = ensure_tpu()
-    if err is not None:
-        print(error_row("bench_all", "megapixels/sec/chip", err))
-        return
+    if not smoke:
+        err = ensure_tpu()
+        if err is not None:
+            print(error_row("bench_all", "megapixels/sec/chip", err))
+            return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -48,10 +55,26 @@ def main(only: str | None = None):
     rng = np.random.default_rng(0)
     results = []
 
+    SMOKE_KW = {  # tiny architectures for the CPU dry-run
+        "restormer": {"dim": 8, "num_blocks": (1, 1, 1, 1),
+                      "num_refinement": 1, "heads": (1, 1, 2, 2)},
+        "zero_dce_re": {"num_channels": 8},
+        "zero_dce++_re": {"num_channels": 8},
+        "hinet_re": {"num_channels": 8, "depth": 2},
+        "nafnet_local": {"width": 8, "middle_blk_num": 1,
+                         "enc_blk_nums": (1, 1), "dec_blk_nums": (1, 1),
+                         "tlc_window": 24},
+    }
+
     def run(metric, model_name, batch, h, w, runs=5, tile=None, bf16=False,
             chunk=8, **kw):
         if only is not None and metric != only:
             return
+        if smoke:
+            kw = {**kw, **SMOKE_KW.get(model_name, {})}
+            batch, h, w, runs = min(batch, 2), 192, 192, 1
+            if tile:
+                tile, chunk = (64, 16), 4
         try:
             model = build_model(model_name, **kw)
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
@@ -122,6 +145,11 @@ def main(only: str | None = None):
     run("nafnet_tlc_sidd_1280x736_bf16", "nafnet_local", 2, 736, 1280,
         bf16=True)
 
+    if smoke:
+        bad = [r["metric"] for r in results if r.get("error")]
+        print(json.dumps({"smoke": "bench_all", "rows": len(results),
+                          "failed": bad}))
+        raise SystemExit(1 if bad else 0)  # never write the artifact
     if only is None:
         with open("/root/repo/BENCH_ALL.json", "w") as fh:
             json.dump(results, fh, indent=1)

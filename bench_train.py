@@ -40,11 +40,18 @@ def _model_flops_per_image(model, example, variables=None):
 
 
 def main(only: str | None = None):
+    import os as _os
+
+    # ENHAX_BENCH_SMOKE=1: CPU dry-run of every train-bench code path
+    # (tiny shapes/models, 2 steps, artifact NOT written) — catches broken
+    # rows before the self-armed sweep burns a healthy tunnel window.
+    smoke = _os.environ.get("ENHAX_BENCH_SMOKE") == "1"
     from bench_probe import ensure_tpu, error_row
-    err = ensure_tpu()
-    if err is not None:
-        print(error_row("bench_train", "megapixels/sec/chip", err))
-        return
+    if not smoke:
+        err = ensure_tpu()
+        if err is not None:
+            print(error_row("bench_train", "megapixels/sec/chip", err))
+            return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -66,10 +73,20 @@ def main(only: str | None = None):
         jax.clear_caches()
         gc.collect()
 
+    SMOKE_KW = {  # tiny architectures for the CPU dry-run
+        "zero_dce_re": {"num_channels": 8},
+        "hinet_re": {"num_channels": 8, "depth": 2},
+        "nafnet": {"width": 8, "middle_blk_num": 1, "enc_blk_nums": (1, 1),
+                   "dec_blk_nums": (1, 1)},
+    }
+
     def run(metric, model_name, batch, hw, steps=20, use_pipeline=False,
             ref_key="ref_image", precision=None, fused_train=False, **kw):
         if only is not None and metric != only:
             return
+        if smoke:
+            kw = {**kw, **SMOKE_KW.get(model_name, {})}
+            batch, hw, steps = 2, 64, 2
         import os
         if fused_train:
             # route the training forward through the fused Pallas blocks
@@ -180,6 +197,11 @@ def main(only: str | None = None):
     run("nafnet_sidd_256_b16_train_fused", "nafnet", 16, 256,
         use_pipeline=True, fused_train=True, width=32, middle_blk_num=12)
 
+    if smoke:
+        bad = [r["metric"] for r in results if r.get("error")]
+        print(json.dumps({"smoke": "bench_train", "rows": len(results),
+                          "failed": bad}))
+        raise SystemExit(1 if bad else 0)  # never write the artifact
     if only is None:
         with open("/root/repo/BENCH_TRAIN.json", "w") as fh:
             json.dump(results, fh, indent=1)

@@ -81,6 +81,22 @@ def tiled_apply(fn, image, tile: tuple[int, int] = (256, 256), overlap: int = 32
     return out / acc
 
 
+def _best_chunk(total: int, chunk: int) -> int:
+    """Pick the dispatch chunk in [~2/3*chunk, chunk] minimizing padded
+    tail waste (r4 VERDICT task 5: a 180-tile stream at chunk=16 wastes 12
+    padded tiles, 6.7% of device work; chunk=15 wastes none). Larger chunk
+    wins ties; the requested chunk is the memory bound, so only smaller
+    values are considered."""
+    best, best_pad = chunk, (-total) % chunk
+    for c in range(chunk - 1, max(1, (2 * chunk + 2) // 3) - 1, -1):
+        p = (-total) % c
+        if p < best_pad:
+            best, best_pad = c, p
+            if p == 0:
+                break
+    return best
+
+
 def tiled_apply_frames(fn, frames, tile: tuple[int, int] = (256, 256),
                        overlap: int = 32, chunk: int = 8,
                        blend: str = "hann"):
@@ -111,6 +127,7 @@ def tiled_apply_frames(fn, frames, tile: tuple[int, int] = (256, 256),
         jax.lax.dynamic_slice(frames, (f, y, x, 0), (1, th, tw, c))[0]
         for f in range(n) for y, x in coords])
     total = n * n_tiles
+    chunk = _best_chunk(total, max(chunk, 1))
     n_groups = -(-total // chunk)
     pad = n_groups * chunk - total
     if pad:
@@ -164,6 +181,7 @@ def tiled_apply_batched(fn, image, tile: tuple[int, int] = (256, 256),
     # activations (a Python loop unrolled under jit keeps every chunk's
     # buffers alive simultaneously and OOMs at 1080p/Restormer scale)
     n_tiles = len(coords)
+    chunk = _best_chunk(n_tiles, max(chunk, 1))
     n_groups = -(-n_tiles // chunk)
     pad = n_groups * chunk - n_tiles
     if pad:

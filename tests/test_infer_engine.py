@@ -237,3 +237,15 @@ def test_tiled_apply_frames_matches_per_frame(rng):
                               blend=blend)
             np.testing.assert_allclose(np.asarray(got[f]), np.asarray(ref[0]),
                                        atol=1e-5)
+
+
+def test_best_chunk_minimizes_tail_waste():
+    """Auto-chunk (r4 VERDICT task 5): the dispatch chunk shrinks within
+    [~2/3*chunk, chunk] to minimize padded tail tiles."""
+    from enhax.infer.tiling import _best_chunk
+    assert _best_chunk(180, 16) == 15      # 180 % 15 == 0 (was 12 pad tiles)
+    assert _best_chunk(160, 16) == 16      # exact fit stays put
+    assert _best_chunk(45, 8) == 8         # pad 3 at c=8; no smaller c beats it
+    assert _best_chunk(44, 8) == 8         # pad 4 at c=8 beats 5/4... none lower
+    assert _best_chunk(7, 8) == 7          # tiny totals collapse the pad
+    assert _best_chunk(1, 1) == 1
