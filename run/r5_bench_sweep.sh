@@ -31,11 +31,12 @@ echo "== 3/4 headline bench.py"
 timeout 1800 python bench.py > "$LOG/bench.log" 2>&1 || true
 grep metric "$LOG/bench.log" || true
 
-echo "== 4/4 commit fresh artifacts (pathspec-scoped)"
+echo "== 4/4 commit fresh artifacts + regenerated README tables (pathspec-scoped)"
 if [ $RC_ALL -eq 0 ] || [ $RC_TRAIN -eq 0 ]; then
     cp "$LOG/bench.log" run/r5_bench_headline.log 2>/dev/null || true
-    git commit -m "Fresh TPU perf artifacts from self-armed r5 sweep" \
-        -- BENCH_ALL.json BENCH_TRAIN.json run/tunnel_log.jsonl \
+    python tools/update_perf_docs.py || true
+    git commit -m "Fresh TPU perf artifacts from self-armed r5 sweep (+ README tables)" \
+        -- BENCH_ALL.json BENCH_TRAIN.json README.md run/tunnel_log.jsonl \
            run/r5_bench_headline.log 2>&1 | tail -2
     echo "SWEEP_COMMITTED"
 else
@@ -43,4 +44,3 @@ else
 fi
 
 echo "== done; logs in $LOG"
-echo "REMINDER: update README.md/PERF.md benchmark rows from the fresh artifacts."
