@@ -26,9 +26,23 @@ import time
 
 import numpy as np
 
-# v5e peaks used for MFU (per chip): bf16 394 TFLOP/s, f32 ~197 TFLOP/s.
-F32_PEAK = 197e12
-BF16_PEAK = 394e12
+# Per-chip bf16 MXU peaks by device_kind (jax-ml.github.io/scaling-book
+# hardware table); f32 step math runs the MXU at ~half the bf16 rate.
+# Detected at runtime — MFU against the wrong generation's peak is not an
+# MFU. Falls back to v5e if the kind string is unrecognized.
+BF16_PEAKS = {
+    "v4": 275e12,
+    "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    bf16 = next((v for k, v in BF16_PEAKS.items() if k in kind), 197e12)
+    return kind, bf16, bf16 / 2.0
 
 
 def _model_flops_per_image(model, example, variables=None):
@@ -57,6 +71,10 @@ def main(only: str | None = None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
+
+    chip_kind, bf16_peak, f32_peak = _chip_peaks()
+    print(json.dumps({"chip_kind": chip_kind, "bf16_peak": bf16_peak}),
+          flush=True)
 
     from enhax.data.datamodule import prefetch_to_device
     from enhax.models.base import build_model
@@ -161,7 +179,7 @@ def main(only: str | None = None):
                 dt = max(time.perf_counter() - t0 - 0.029, 1e-9) / steps
 
             mps = batch * h * w / 1e6 / dt
-            peak = BF16_PEAK if precision else F32_PEAK
+            peak = bf16_peak if precision else f32_peak
             try:
                 fl = _model_flops_per_image(model, example, variables)
                 mfu = fl / dt / peak
@@ -196,6 +214,21 @@ def main(only: str | None = None):
     # bwd beats the plain flax train step
     run("nafnet_sidd_256_b16_train_fused", "nafnet", 16, 256,
         use_pipeline=True, fused_train=True, width=32, middle_blk_num=12)
+    # device-resident chained steps (the zero_dce methodology): MFU of the
+    # step math itself, with no host->tunnel feed in the loop. The
+    # pipelined rows above measure the end-to-end rate THROUGH the axon
+    # relay (~12.6 MB host->device per step over a tunnel) — that is the
+    # serving number for THIS environment, not the device's training MFU;
+    # a real pod host feeds over PCIe and overlaps transfers.
+    run("hinet_gopro_256_b16_train_dev", "hinet_re", 16, 256)
+    run("hinet_gopro_256_b16_train_bf16_dev", "hinet_re", 16, 256,
+        precision="bf16")
+    run("nafnet_sidd_256_b16_train_dev", "nafnet", 16, 256,
+        width=32, middle_blk_num=12)
+    run("nafnet_sidd_256_b16_train_bf16_dev", "nafnet", 16, 256,
+        precision="bf16", width=32, middle_blk_num=12)
+    run("nafnet_sidd_256_b16_train_fused_dev", "nafnet", 16, 256,
+        fused_train=True, width=32, middle_blk_num=12)
 
     if smoke:
         bad = [r["metric"] for r in results if r.get("error")]
