@@ -110,6 +110,36 @@ def main(argv):
         t_attn = timed("attn", attn, q)
         t_proj = pw(d, d, x)
 
+        # layout cost the model pays around the einsums: NHWC -> (n, heads,
+        # hd, HW) for q/k/v and back for out — materialized transposes
+        def pack(t):
+            tt = t.reshape(b, h * w, 3, heads, hd)
+            q_ = tt[:, :, 0].transpose(0, 2, 3, 1)
+            k_ = tt[:, :, 1].transpose(0, 2, 3, 1)
+            v_ = tt[:, :, 2].transpose(0, 2, 3, 1)
+            return q_ + k_ + v_
+
+        t_pack = timed("pack", pack, x3)
+        o = jnp.asarray(rng.uniform(-1, 1, (b, heads, hd, h * w)), dt)
+        t_unpack = timed("unpack",
+                         lambda t: t.transpose(0, 3, 1, 2).reshape(b, h, w, d), o)
+
+        # transpose-free alternative: einsum directly in (n, p, heads, hd)
+        # layout — XLA contracts p without materializing the head transpose
+        qn2 = jnp.asarray(rng.uniform(-1, 1, (b, h * w, heads, hd)), dt)
+        kn2 = jnp.asarray(rng.uniform(-1, 1, (b, h * w, heads, hd)), dt)
+        vn2 = jnp.asarray(rng.uniform(-1, 1, (b, h * w, heads, hd)), dt)
+
+        def attn_nofold(qq):
+            qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=1, keepdims=True), 1e-6)
+            kn = kn2 / jnp.maximum(jnp.linalg.norm(kn2, axis=1, keepdims=True), 1e-6)
+            a = jnp.einsum("nphc,nphd->nhcd", qn, kn,
+                           preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(a, axis=-1).astype(vn2.dtype)
+            return jnp.einsum("nhcd,nphd->nphc", a, vn2).reshape(b, h, w, d)
+
+        t_attn_native = timed("attn_native", attn_nofold, qn2)
+
         # GDFN: in 1x1 (d->2*hidden), dw@2*hidden, gate, out 1x1
         t_gin = pw(d, 2 * hidden, x)
         x2h = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2 * hidden)), dt)
@@ -133,6 +163,7 @@ def main(argv):
             "mdta_qkv_pw": t_qkv,
             "mdta_dw3d": min(t_dw3d_shift, t_dw3d_conv),
             "mdta_attn": t_attn,
+            "mdta_layout": t_pack + t_unpack,
             "mdta_proj_pw": t_proj,
             "gdfn_in_pw": t_gin,
             "gdfn_dw": min(t_dwh_shift, t_dwh_conv),
@@ -146,6 +177,8 @@ def main(argv):
                       "dw3d_conv_ms": round(t_dw3d_conv * 1e3, 3),
                       "dwh_shift_ms": round(t_dwh_shift * 1e3, 3),
                       "dwh_conv_ms": round(t_dwh_conv * 1e3, 3)},
+            "attn_ab": {"attn_transposed_ms": round((t_attn + t_pack + t_unpack) * 1e3, 3),
+                        "attn_native_layout_ms": round(t_attn_native * 1e3, 3)},
             "per_block_ms": {kk: round(vv * 1e3, 3)
                              for kk, vv in per_block.items()},
             "level_total_ms": round(sum(per_block.values()) * n_blocks * 1e3, 2),
