@@ -35,27 +35,51 @@ class MDTA(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         n, h, w, c = x.shape
         temperature = self.param("temperature", nn.initializers.ones,
                                  (self.num_heads, 1, 1))
         qkv = conv1x1(c * 3, use_bias=False, dtype=self.dtype, name="qkv")(x)
         qkv = DWConv3x3(c * 3, use_bias=False, dtype=self.dtype,
                         name="qkv_dw")(qkv)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c // self.num_heads
 
-        def heads(t):  # (N,H,W,C) -> (N, heads, hd, HW)
-            t = t.reshape(n, h * w, self.num_heads, hd)
-            return t.transpose(0, 2, 3, 1)
+        if os.environ.get("ENHAX_MDTA_LAYOUT", "native") == "folded":
+            # original head-major layout: materializes (N, heads, hd, HW)
+            # transposes of three HBM-scale tensors (kept for A/B probing)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
-        attn = jnp.einsum("nhcp,nhdp->nhcd", q, k,
-                          preferred_element_type=jnp.float32) * temperature
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("nhcd,nhdp->nhcp", attn, v)
-        out = out.transpose(0, 3, 1, 2).reshape(n, h, w, c)
+            def heads(t):  # (N,H,W,C) -> (N, heads, hd, HW)
+                t = t.reshape(n, h * w, self.num_heads, hd)
+                return t.transpose(0, 2, 3, 1)
+
+            q, k, v = heads(q), heads(k), heads(v)
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                                1e-6)
+            k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
+                                1e-6)
+            attn = jnp.einsum("nhcp,nhdp->nhcd", q, k,
+                              preferred_element_type=jnp.float32) * temperature
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("nhcd,nhdp->nhcp", attn, v)
+            out = out.transpose(0, 3, 1, 2).reshape(n, h, w, c)
+        else:
+            # transpose-free layout: stay in pixel-major (N, HW, heads, hd)
+            # and contract the pixel axis directly — XLA folds the head
+            # split into the einsum instead of materializing three
+            # (N, heads, hd, HW) copies (94 MB each at L1 serving shapes;
+            # run/probe_restormer_ops.py `attn_ab`)
+            t = qkv.reshape(n, h * w, 3, self.num_heads, hd)
+            q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
+                                1e-6)
+            k = k / jnp.maximum(jnp.linalg.norm(k, axis=1, keepdims=True),
+                                1e-6)
+            attn = jnp.einsum("nphc,nphd->nhcd", q, k,
+                              preferred_element_type=jnp.float32) * temperature
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("nhcd,nphd->nphc", attn, v).reshape(n, h, w, c)
         return conv1x1(c, use_bias=False, dtype=self.dtype,
                        name="project_out")(out)
 

@@ -36,8 +36,10 @@ MODELS_UNDER_TEST = [
       "heads": (1, 1, 2, 2)}, True, 60, 2e-3),
     # shifted-window attention (LeWin blocks); size_divisor 128 so run_one
     # reflect-pads the 64x64 golden batch up to the divisor for training
+    # dim 8: at dim 4 the LeWin blocks brighten (+13 dB PSNR) but
+    # over-smooth below input SSIM — under-capacity, not a defect
     ("uformer_tiny", "uformer_re",
-     {"dim": 4, "depths": (1, 1, 1, 1, 1, 1, 1, 1, 1)}, True, 60, 2e-3),
+     {"dim": 8, "depths": (1, 1, 1, 1, 1, 1, 1, 1, 1)}, True, 60, 2e-3),
 ]
 
 # instance-mode (per-image scanned fit) and tiled-predict chains exercise

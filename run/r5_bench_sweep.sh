@@ -35,6 +35,10 @@ echo "== 4/4 commit fresh artifacts + regenerated README tables (pathspec-scoped
 if [ $RC_ALL -eq 0 ] || [ $RC_TRAIN -eq 0 ]; then
     cp "$LOG/bench.log" run/r5_bench_headline.log 2>/dev/null || true
     python tools/update_perf_docs.py || true
+    # git add first: `git commit -- <untracked>` fails the whole commit on
+    # a pathspec error (bit the 02:06 window this round)
+    git add BENCH_ALL.json BENCH_TRAIN.json README.md run/tunnel_log.jsonl \
+        run/r5_bench_headline.log 2>/dev/null
     git commit -m "Fresh TPU perf artifacts from self-armed r5 sweep (+ README tables)" \
         -- BENCH_ALL.json BENCH_TRAIN.json README.md run/tunnel_log.jsonl \
            run/r5_bench_headline.log 2>&1 | tail -2
