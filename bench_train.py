@@ -229,6 +229,17 @@ def main(only: str | None = None):
         precision="bf16", width=32, middle_blk_num=12)
     run("nafnet_sidd_256_b16_train_fused_dev", "nafnet", 16, 256,
         fused_train=True, width=32, middle_blk_num=12)
+    # remat rows (VERDICT r4 task 4): the step is HBM-bound (roofline AI
+    # ~8.9 FLOP/B), so rematerializing each NAFBlock in the bwd trades
+    # free recompute FLOPs for saved-activation traffic — raising the MFU
+    # ceiling itself, not just occupancy
+    run("nafnet_sidd_256_b16_train_remat_dev", "nafnet", 16, 256,
+        width=32, middle_blk_num=12, remat=True)
+    run("nafnet_sidd_256_b16_train_bf16_remat_dev", "nafnet", 16, 256,
+        precision="bf16", width=32, middle_blk_num=12, remat=True)
+    run("nafnet_sidd_256_b16_train_bf16_remat", "nafnet", 16, 256,
+        use_pipeline=True, precision="bf16", width=32, middle_blk_num=12,
+        remat=True)
 
     if smoke:
         bad = [r["metric"] for r in results if r.get("error")]

@@ -74,24 +74,30 @@ class NAFNetModule(nn.Module):
     enc_blk_nums: Sequence[int] = (1, 1, 1, 1)
     dec_blk_nums: Sequence[int] = (1, 1, 1, 1)
     tlc_window: int | None = None
+    # remat: recompute each NAFBlock in the bwd pass instead of saving its
+    # ~6 intermediate (2c-wide) activations. The train step is HBM-bound
+    # (tools/roofline.py: AI ~8.9 FLOP/B), so trading recompute FLOPs for
+    # saved-activation traffic raises the MFU roofline itself.
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inp = x
+        block_cls = nn.remat(NAFBlock) if self.remat else NAFBlock
         c = self.width
         y = nn.Conv(c, (3, 3), dtype=self.dtype, name="intro")(x)
         skips = []
         for i, n in enumerate(self.enc_blk_nums):
             for j in range(n):
-                y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype,
-                             name=f"enc{i}_{j}")(y)
+                y = block_cls(c, tlc_window=self.tlc_window, dtype=self.dtype,
+                              name=f"enc{i}_{j}")(y)
             skips.append(y)
             y = nn.Conv(c * 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                         name=f"down{i}")(y)
             c *= 2
         for j in range(self.middle_blk_num):
-            y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype, name=f"mid_{j}")(y)
+            y = block_cls(c, tlc_window=self.tlc_window, dtype=self.dtype, name=f"mid_{j}")(y)
         for i, n in enumerate(self.dec_blk_nums):
             y = conv1x1(c * 2, use_bias=False, dtype=self.dtype,
                         name=f"up{i}")(y)
@@ -99,8 +105,8 @@ class NAFNetModule(nn.Module):
             c //= 2
             y = y + skips[-(i + 1)]
             for j in range(n):
-                y = NAFBlock(c, tlc_window=self.tlc_window, dtype=self.dtype,
-                             name=f"dec{i}_{j}")(y)
+                y = block_cls(c, tlc_window=self.tlc_window, dtype=self.dtype,
+                              name=f"dec{i}_{j}")(y)
         out = nn.Conv(3, (3, 3), dtype=self.dtype, name="ending")(y)
         return {"enhanced": out + inp}
 
@@ -113,7 +119,8 @@ def _nafnet_loss():
     return fn
 
 
-def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
+def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None,
+          remat=False):
     def fast_apply(variables, image):
         # fused Pallas NAFBlock path (enhax/kernels/nafblock.py) — picked
         # by Model.apply for TPU inference (r2 VERDICT #1)
@@ -126,7 +133,7 @@ def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
         name=name, arch="nafnet",
         module=NAFNetModule(width=width, middle_blk_num=mid,
                             enc_blk_nums=enc, dec_blk_nums=dec,
-                            tlc_window=tlc_window, dtype=dtype),
+                            tlc_window=tlc_window, remat=remat, dtype=dtype),
         tasks=(Task.DEBLUR, Task.DENOISE),
         schemes=(Scheme.SUPERVISED,),
         loss_fn=_nafnet_loss(),
@@ -139,10 +146,11 @@ def _make(name, width, enc, mid, dec, tlc_window=None, dtype=None):
 @MODELS.register(name="nafnet", arch="nafnet",
                  tasks=(Task.DEBLUR, Task.DENOISE), schemes=(Scheme.SUPERVISED,))
 def nafnet(width: int = 32, middle_blk_num: int = 12,
-           enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2), dtype=None, **kwargs) -> Model:
+           enc_blk_nums=(2, 2, 4, 8), dec_blk_nums=(2, 2, 2, 2), dtype=None,
+           remat: bool = False, **kwargs) -> Model:
     """NAFNet-width32 (SIDD config of the reference's vendored repo)."""
     return _make("nafnet", width, tuple(enc_blk_nums), middle_blk_num,
-                 tuple(dec_blk_nums), dtype=dtype)
+                 tuple(dec_blk_nums), dtype=dtype, remat=remat)
 
 
 @MODELS.register(name="nafnet_local", arch="nafnet",

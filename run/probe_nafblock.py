@@ -13,6 +13,9 @@ Run ONE probe per process (OOM poisoning; single-TPU-client rule).
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

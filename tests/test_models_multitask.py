@@ -40,6 +40,29 @@ def test_nafnet_forward_and_loss(pair):
     assert np.isfinite(float(loss))
 
 
+def test_nafnet_remat_grad_parity(pair):
+    """remat=True (per-block rematerialization for the HBM-bound train
+    step, tools/roofline.py) must be a pure scheduling change: identical
+    loss and gradients to the plain module."""
+    kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+              dec_blk_nums=(1, 1))
+    m0 = build_model("nafnet", **kw)
+    m1 = build_model("nafnet", remat=True, **kw)
+    v = m0.init(jax.random.PRNGKey(0), pair)
+
+    def loss_of(m):
+        return lambda p: jnp.mean(jnp.abs(
+            m.module.apply({"params": p}, pair["image"])["enhanced"]
+            - pair["ref_image"]))
+
+    l0, g0 = jax.value_and_grad(loss_of(m0))(v["params"])
+    l1, g1 = jax.value_and_grad(loss_of(m1))(v["params"])
+    assert float(l0) == float(l1)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-6
+
+
 def test_nafnet_tlc_differs_from_global(pair):
     """TLC local stats must differ from global-pool stats on non-uniform input."""
     kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
