@@ -1,0 +1,366 @@
+"""Fused Pallas RestormerBlock: MDTA + GDFN in two kernels + tiny glue.
+
+The serving probe (run/probe_restormer_ops.py, corrected for the relay's
+~29 ms per-call RPC) shows each RestormerBlock pays ~15 XLA ops of
+HBM-scale traffic — LN, qkv 1x1, dwconv, attention einsums, projection,
+LN2, GDFN in/dw/gate/out — touching the (B, H, W, C..5.3C) activations
+~60 channel-widths per block, while the information flow needs only:
+
+    read x -> write qkv -> read x,v -> write out        (~8 channel-widths)
+
+This module fuses the block the NAFBlock way (enhax/kernels/nafblock.py:
+row-tiled grid, halo rows via clamped index maps, shifted-adds dwconv,
+f32 accumulation):
+
+  R1: LN1 -> qkv 1x1 -> dw3x3, emitting qkv PLUS the per-head raw gram
+      q^T k and per-channel sum-of-squares, accumulated across row tiles.
+      MDTA's pixel-axis l2 normalization FACTORIZES out of the gram:
+      (q/||q_c||)^T (k/||k_d||) = (q^T k)[c,d] / (||q_c|| ||k_d||), so the
+      C x C attention logits come out of the same pass that computes qkv —
+      no second read of the (B,H,W,3C) tensor, no head-transposes.
+  glue (XLA, C x C-sized): logits / norms * temperature -> softmax.
+  R2: attn @ v -> project_out -> +x -> LN2 -> GDFN (1x1 -> dw3x3 ->
+      gelu-gate -> 1x1) -> +residual, one pass with halo recompute.
+
+Reference: restormer_arch.py TransformerBlock (Attention + FeedForward);
+flax twin: enhax/models/multitask/restormer.py (MDTA/GDFN/RestormerBlock).
+Parity: tests/test_kernels_restormer.py (interpret-mode vs the flax
+module, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+
+
+def _rows_per_tile(w: int, c_widest: int, n_bufs: int = 8,
+                   budget_mb: int = 72) -> int:
+    """Row tile sized against the Mosaic VMEM budget (see nafblock.py)."""
+    lane_c = ((c_widest + 127) // 128) * 128
+    row_bytes = w * lane_c * 4
+    th = max(int((budget_mb * 2 ** 20) // (n_bufs * row_bytes)), 1)
+    return int(min(th, 64))
+
+
+def _layer_norm(x, scale, bias):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _shift_w(x, dw):
+    """Shift along W (axis -2) with zero fill (SAME conv padding)."""
+    if dw == 0:
+        return x
+    zeros = jnp.zeros_like(x[:, :1])
+    if dw > 0:
+        return jnp.concatenate([zeros, x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], zeros], axis=1)
+
+
+def _dw3x3_valid(y, dwwf, tile_h, mask_rows):
+    """Shifted-adds depthwise 3x3 over a (tile_h+2, w, C) halo'd tensor.
+
+    ``mask_rows`` zeroes the dw INPUT rows that lie beyond the image
+    (SAME zero padding applies after the pointwise producer — zeroing raw
+    x instead would feed the taps LN(0)@W, see nafblock._k1_kernel).
+    """
+    y = jnp.where(mask_rows, 0.0, y)
+    acc = None
+    for dh in (0, 1, 2):
+        row = y[dh:dh + tile_h]
+        for dx in (-1, 0, 1):
+            t = _shift_w(row, -dx) * dwwf[dh, dx + 1]
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _edge_mask(i, tile_h, n_tiles):
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
+    return ((i == 0) & (row == 0)) | \
+        ((i == n_tiles - 1) & (row == tile_h + 1))
+
+
+def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
+               qkv_out, gram_out, qss_out, kss_out, *, tile_h, w, c, heads,
+               n_tiles):
+    """LN1 -> qkv 1x1 -> dw3x3; accumulate per-head gram + channel norms."""
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    cdt = wqkv.dtype
+    hd = c // heads
+    prev = xprev_ref[0].astype(f32)
+    nxt = xnext_ref[0].astype(f32)
+    xb = jnp.concatenate([prev, x_ref[0].astype(f32), nxt], axis=0)
+    y = _layer_norm(xb, ln_s[0].astype(f32), ln_b[0].astype(f32))
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), wqkv[:],
+                preferred_element_type=f32).reshape(tile_h + 2, w, 3 * c)
+    qkv = _dw3x3_valid(y, dwk[:].astype(f32), tile_h,
+                       _edge_mask(i, tile_h, n_tiles))
+    qkv_out[0] = qkv.astype(qkv_out.dtype)
+
+    flat = qkv.reshape(-1, 3 * c)
+    q = flat[:, :c]
+    k = flat[:, c:2 * c]
+    # per-head raw gram q^T k, accumulated across row tiles (the pixel-axis
+    # normalization divides out in the glue)
+    grams = []
+    for hh in range(heads):
+        qh = q[:, hh * hd:(hh + 1) * hd]
+        kh = k[:, hh * hd:(hh + 1) * hd]
+        grams.append(jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))
+    gram = jnp.concatenate(grams, axis=0)          # (heads*hd, hd)
+    # q/k channel sum-of-squares as TWO (1, c) outputs: a stacked (2, c)
+    # write trips Mosaic's "offset mismatch on non-concat dimension" on
+    # the lane-offset copies jnp.stack produces
+    qss = jnp.sum(q * q, axis=0).reshape(1, c)
+    kss = jnp.sum(k * k, axis=0).reshape(1, c)
+
+    @pl.when(i == 0)
+    def _init():
+        gram_out[0] = gram
+        qss_out[0] = qss
+        kss_out[0] = kss
+
+    @pl.when(i > 0)
+    def _accum():
+        gram_out[0] = gram_out[0] + gram
+        qss_out[0] = qss_out[0] + qss
+        kss_out[0] = kss_out[0] + kss
+
+
+def _r2_kernel(x_ref, xprev_ref, xnext_ref, qkv_ref, qkvprev_ref,
+               qkvnext_ref, attn_ref, wproj, ln2_s, ln2_b, win, dwk2,
+               wout, out_ref, *, tile_h, w, c, heads, hidden, n_tiles):
+    """attn@v -> proj -> +x -> LN2 -> GDFN -> +residual for one row tile.
+
+    The GDFN dwconv needs halo rows of x1 = x + proj(attn@v), so the
+    attention-apply and projection run over tile_h+2 rows (halo recompute,
+    same trade as nafblock's K1)."""
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    cdt = wproj.dtype
+    hd = c // heads
+    xb = jnp.concatenate([xprev_ref[0], x_ref[0], xnext_ref[0]],
+                         axis=0).astype(f32)
+    vb = jnp.concatenate([qkvprev_ref[0], qkv_ref[0], qkvnext_ref[0]],
+                         axis=0).astype(f32)[..., 2 * c:]
+    attn = attn_ref[0].astype(f32)                 # (heads*hd, hd)
+    vflat = vb.reshape(-1, c)
+    outs = []
+    for hh in range(heads):
+        vh = vflat[:, hh * hd:(hh + 1) * hd]
+        ah = attn[hh * hd:(hh + 1) * hd]           # (hd_c, hd_d)
+        # out[p, c] = sum_d attn[c, d] * v[p, d]
+        outs.append(jax.lax.dot_general(
+            vh.astype(cdt), ah.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32))
+    att_out = jnp.concatenate(outs, axis=1)        # (P2, c)
+    proj = jnp.dot(att_out.astype(cdt), wproj[:],
+                   preferred_element_type=f32)
+    x1 = xb + proj.reshape(tile_h + 2, w, c)
+
+    y = _layer_norm(x1, ln2_s[0].astype(f32), ln2_b[0].astype(f32))
+    y = jnp.dot(y.astype(cdt).reshape(-1, c), win[:],
+                preferred_element_type=f32).reshape(tile_h + 2, w,
+                                                    2 * hidden)
+    y = _dw3x3_valid(y, dwk2[:].astype(f32), tile_h,
+                     _edge_mask(i, tile_h, n_tiles))
+    g = jax.nn.gelu(y[..., :hidden]) * y[..., hidden:]
+    out = jnp.dot(g.astype(cdt).reshape(-1, hidden), wout[:],
+                  preferred_element_type=f32).reshape(tile_h, w, c)
+    out_ref[0] = (x1[1:tile_h + 1] + out).astype(out_ref.dtype)
+
+
+def _vec2(a):
+    return jnp.asarray(a).reshape(1, -1)
+
+
+def _halo_specs(tile_h, h, w, c):
+    prev = pl.BlockSpec((1, 1, w, c),
+                        lambda bi, i: (bi, jnp.maximum(i * tile_h - 1, 0),
+                                       0, 0),
+                        memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, 1, w, c),
+                       lambda bi, i: (bi, jnp.minimum((i + 1) * tile_h,
+                                                      h - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    return prev, nxt
+
+
+def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
+                         interpret: bool = False):
+    """One RestormerBlock through the fused kernels (R1 -> glue -> R2).
+
+    ``p``: the block's flax params — norm1/{scale,bias},
+    attn/{temperature, qkv/kernel (C,3C), qkv_dw/kernel (3,3,1,3C),
+    project_out/kernel (C,C)}, norm2, ffn/{project_in/kernel (C,2h),
+    dwconv/kernel (3,3,1,2h), project_out/kernel (h,C)}. Matches
+    RestormerBlock.__call__ exactly (no biases, plain residuals).
+    """
+    b, h, w, c = x.shape
+    hd = c // heads
+    hidden = int(c * expansion)
+    widest = max(3 * c, 2 * hidden)
+    tile_h = _rows_per_tile(w, widest, n_bufs=8)
+    while h % tile_h:
+        tile_h -= 1
+    n_tiles = h // tile_h
+
+    blk = lambda cc: pl.BlockSpec((1, tile_h, w, cc),   # noqa: E731
+                                  lambda bi, i: (bi, i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda bi, i: (0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    mat = lambda m, n: pl.BlockSpec((m, n), lambda bi, i: (0, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+    prev_x, next_x = _halo_specs(tile_h, h, w, c)
+
+    pa = p["attn"]
+    qkv, gram, qss, kss = pl.pallas_call(
+        functools.partial(_r1_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
+                          n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[
+            blk(c), prev_x, next_x,
+            vec(c), vec(c),                       # norm1
+            mat(c, 3 * c),                        # qkv
+            pl.BlockSpec((3, 3, 3 * c), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # qkv_dw
+        ],
+        out_specs=[
+            blk(3 * c),
+            pl.BlockSpec((1, heads * hd, hd), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, 3 * c), x.dtype),
+            jax.ShapeDtypeStruct((b, heads * hd, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # row tiles of one batch element must run in order: gram and
+            # sumsq accumulate into the same output block
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(x, x, x, _vec2(p["norm1"]["scale"]), _vec2(p["norm1"]["bias"]),
+      jnp.asarray(pa["qkv"]["kernel"]),
+      jnp.asarray(pa["qkv_dw"]["kernel"]).reshape(3, 3, 3 * c))
+
+    # glue: logits = gram / (||q_c|| ||k_d||) * temperature -> softmax.
+    # norms are over the pixel axis, so they factor out of the gram —
+    # max(.,1e-6) matches the flax MDTA's clamp.
+    gram = gram.reshape(b, heads, hd, hd)
+    qn = jnp.maximum(jnp.sqrt(qss).reshape(b, heads, hd, 1), 1e-6)
+    kn = jnp.maximum(jnp.sqrt(kss).reshape(b, heads, 1, hd), 1e-6)
+    temp = jnp.asarray(pa["temperature"],
+                       jnp.float32).reshape(1, heads, 1, 1)
+    attn = jax.nn.softmax(gram / (qn * kn) * temp, axis=-1)
+    attn = attn.reshape(b, heads * hd, hd).astype(x.dtype)
+
+    prev_q, next_q = _halo_specs(tile_h, h, w, 3 * c)
+    out = pl.pallas_call(
+        functools.partial(_r2_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
+                          hidden=hidden, n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[
+            blk(c), prev_x, next_x,
+            blk(3 * c), prev_q, next_q,
+            pl.BlockSpec((1, heads * hd, hd), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mat(c, c),                            # project_out
+            vec(c), vec(c),                       # norm2
+            mat(c, 2 * hidden),                   # ffn in
+            pl.BlockSpec((3, 3, 2 * hidden), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # ffn dw
+            mat(hidden, c),                       # ffn out
+        ],
+        out_specs=blk(c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(x, x, x, qkv, qkv, qkv, attn,
+      jnp.asarray(pa["project_out"]["kernel"]),
+      _vec2(p["norm2"]["scale"]), _vec2(p["norm2"]["bias"]),
+      jnp.asarray(p["ffn"]["project_in"]["kernel"]),
+      jnp.asarray(p["ffn"]["dwconv"]["kernel"]).reshape(3, 3, 2 * hidden),
+      jnp.asarray(p["ffn"]["project_out"]["kernel"]))
+    return out
+
+
+def restormer_fast_apply(variables, x, dim: int = 48,
+                         num_blocks=(4, 6, 6, 8), num_refinement: int = 4,
+                         heads=(1, 2, 4, 8), expansion: float = 2.66,
+                         fused_min_hw: int = 64, interpret: bool = False):
+    """Full Restormer forward with fused blocks at the large-spatial levels.
+
+    Mirrors RestormerModule.__call__ (enhax/models/multitask/restormer.py)
+    parameter-for-parameter; resampling convs and levels with spatial
+    extent below ``fused_min_hw`` stay in XLA (the Pallas grid's fixed
+    per-tile dispatch does not pay off at 32x32-latent shapes — same
+    hybrid stance as nafnet_fast_apply).
+    """
+    params = variables["params"] if "params" in variables else variables
+
+    def conv3x3(y, p, stride=1):
+        k = jnp.asarray(p["kernel"])
+        out = jax.lax.conv_general_dilated(
+            y, k.astype(y.dtype), (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if "bias" in p:
+            out = out + jnp.asarray(p["bias"]).astype(out.dtype)
+        return out
+
+    def block(y, name, n_heads):
+        if min(y.shape[1], y.shape[2]) >= fused_min_hw:
+            return restormer_block_fast(y, params[name], n_heads,
+                                        expansion, interpret=interpret)
+        # XLA fallback at small spatial: the flax module applied per-block
+        from enhax.models.multitask.restormer import RestormerBlock
+        mod = RestormerBlock(y.shape[-1], n_heads, expansion)
+        return mod.apply({"params": params[name]}, y)
+
+    from enhax.nn.layers import pixel_shuffle, pixel_unshuffle
+
+    inp = x
+    d = dim
+    y = conv3x3(x, params["embed"])
+    skips = []
+    for lvl in range(3):
+        for j in range(num_blocks[lvl]):
+            y = block(y, f"enc{lvl}_{j}", heads[lvl])
+        skips.append(y)
+        y = conv3x3(y, params[f"down{lvl}"])
+        y = pixel_unshuffle(y, 2)
+    for j in range(num_blocks[3]):
+        y = block(y, f"latent_{j}", heads[3])
+    for lvl in reversed(range(3)):
+        y = conv3x3(y, params[f"up{lvl}"])
+        y = pixel_shuffle(y, 2)
+        y = jnp.concatenate([y, skips[lvl]], axis=-1)
+        if lvl != 0:
+            k = jnp.asarray(params[f"reduce{lvl}"]["kernel"])
+            y = jnp.dot(y, k.astype(y.dtype))
+        for j in range(num_blocks[lvl]):
+            y = block(y, f"dec{lvl}_{j}", heads[lvl])
+    for j in range(num_refinement):
+        y = block(y, f"refine_{j}", heads[0])
+    out = conv3x3(y, params["output"])
+    return {"enhanced": out + inp}

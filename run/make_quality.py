@@ -37,11 +37,11 @@ MODELS_UNDER_TEST = [
      {"dim": 8, "num_blocks": (1, 1, 1, 1), "num_refinement": 1,
       "heads": (1, 1, 2, 2)}, True, 60, 2e-3),
     # shifted-window attention (LeWin blocks); size_divisor 128 so run_one
-    # reflect-pads the 64x64 golden batch up to the divisor for training
-    # dim 8: at dim 4 the LeWin blocks brighten (+13 dB PSNR) but
-    # over-smooth below input SSIM — under-capacity, not a defect
+    # reflect-pads the 64x64 golden batch up to the divisor for training.
+    # dim 16: dims 4 and 8 brighten (+12-13 dB PSNR) but over-smooth below
+    # input SSIM on the 4-image set — under-capacity, not a defect
     ("uformer_tiny", "uformer_re",
-     {"dim": 8, "depths": (1, 1, 1, 1, 1, 1, 1, 1, 1)}, True, 60, 2e-3),
+     {"dim": 16, "depths": (1, 1, 1, 1, 1, 1, 1, 1, 1)}, True, 60, 2e-3),
 ]
 
 # instance-mode (per-image scanned fit) and tiled-predict chains exercise
@@ -233,18 +233,39 @@ def run_video_chain(name, out_root, results):
 def main(argv=None):
     import tempfile
 
+    # force CPU like tests/conftest.py: the axon sitecustomize pins
+    # JAX_PLATFORMS=axon at interpreter start (env var is clobbered), so
+    # the artifact must pin the backend via jax.config BEFORE first use —
+    # otherwise the chains silently run on the tunneled TPU, fight any
+    # running bench for the chip, and record TPU numerics as the record
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     out_path = REPO / "QUALITY.json"
+    only = None
     if argv and "--out" in argv:
         out_path = Path(argv[argv.index("--out") + 1])
+    if argv and "--only" in argv:
+        # rerun ONE chain and merge it into the existing artifact (chains
+        # are seed-deterministic and independent; tiled/video chains that
+        # reuse the hinet ckpt still need a full run)
+        only = argv[argv.index("--only") + 1]
 
     out_root = Path(tempfile.mkdtemp(prefix="enhax_quality_"))
     results = {}
+    if only and out_path.is_file():
+        results = json.loads(out_path.read_text())["results"]
     for name, model_name, model_cfg, supervised, epochs, lr in MODELS_UNDER_TEST:
+        if only and name != only:
+            continue
         print(f"[quality] {name} ...", flush=True)
         results[name] = run_one(name, model_name, model_cfg, supervised,
                                 epochs, lr, out_root)
         print(f"[quality] {name}: {results[name]}", flush=True)
     for name, spec in EXTRA_CHAINS:
+        if only and name != only:
+            continue
         print(f"[quality] {name} ...", flush=True)
         results[name] = run_chain(name, spec, out_root)
         if spec.get("_delta_vs"):
@@ -253,9 +274,11 @@ def main(argv=None):
                 results[name]["psnr"] - base, 3)
         print(f"[quality] {name}: {results[name]}", flush=True)
 
-    print("[quality] video_chain ...", flush=True)
-    results["video_chain"] = run_video_chain("video_chain", out_root, results)
-    print(f"[quality] video_chain: {results['video_chain']}", flush=True)
+    if only is None or only == "video_chain":
+        print("[quality] video_chain ...", flush=True)
+        results["video_chain"] = run_video_chain("video_chain", out_root,
+                                                 results)
+        print(f"[quality] video_chain: {results['video_chain']}", flush=True)
 
     payload = {"golden_set": "assets/golden (4x 64x64, committed)",
                "protocol": "train at fixed seed on the golden set -> real "
