@@ -71,13 +71,18 @@ def _dw3x3_valid(y, dwwf, tile_h, mask_rows):
     ``mask_rows`` zeroes the dw INPUT rows that lie beyond the image
     (SAME zero padding applies after the pointwise producer — zeroing raw
     x instead would feed the taps LN(0)@W, see nafblock._k1_kernel).
-    """
+    W is zero-padded ONCE and the nine taps read static slices — six
+    per-tap shift-concats cost measurably more VPU time at 512-lane GDFN
+    widths."""
+    w = y.shape[1]
     y = jnp.where(mask_rows, 0.0, y)
+    zcol = jnp.zeros_like(y[:, :1])
+    yp = jnp.concatenate([zcol, y, zcol], axis=1)   # (th+2, w+2, C)
     acc = None
     for dh in (0, 1, 2):
-        row = y[dh:dh + tile_h]
-        for dx in (-1, 0, 1):
-            t = _shift_w(row, -dx) * dwwf[dh, dx + 1]
+        for dx in (0, 1, 2):
+            # tap (dh, dx) multiplies input at offset (dh-1, dx-1)
+            t = yp[dh:dh + tile_h, dx:dx + w] * dwwf[dh, dx]
             acc = t if acc is None else acc + t
     return acc
 
@@ -89,11 +94,18 @@ def _edge_mask(i, tile_h, n_tiles):
 
 
 def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
-               qkv_out, gram_out, qss_out, kss_out, *, tile_h, w, c, heads,
+               v_out, gram_out, qss_out, kss_out, *, tile_h, w, c, heads,
                n_tiles):
-    """LN1 -> qkv 1x1 -> dw3x3; accumulate per-head gram + channel norms."""
+    """LN1 -> qkv 1x1 -> dw3x3; accumulate per-head gram + channel norms.
+
+    Only V leaves the kernel: q and k are fully consumed by the gram and
+    norm accumulators here, so writing them back (and re-reading them in
+    R2) would be 4 channel-widths of pure waste per block."""
     i = pl.program_id(1)
     f32 = jnp.float32
+    # VPU work stays f32: an on-chip A/B measured bf16 in-kernel
+    # elementwise 1.6x SLOWER (Mosaic packs/unpacks bf16 around f32 ALUs),
+    # so only the MXU operands keep the param dtype (bf16 at serving)
     cdt = wqkv.dtype
     hd = c // heads
     prev = xprev_ref[0].astype(f32)
@@ -104,7 +116,7 @@ def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
                 preferred_element_type=f32).reshape(tile_h + 2, w, 3 * c)
     qkv = _dw3x3_valid(y, dwk[:].astype(f32), tile_h,
                        _edge_mask(i, tile_h, n_tiles))
-    qkv_out[0] = qkv.astype(qkv_out.dtype)
+    v_out[0] = qkv[..., 2 * c:].astype(v_out.dtype)
 
     flat = qkv.reshape(-1, 3 * c)
     q = flat[:, :c]
@@ -116,7 +128,7 @@ def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
         qh = q[:, hh * hd:(hh + 1) * hd]
         kh = k[:, hh * hd:(hh + 1) * hd]
         grams.append(jax.lax.dot_general(
-            qh, kh, (((0,), (0,)), ((), ())),
+            qh.astype(cdt), kh.astype(cdt), (((0,), (0,)), ((), ())),
             preferred_element_type=f32))
     gram = jnp.concatenate(grams, axis=0)          # (heads*hd, hd)
     # q/k channel sum-of-squares as TWO (1, c) outputs: a stacked (2, c)
@@ -138,8 +150,8 @@ def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
         kss_out[0] = kss_out[0] + kss
 
 
-def _r2_kernel(x_ref, xprev_ref, xnext_ref, qkv_ref, qkvprev_ref,
-               qkvnext_ref, attn_ref, wproj, ln2_s, ln2_b, win, dwk2,
+def _r2_kernel(x_ref, xprev_ref, xnext_ref, v_ref, vprev_ref,
+               vnext_ref, attn_ref, wproj, ln2_s, ln2_b, win, dwk2,
                wout, out_ref, *, tile_h, w, c, heads, hidden, n_tiles):
     """attn@v -> proj -> +x -> LN2 -> GDFN -> +residual for one row tile.
 
@@ -148,13 +160,13 @@ def _r2_kernel(x_ref, xprev_ref, xnext_ref, qkv_ref, qkvprev_ref,
     same trade as nafblock's K1)."""
     i = pl.program_id(1)
     f32 = jnp.float32
-    cdt = wproj.dtype
+    cdt = wproj.dtype  # see _r1_kernel: VPU in f32, MXU operands in cdt
     hd = c // heads
     xb = jnp.concatenate([xprev_ref[0], x_ref[0], xnext_ref[0]],
                          axis=0).astype(f32)
-    vb = jnp.concatenate([qkvprev_ref[0], qkv_ref[0], qkvnext_ref[0]],
-                         axis=0).astype(f32)[..., 2 * c:]
-    attn = attn_ref[0].astype(f32)                 # (heads*hd, hd)
+    vb = jnp.concatenate([vprev_ref[0], v_ref[0], vnext_ref[0]],
+                         axis=0)
+    attn = attn_ref[0]                             # (heads*hd, hd)
     vflat = vb.reshape(-1, c)
     outs = []
     for hh in range(heads):
@@ -198,7 +210,7 @@ def _halo_specs(tile_h, h, w, c):
 
 
 def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
-                         interpret: bool = False):
+                         interpret: bool = False, tile_h: int | None = None):
     """One RestormerBlock through the fused kernels (R1 -> glue -> R2).
 
     ``p``: the block's flax params — norm1/{scale,bias},
@@ -211,7 +223,8 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     hd = c // heads
     hidden = int(c * expansion)
     widest = max(3 * c, 2 * hidden)
-    tile_h = _rows_per_tile(w, widest, n_bufs=8)
+    if tile_h is None:
+        tile_h = _rows_per_tile(w, widest, n_bufs=8)
     while h % tile_h:
         tile_h -= 1
     n_tiles = h // tile_h
@@ -226,7 +239,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     prev_x, next_x = _halo_specs(tile_h, h, w, c)
 
     pa = p["attn"]
-    qkv, gram, qss, kss = pl.pallas_call(
+    v, gram, qss, kss = pl.pallas_call(
         functools.partial(_r1_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
                           n_tiles=n_tiles),
         grid=(b, n_tiles),
@@ -238,7 +251,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
                          memory_space=pltpu.VMEM),  # qkv_dw
         ],
         out_specs=[
-            blk(3 * c),
+            blk(c),
             pl.BlockSpec((1, heads * hd, hd), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
@@ -247,7 +260,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, 3 * c), x.dtype),
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
             jax.ShapeDtypeStruct((b, heads * hd, hd), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
@@ -273,14 +286,13 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     attn = jax.nn.softmax(gram / (qn * kn) * temp, axis=-1)
     attn = attn.reshape(b, heads * hd, hd).astype(x.dtype)
 
-    prev_q, next_q = _halo_specs(tile_h, h, w, 3 * c)
     out = pl.pallas_call(
         functools.partial(_r2_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
                           hidden=hidden, n_tiles=n_tiles),
         grid=(b, n_tiles),
         in_specs=[
             blk(c), prev_x, next_x,
-            blk(3 * c), prev_q, next_q,
+            blk(c), prev_x, next_x,
             pl.BlockSpec((1, heads * hd, hd), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             mat(c, c),                            # project_out
@@ -296,7 +308,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
-    )(x, x, x, qkv, qkv, qkv, attn,
+    )(x, x, x, v, v, v, attn,
       jnp.asarray(pa["project_out"]["kernel"]),
       _vec2(p["norm2"]["scale"]), _vec2(p["norm2"]["bias"]),
       jnp.asarray(p["ffn"]["project_in"]["kernel"]),

@@ -21,7 +21,71 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def block_bench(argv):
+    """--blocks: time ONE fused block per level shape, chained inside a
+    fori_loop so the ~30 ms relay RPC amortizes (memory: axon gotchas)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from enhax.kernels.restormer_block import restormer_block_fast
+    from enhax.models.multitask.restormer import RestormerBlock
+
+    iters = 10
+    rng = np.random.default_rng(0)
+    # (tag, B, HW, C, heads, blocks-in-model)
+    LEVELS = [("L1_enc", 15, 256, 48, 1, 4),
+              ("L1_dec_ref", 15, 256, 96, 1, 8),
+              ("L2", 15, 128, 96, 2, 12),
+              ("L3", 15, 64, 192, 4, 12),
+              ("L4", 15, 32, 384, 8, 8)]
+    total = {"fused": 0.0, "flax": 0.0}
+    for tag, b, hw, c, heads, blocks in LEVELS:
+        x = jnp.asarray(rng.uniform(-1, 1, (b, hw, hw, c)), jnp.bfloat16)
+        mod = RestormerBlock(c, heads)
+        var = mod.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, hw, hw, c), jnp.float32))
+        var = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, var)
+        p = var["params"]
+
+        def timed(fn, xx):
+            @jax.jit
+            def loop(t):
+                return jax.lax.fori_loop(0, iters, lambda i, y: fn(y), t)
+            _ = float(loop(xx).sum())
+            t0 = time.perf_counter()
+            _ = float(loop(xx).sum())
+            return (time.perf_counter() - t0 - 0.029) / iters
+
+        t_fused = timed(lambda y: restormer_block_fast(y, p, heads), x)
+        t_flax = timed(lambda y: mod.apply({"params": p}, y), x)
+        row = {"level": tag, "shape": [b, hw, hw, c], "heads": heads,
+               "blocks": blocks,
+               "fused_ms_per_block": round(t_fused * 1e3, 2),
+               "flax_ms_per_block": round(t_flax * 1e3, 2),
+               "speedup": round(t_flax / t_fused, 2),
+               "fused_level_ms": round(t_fused * blocks * 1e3, 1),
+               "flax_level_ms": round(t_flax * blocks * 1e3, 1)}
+        total["fused"] += t_fused * blocks
+        total["flax"] += t_flax * blocks
+        print(json.dumps(row), flush=True)
+        import gc
+        jax.clear_caches()
+        gc.collect()
+    print(json.dumps({"sum_fused_ms": round(total["fused"] * 1e3, 1),
+                      "sum_flax_ms": round(total["flax"] * 1e3, 1)}),
+          flush=True)
+
+
 def main(argv):
+    if "--blocks" in argv:
+        return block_bench(argv)
     chunk = int(argv[argv.index("--chunk") + 1]) if "--chunk" in argv else 15
     smoke = "--smoke" in argv
 

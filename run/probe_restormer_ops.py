@@ -102,15 +102,18 @@ def main(argv):
         k = jnp.asarray(rng.uniform(-1, 1, (b, heads, hd, h * w)), dt)
         v = jnp.asarray(rng.uniform(-1, 1, (b, heads, hd, h * w)), dt)
 
-        def attn(qq):
+        # k/v passed as ARGS, not closure constants: captured arrays get
+        # embedded in the relay's remote_compile request body and 94 MB+
+        # constants trip its HTTP 413 length limit
+        def attn(qq, kk, vv):
             qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=-1, keepdims=True), 1e-6)
-            kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+            kn = kk / jnp.maximum(jnp.linalg.norm(kk, axis=-1, keepdims=True), 1e-6)
             a = jnp.einsum("nhcp,nhdp->nhcd", qn, kn,
                            preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
-            return jnp.einsum("nhcd,nhdp->nhcp", a, v)
+            a = jax.nn.softmax(a, axis=-1).astype(vv.dtype)
+            return jnp.einsum("nhcd,nhdp->nhcp", a, vv)
 
-        t_attn = timed("attn", attn, q)
+        t_attn = timed("attn", attn, q, k, v)
         t_proj = pw(d, d, x)
 
         # layout cost the model pays around the einsums: NHWC -> (n, heads,
@@ -133,15 +136,15 @@ def main(argv):
         kn2 = jnp.asarray(rng.uniform(-1, 1, (b, h * w, heads, hd)), dt)
         vn2 = jnp.asarray(rng.uniform(-1, 1, (b, h * w, heads, hd)), dt)
 
-        def attn_nofold(qq):
+        def attn_nofold(qq, kk, vv):
             qn = qq / jnp.maximum(jnp.linalg.norm(qq, axis=1, keepdims=True), 1e-6)
-            kn = kn2 / jnp.maximum(jnp.linalg.norm(kn2, axis=1, keepdims=True), 1e-6)
+            kn = kk / jnp.maximum(jnp.linalg.norm(kk, axis=1, keepdims=True), 1e-6)
             a = jnp.einsum("nphc,nphd->nhcd", qn, kn,
                            preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(a, axis=-1).astype(vn2.dtype)
-            return jnp.einsum("nhcd,nphd->nphc", a, vn2).reshape(b, h, w, d)
+            a = jax.nn.softmax(a, axis=-1).astype(vv.dtype)
+            return jnp.einsum("nhcd,nphd->nphc", a, vv).reshape(b, h, w, d)
 
-        t_attn_native = timed("attn_native", attn_nofold, qn2)
+        t_attn_native = timed("attn_native", attn_nofold, qn2, kn2, vn2)
 
         # GDFN: in 1x1 (d->2*hidden), dw@2*hidden, gate, out 1x1
         t_gin = pw(d, 2 * hidden, x)
