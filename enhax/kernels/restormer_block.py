@@ -320,14 +320,15 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
 def restormer_fast_apply(variables, x, dim: int = 48,
                          num_blocks=(4, 6, 6, 8), num_refinement: int = 4,
                          heads=(1, 2, 4, 8), expansion: float = 2.66,
-                         fused_min_hw: int = 64, interpret: bool = False):
+                         fused_min_hw: int = 32, interpret: bool = False):
     """Full Restormer forward with fused blocks at the large-spatial levels.
 
     Mirrors RestormerModule.__call__ (enhax/models/multitask/restormer.py)
     parameter-for-parameter; resampling convs and levels with spatial
-    extent below ``fused_min_hw`` stay in XLA (the Pallas grid's fixed
-    per-tile dispatch does not pay off at 32x32-latent shapes — same
-    hybrid stance as nafnet_fast_apply).
+    extent below ``fused_min_hw`` stay in XLA. On-chip at 256² serving
+    chunks the fused path wins at EVERY level (min_hw=32: 5.23 MP/s vs
+    4.97 at 64 and 2.52 flax, run/probe_restormer_fused.py), so the
+    default fuses the 32×32 latent too.
     """
     params = variables["params"] if "params" in variables else variables
 
