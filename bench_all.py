@@ -126,7 +126,14 @@ def main(only: str | None = None):
         jax.clear_caches()
         gc.collect()
 
-    # restormer first: its 1080p tiling needs the full unfragmented heap
+    # restormer first: its 1080p tiling needs the full unfragmented heap.
+    # tile 384 is the measured best serving grid for the fused kernels
+    # (run/probe_restormer_tiles.py: 384 -> 1.06x overlap redundancy vs
+    # 1.41x at the reference my_predict.py default of 256; 448/512 regress
+    # as the row-tile halo share grows). 256 rows kept for methodology
+    # parity with the reference default.
+    run("restormer_1080p_tiled384_bf16_mf", "restormer", 4, 1088, 1920,
+        runs=3, tile=(384, 32), chunk=8, bf16=True)
     run("restormer_1080p_tiled256_bf16_mf", "restormer", 4, 1088, 1920,
         runs=3, tile=(256, 32), chunk=16, bf16=True)
     run("restormer_1080p_tiled256_bf16", "restormer", 1, 1088, 1920,
