@@ -92,13 +92,18 @@ def _k1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, w1, b1, dww, dwb,
     edge = ((i == 0) & (row == 0)) | ((i == n_tiles - 1) & (row == tile_h + 1))
     y = jnp.where(edge, 0.0, y)
     dwwf = dww[:].astype(jnp.float32)                   # (3, 3, 2c)
+    # W (sublane) shifts HOISTED out of the tap loop: materialize each dx
+    # plane once over all tile_h+2 rows, then the nine taps read contiguous
+    # row-offset views. Per-tap shifted slices cost a Mosaic shifted copy
+    # each — measured at 57% of the Restormer L1 block time before the
+    # hoist (run/probe_restormer_ablate.py, run/probe_dw_hoist.py: 1.28x).
     acc = jnp.zeros((tile_h, w, 2 * c), jnp.float32)
-    for dh in (0, 1, 2):
-        row = y[dh:dh + tile_h]
-        for dx in (-1, 0, 1):
-            # kernel tap (dh, dx+1) multiplies input at offset (dh-1, dx):
-            # shift +1 brings in[w-1] to out[w]
-            acc = acc + _shift_w(row, -dx) * dwwf[dh, dx + 1]
+    for dx in (-1, 0, 1):
+        # kernel tap (dh, dx+1) multiplies input at offset (dh-1, dx):
+        # shift +1 brings in[w-1] to out[w]
+        plane = _shift_w(y, -dx)
+        for dh in (0, 1, 2):
+            acc = acc + plane[dh:dh + tile_h] * dwwf[dh, dx + 1]
     acc = acc + dwb[0].astype(jnp.float32)
     g = acc[..., :c] * acc[..., c:]
     g_out[0] = g.astype(g_out.dtype)

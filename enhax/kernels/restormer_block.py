@@ -71,18 +71,25 @@ def _dw3x3_valid(y, dwwf, tile_h, mask_rows):
     ``mask_rows`` zeroes the dw INPUT rows that lie beyond the image
     (SAME zero padding applies after the pointwise producer — zeroing raw
     x instead would feed the taps LN(0)@W, see nafblock._k1_kernel).
-    W is zero-padded ONCE and the nine taps read static slices — six
-    per-tap shift-concats cost measurably more VPU time at 512-lane GDFN
-    widths."""
-    w = y.shape[1]
+
+    Tap schedule: the W (sublane) shift is HOISTED — each dx plane is
+    materialized once and the nine taps read contiguous row-offset views
+    of it. A per-tap (dh, dx) slice of a W-padded tensor carries a
+    sublane offset, which Mosaic lowers to a shifted copy per tap; the
+    component-ablation probe measured those nine copies at 57% of the
+    L1-dec block time, and hoisting them 3x fewer is a 1.28x whole-block
+    win (run/probe_restormer_ablate.py, run/probe_dw_hoist.py)."""
     y = jnp.where(mask_rows, 0.0, y)
     zcol = jnp.zeros_like(y[:, :1])
-    yp = jnp.concatenate([zcol, y, zcol], axis=1)   # (th+2, w+2, C)
+    planes = (jnp.concatenate([zcol, y[:, :-1]], axis=1),  # input col w-1
+              y,
+              jnp.concatenate([y[:, 1:], zcol], axis=1))   # input col w+1
     acc = None
-    for dh in (0, 1, 2):
-        for dx in (0, 1, 2):
-            # tap (dh, dx) multiplies input at offset (dh-1, dx-1)
-            t = yp[dh:dh + tile_h, dx:dx + w] * dwwf[dh, dx]
+    for dx in (0, 1, 2):
+        # tap (dh, dx) multiplies input at offset (dh-1, dx-1)
+        pp = planes[dx]
+        for dh in (0, 1, 2):
+            t = pp[dh:dh + tile_h] * dwwf[dh, dx]
             acc = t if acc is None else acc + t
     return acc
 
