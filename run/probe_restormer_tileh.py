@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def main():
+def main(argv=()):
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +28,9 @@ def main():
     from enhax.models.multitask.restormer import RestormerBlock
 
     iters = 10
-    b, hw, c, heads = 15, 256, 96, 1
+    hw = int(argv[argv.index("--hw") + 1]) if "--hw" in argv else 256
+    c = int(argv[argv.index("--c") + 1]) if "--c" in argv else 96
+    b, heads = 15, 1
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (b, hw, hw, c)), jnp.bfloat16)
     mod = RestormerBlock(c, heads)
@@ -48,7 +50,9 @@ def main():
         _ = float(loop(x).sum())
         return (time.perf_counter() - t0 - 0.029) / iters
 
-    for th in [None, 8, 16, 32, 64]:
+    ths = [None, 8, 16, 32, 64] if hw == 256 else \
+        [None, 8, 12, 16, 24, 32]
+    for th in ths:
         try:
             t = timed(lambda y, tt=th: restormer_block_fast(
                 y, p, heads, tile_h=tt))
@@ -64,4 +68,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])
