@@ -49,6 +49,20 @@ def _rows_per_tile(w: int, c_widest: int, n_bufs: int = 8,
     return int(min(th, 64))
 
 
+def _gelu_erf(x):
+    """Exact (erf-based) gelu, matching torch F.gelu / jax.nn.gelu
+    approximate=False. Mosaic has no erf/erfc primitive, so erf is the
+    Abramowitz-Stegun 7.1.26 rational approximation (|err| <= 1.5e-7,
+    i.e. f32-eps-exact)."""
+    z = x * 0.7071067811865476
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * x * (1.0 + erf)
+
+
 def _layer_norm(x, scale, bias):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -194,7 +208,7 @@ def _r2_kernel(x_ref, xprev_ref, xnext_ref, v_ref, vprev_ref,
                                                     2 * hidden)
     y = _dw3x3_valid(y, dwk2[:].astype(f32), tile_h,
                      _edge_mask(i, tile_h, n_tiles))
-    g = jax.nn.gelu(y[..., :hidden]) * y[..., hidden:]
+    g = _gelu_erf(y[..., :hidden]) * y[..., hidden:]
     out = jnp.dot(g.astype(cdt).reshape(-1, hidden), wout[:],
                   preferred_element_type=f32).reshape(tile_h, w, c)
     out_ref[0] = (x1[1:tile_h + 1] + out).astype(out_ref.dtype)

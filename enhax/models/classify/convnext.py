@@ -20,7 +20,7 @@ class ConvNeXtBlock(nn.Module):
         y = nn.Conv(self.dim, (7, 7), feature_group_count=self.dim, name="dw")(x)
         y = nn.LayerNorm(name="norm")(y)
         y = nn.Dense(self.dim * 4, name="pw1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="pw2")(y)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale),
                            (self.dim,))

@@ -32,7 +32,7 @@ class SwinBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         return x + nn.Dense(self.dim, name="mlp2")(y)
 
 
@@ -171,7 +171,7 @@ class SwinV2Block(SwinBlock):
                               shift=self.shift, name="attn")(x, mask=mask)
         x = x + nn.LayerNorm(name="norm1")(y)   # post-norm (v2)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp1")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp2")(y)
         return x + nn.LayerNorm(name="norm2")(y)
 

@@ -98,7 +98,9 @@ class GDFN(nn.Module):
         y = DWConv3x3(hidden * 2, use_bias=False, dtype=self.dtype,
                       name="dwconv")(y)
         a, b = jnp.split(y, 2, axis=-1)
-        y = jax.nn.gelu(a) * b
+        # reference restormer_arch.py:96 F.gelu = exact erf gelu (torch's
+        # default), NOT the tanh approximation jax.nn.gelu defaults to
+        y = jax.nn.gelu(a, approximate=False) * b
         return conv1x1(self.dim, use_bias=False, dtype=self.dtype,
                        name="project_out")(y)
 

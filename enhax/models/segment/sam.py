@@ -90,7 +90,7 @@ class TwoWayBlock(nn.Module):
         tokens = tokens + attn("t2i")(t, nn.LayerNorm(name="n2b")(image))
         t = nn.LayerNorm(name="n3")(tokens)
         tokens = tokens + nn.Dense(self.dim, name="mlp2")(
-            nn.gelu(nn.Dense(self.dim * 4, name="mlp1")(t)))
+            nn.gelu(nn.Dense(self.dim * 4, name="mlp1")(t), approximate=False))
         i = nn.LayerNorm(name="n4")(image)
         image = image + attn("i2t")(i, nn.LayerNorm(name="n4b")(tokens))
         return tokens, image
@@ -122,7 +122,7 @@ class MaskDecoder(nn.Module):
 
         feat = img.reshape(n, ph, pw, c)
         feat = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), name="up1", transpose_kernel=True)(feat)
-        feat = nn.gelu(nn.LayerNorm(name="up_norm")(feat))
+        feat = nn.gelu(nn.LayerNorm(name="up_norm")(feat), approximate=False)
         feat = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2), name="up2", transpose_kernel=True)(feat)
         hyper = nn.Dense(c // 8, name="hyper")(mask_tok)       # (N, M, C/8)
         masks = jnp.einsum("nhwc,nmc->nmhw", feat, hyper)

@@ -51,7 +51,7 @@ class MaskDownSampler(nn.Module):
             y = nn.Conv(min(self.dim, 16 * 4 ** (i + 1)), (3, 3),
                         strides=(2, 2), name=f"down{i}")(y)
             y = nn.LayerNorm(name=f"norm{i}")(y)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
         return nn.Conv(self.dim, (1, 1), name="out")(y)
 
 
@@ -65,7 +65,7 @@ class CXBlock(nn.Module):
                     name="dwconv")(x)
         y = nn.LayerNorm(name="norm")(y)
         y = nn.Dense(self.dim * 4, name="pw1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="pw2")(y)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
         return x + gamma * y
@@ -110,7 +110,7 @@ class MemoryAttentionLayer(nn.Module):
             y, nn.LayerNorm(name="n2m")(memory), mask=kv_mask)
         y = nn.LayerNorm(name="n3")(x)
         x = x + nn.Dense(self.dim, name="mlp2")(
-            nn.gelu(nn.Dense(self.dim * 4, name="mlp1")(y)))
+            nn.gelu(nn.Dense(self.dim * 4, name="mlp1")(y), approximate=False))
         return x
 
 
