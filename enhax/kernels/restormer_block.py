@@ -108,6 +108,36 @@ def _dw3x3_valid(y, dwwf, tile_h, mask_rows):
     return acc
 
 
+def _dw9_inputs(t, tile_h):
+    """im2col for a fused (1x1 -> dw3x3): nine tap views of the 1x1 INPUT.
+
+    ``t``: (tile_h+2, w, c). Returns (tile_h, w, 9c) with lane blocks
+    ordered (dh, dx)-major to match ``_fold_dw_into_pointwise``. With a
+    bias-free pointwise producer W and per-channel dw taps k[dh,dx,o],
+
+        dw3x3(t @ W)[., o] = concat_taps(t) @ [W[i,o] * k[dh,dx,o]]
+
+    exactly, so the nine-tap accumulation rides the MXU as one matmul
+    with K = 9c instead of nine VPU FMA passes over the (wider) output."""
+    zcol = jnp.zeros_like(t[:, :1])
+    planes = (jnp.concatenate([zcol, t[:, :-1]], axis=1),  # input col w-1
+              t,
+              jnp.concatenate([t[:, 1:], zcol], axis=1))   # input col w+1
+    return jnp.concatenate(
+        [planes[dx][dh:dh + tile_h] for dh in (0, 1, 2) for dx in (0, 1, 2)],
+        axis=-1)
+
+
+def _fold_dw_into_pointwise(w_pt, dwk):
+    """(c_in, c_out) pointwise @ (3, 3, c_out) dw taps -> (9*c_in, c_out).
+
+    Row block (dh*3+dx)*c_in + i carries W[i, o] * k[dh, dx, o]; pairs
+    with ``_dw9_inputs``'s lane order."""
+    c_in, c_out = w_pt.shape
+    w9 = w_pt[None, None] * dwk[:, :, None, :]          # (3, 3, c_in, c_out)
+    return w9.reshape(9 * c_in, c_out)
+
+
 def _edge_mask(i, tile_h, n_tiles):
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
     return ((i == 0) & (row == 0)) | \
@@ -116,12 +146,17 @@ def _edge_mask(i, tile_h, n_tiles):
 
 def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
                v_out, gram_out, qss_out, kss_out, *, tile_h, w, c, heads,
-               n_tiles):
+               n_tiles, dw_mxu=False):
     """LN1 -> qkv 1x1 -> dw3x3; accumulate per-head gram + channel norms.
 
     Only V leaves the kernel: q and k are fully consumed by the gram and
     norm accumulators here, so writing them back (and re-reading them in
-    R2) would be 4 channel-widths of pure waste per block."""
+    R2) would be 4 channel-widths of pure waste per block.
+
+    ``dw_mxu``: the dw3x3 is folded into the qkv matmul (``wqkv`` then
+    carries the (9c, 3c) tap-scaled weights from
+    ``_fold_dw_into_pointwise``; ``dwk`` is ignored) — nine MXU K-blocks
+    instead of nine VPU FMA passes over the 3c-wide output."""
     i = pl.program_id(1)
     f32 = jnp.float32
     # VPU work stays f32: an on-chip A/B measured bf16 in-kernel
@@ -133,10 +168,18 @@ def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
     nxt = xnext_ref[0].astype(f32)
     xb = jnp.concatenate([prev, x_ref[0].astype(f32), nxt], axis=0)
     y = _layer_norm(xb, ln_s[0].astype(f32), ln_b[0].astype(f32))
-    y = jnp.dot(y.astype(cdt).reshape(-1, c), wqkv[:],
-                preferred_element_type=f32).reshape(tile_h + 2, w, 3 * c)
-    qkv = _dw3x3_valid(y, dwk[:].astype(f32), tile_h,
-                       _edge_mask(i, tile_h, n_tiles))
+    if dw_mxu:
+        # SAME zero padding applies after the (bias-free) pointwise, so
+        # zeroing the out-of-image LN rows pre-matmul is exact
+        y = jnp.where(_edge_mask(i, tile_h, n_tiles), 0.0, y)
+        t9 = _dw9_inputs(y.astype(cdt), tile_h)
+        qkv = jnp.dot(t9.reshape(-1, 9 * c), wqkv[:],
+                      preferred_element_type=f32).reshape(tile_h, w, 3 * c)
+    else:
+        y = jnp.dot(y.astype(cdt).reshape(-1, c), wqkv[:],
+                    preferred_element_type=f32).reshape(tile_h + 2, w, 3 * c)
+        qkv = _dw3x3_valid(y, dwk[:].astype(f32), tile_h,
+                           _edge_mask(i, tile_h, n_tiles))
     v_out[0] = qkv[..., 2 * c:].astype(v_out.dtype)
 
     flat = qkv.reshape(-1, 3 * c)
@@ -173,7 +216,8 @@ def _r1_kernel(x_ref, xprev_ref, xnext_ref, ln_s, ln_b, wqkv, dwk,
 
 def _r2_kernel(x_ref, xprev_ref, xnext_ref, v_ref, vprev_ref,
                vnext_ref, attn_ref, wproj, ln2_s, ln2_b, win, dwk2,
-               wout, out_ref, *, tile_h, w, c, heads, hidden, n_tiles):
+               wout, out_ref, *, tile_h, w, c, heads, hidden, n_tiles,
+               dw_mxu=False):
     """attn@v -> proj -> +x -> LN2 -> GDFN -> +residual for one row tile.
 
     The GDFN dwconv needs halo rows of x1 = x + proj(attn@v), so the
@@ -203,11 +247,19 @@ def _r2_kernel(x_ref, xprev_ref, xnext_ref, v_ref, vprev_ref,
     x1 = xb + proj.reshape(tile_h + 2, w, c)
 
     y = _layer_norm(x1, ln2_s[0].astype(f32), ln2_b[0].astype(f32))
-    y = jnp.dot(y.astype(cdt).reshape(-1, c), win[:],
-                preferred_element_type=f32).reshape(tile_h + 2, w,
-                                                    2 * hidden)
-    y = _dw3x3_valid(y, dwk2[:].astype(f32), tile_h,
-                     _edge_mask(i, tile_h, n_tiles))
+    if dw_mxu:
+        # see _r1_kernel: taps folded into ``win`` (9c, 2*hidden)
+        y = jnp.where(_edge_mask(i, tile_h, n_tiles), 0.0, y)
+        t9 = _dw9_inputs(y.astype(cdt), tile_h)
+        y = jnp.dot(t9.reshape(-1, 9 * c), win[:],
+                    preferred_element_type=f32).reshape(tile_h, w,
+                                                        2 * hidden)
+    else:
+        y = jnp.dot(y.astype(cdt).reshape(-1, c), win[:],
+                    preferred_element_type=f32).reshape(tile_h + 2, w,
+                                                        2 * hidden)
+        y = _dw3x3_valid(y, dwk2[:].astype(f32), tile_h,
+                         _edge_mask(i, tile_h, n_tiles))
     g = _gelu_erf(y[..., :hidden]) * y[..., hidden:]
     out = jnp.dot(g.astype(cdt).reshape(-1, hidden), wout[:],
                   preferred_element_type=f32).reshape(tile_h, w, c)
@@ -231,7 +283,8 @@ def _halo_specs(tile_h, h, w, c):
 
 
 def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
-                         interpret: bool = False, tile_h: int | None = None):
+                         interpret: bool = False, tile_h: int | None = None,
+                         dw_mxu: bool = False):
     """One RestormerBlock through the fused kernels (R1 -> glue -> R2).
 
     ``p``: the block's flax params — norm1/{scale,bias},
@@ -239,11 +292,16 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     project_out/kernel (C,C)}, norm2, ffn/{project_in/kernel (C,2h),
     dwconv/kernel (3,3,1,2h), project_out/kernel (h,C)}. Matches
     RestormerBlock.__call__ exactly (no biases, plain residuals).
+
+    ``dw_mxu``: fold both dw3x3s into their producing 1x1 matmuls
+    (9x the pointwise FLOPs, riding the MXU, instead of nine VPU FMA
+    passes over the wider dw output; exact because the producers are
+    bias-free). A/B on chip: run/probe_dw_mxu.py.
     """
     b, h, w, c = x.shape
     hd = c // heads
     hidden = int(c * expansion)
-    widest = max(3 * c, 2 * hidden)
+    widest = max(3 * c, 2 * hidden, 9 * c if dw_mxu else 0)
     if tile_h is None:
         tile_h = _rows_per_tile(w, widest, n_bufs=8)
     while h % tile_h:
@@ -260,14 +318,20 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     prev_x, next_x = _halo_specs(tile_h, h, w, c)
 
     pa = p["attn"]
+    f32 = jnp.float32
+    wqkv = jnp.asarray(pa["qkv"]["kernel"])
+    dwk1 = jnp.asarray(pa["qkv_dw"]["kernel"]).reshape(3, 3, 3 * c)
+    if dw_mxu:
+        wqkv = _fold_dw_into_pointwise(
+            wqkv.astype(f32), dwk1.astype(f32)).astype(wqkv.dtype)
     v, gram, qss, kss = pl.pallas_call(
         functools.partial(_r1_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
-                          n_tiles=n_tiles),
+                          n_tiles=n_tiles, dw_mxu=dw_mxu),
         grid=(b, n_tiles),
         in_specs=[
             blk(c), prev_x, next_x,
             vec(c), vec(c),                       # norm1
-            mat(c, 3 * c),                        # qkv
+            mat(9 * c if dw_mxu else c, 3 * c),   # qkv (tap-folded if mxu)
             pl.BlockSpec((3, 3, 3 * c), lambda bi, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # qkv_dw
         ],
@@ -293,8 +357,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
             vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(x, x, x, _vec2(p["norm1"]["scale"]), _vec2(p["norm1"]["bias"]),
-      jnp.asarray(pa["qkv"]["kernel"]),
-      jnp.asarray(pa["qkv_dw"]["kernel"]).reshape(3, 3, 3 * c))
+      wqkv, dwk1)
 
     # glue: logits = gram / (||q_c|| ||k_d||) * temperature -> softmax.
     # norms are over the pixel axis, so they factor out of the gram —
@@ -307,9 +370,14 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     attn = jax.nn.softmax(gram / (qn * kn) * temp, axis=-1)
     attn = attn.reshape(b, heads * hd, hd).astype(x.dtype)
 
+    win = jnp.asarray(p["ffn"]["project_in"]["kernel"])
+    dwk2 = jnp.asarray(p["ffn"]["dwconv"]["kernel"]).reshape(3, 3, 2 * hidden)
+    if dw_mxu:
+        win = _fold_dw_into_pointwise(
+            win.astype(f32), dwk2.astype(f32)).astype(win.dtype)
     out = pl.pallas_call(
         functools.partial(_r2_kernel, tile_h=tile_h, w=w, c=c, heads=heads,
-                          hidden=hidden, n_tiles=n_tiles),
+                          hidden=hidden, n_tiles=n_tiles, dw_mxu=dw_mxu),
         grid=(b, n_tiles),
         in_specs=[
             blk(c), prev_x, next_x,
@@ -318,7 +386,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
                          memory_space=pltpu.VMEM),
             mat(c, c),                            # project_out
             vec(c), vec(c),                       # norm2
-            mat(c, 2 * hidden),                   # ffn in
+            mat(9 * c if dw_mxu else c, 2 * hidden),  # ffn in (tap-folded)
             pl.BlockSpec((3, 3, 2 * hidden), lambda bi, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # ffn dw
             mat(hidden, c),                       # ffn out
@@ -332,8 +400,7 @@ def restormer_block_fast(x, p: dict, heads: int, expansion: float = 2.66,
     )(x, x, x, v, v, v, attn,
       jnp.asarray(pa["project_out"]["kernel"]),
       _vec2(p["norm2"]["scale"]), _vec2(p["norm2"]["bias"]),
-      jnp.asarray(p["ffn"]["project_in"]["kernel"]),
-      jnp.asarray(p["ffn"]["dwconv"]["kernel"]).reshape(3, 3, 2 * hidden),
+      win, dwk2,
       jnp.asarray(p["ffn"]["project_out"]["kernel"]))
     return out
 

@@ -109,7 +109,8 @@ def main(argv):
                     vmem_limit_bytes=110 * 2**20),
             )
             loop = jax.jit(lambda y, kk=k, f=fn: jax.lax.fori_loop(
-                0, iters, lambda _, yy: f(yy, kk).astype(yy.dtype), y))
+                0, iters,
+                lambda _, yy: f(yy, yy, yy, kk).astype(yy.dtype), y))
             float(jnp.sum(loop(x)))
             t0 = time.perf_counter()
             float(jnp.sum(loop(x)))

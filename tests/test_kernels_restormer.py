@@ -16,8 +16,9 @@ from enhax.kernels.restormer_block import (restormer_block_fast,
 from enhax.models.multitask.restormer import RestormerBlock, RestormerModule
 
 
+@pytest.mark.parametrize("dw_mxu", [False, True])
 @pytest.mark.parametrize("heads,c,hw", [(1, 48, 32), (2, 96, 16), (4, 32, 8)])
-def test_restormer_block_fused_parity(rng, heads, c, hw):
+def test_restormer_block_fused_parity(rng, heads, c, hw, dw_mxu):
     x = jnp.asarray(rng.uniform(-1, 1, (2, hw, hw, c)).astype(np.float32))
     mod = RestormerBlock(c, heads)
     var = mod.init(jax.random.PRNGKey(0), x)
@@ -25,12 +26,14 @@ def test_restormer_block_fused_parity(rng, heads, c, hw):
     # test sensitive to the temperature placement
     var = jax.tree_util.tree_map(lambda a: a, var)
     ref = mod.apply(var, x)
-    got = restormer_block_fast(x, var["params"], heads, interpret=True)
+    got = restormer_block_fast(x, var["params"], heads, interpret=True,
+                               dw_mxu=dw_mxu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_restormer_block_fused_parity_tall(rng):
+@pytest.mark.parametrize("dw_mxu", [False, True])
+def test_restormer_block_fused_parity_tall(rng, dw_mxu):
     """Multi-row-tile grid: H larger than one tile exercises the gram
     accumulation across tiles and the halo masking at both edges."""
     c, heads = 16, 2
@@ -40,7 +43,8 @@ def test_restormer_block_fused_parity_tall(rng):
     ref = mod.apply(var, x)
     # force several row tiles by shrinking the budget through w/c being
     # tiny — tile_h caps at 64; pick H=64 so any tile_h in [1,64] divides
-    got = restormer_block_fast(x, var["params"], heads, interpret=True)
+    got = restormer_block_fast(x, var["params"], heads, interpret=True,
+                               dw_mxu=dw_mxu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
