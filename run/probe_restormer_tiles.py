@@ -15,6 +15,7 @@ tiled_apply_frames serving call at several (tile, chunk) points so the
 bench row can adopt the best one with evidence.
 
 Usage: python run/probe_restormer_tiles.py [--frames 4] [--smoke]
+           [--points "384,32,12;384,32,18;384,32,24"]
 """
 
 from __future__ import annotations
@@ -54,6 +55,9 @@ def main(argv):
         h, w = 1088, 1920
         # (tile, overlap, chunk): chunk scaled so chunk*tile^2 stays ~flat
         points = [(256, 32, 16), (384, 32, 8), (448, 32, 6), (512, 32, 4)]
+    if "--points" in argv:
+        points = [tuple(int(v) for v in p.split(","))
+                  for p in argv[argv.index("--points") + 1].split(";")]
 
     x = jnp.asarray(rng.uniform(0, 0.4, (frames, h, w, 3)).astype(np.float32))
     v = model.init(jax.random.PRNGKey(0), {"image": x[:1, :points[0][0], :points[0][0]]})
