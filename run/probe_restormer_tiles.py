@@ -56,6 +56,10 @@ def main(argv):
         # (tile, overlap, chunk): chunk scaled so chunk*tile^2 stays ~flat
         points = [(256, 32, 16), (384, 32, 8), (448, 32, 6), (512, 32, 4)]
     if "--points" in argv:
+        # 3-tuple tile,overlap,chunk (square) or 4-tuple th,tw,overlap,chunk
+        # (rectangular — full-height strips kill the vertical overlap
+        # redundancy entirely: 1088x512 strips cover 1080p at 1.07x
+        # computed px vs the 384^2 grid's 1.27x)
         points = [tuple(int(v) for v in p.split(","))
                   for p in argv[argv.index("--points") + 1].split(";")]
 
@@ -66,12 +70,17 @@ def main(argv):
     v = jax.tree_util.tree_map(cast, v)
     x = x.astype(jnp.bfloat16)
 
-    for tile, overlap, chunk in points:
+    for point in points:
+        if len(point) == 4:
+            th, tw, overlap, chunk = point
+        else:
+            (th, overlap, chunk), tw = point, point[0]
+        tile = (th, tw)
         try:
             fn = jax.jit(lambda vv, img, t=tile, o=overlap, c=chunk:
                          tiled_apply_frames(
                              lambda tt: model.apply(vv, {"image": tt})["enhanced"],
-                             img, tile=(t, t), overlap=o, chunk=c))
+                             img, tile=t, overlap=o, chunk=c))
             s = float(fn(v, x).sum())
             assert np.isfinite(s)
             t0 = time.perf_counter()

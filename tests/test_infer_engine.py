@@ -238,6 +238,14 @@ def test_tiled_apply_frames_matches_per_frame(rng):
             np.testing.assert_allclose(np.asarray(got[f]), np.asarray(ref[0]),
                                        atol=1e-5)
 
+    # full-height strip tiles (the r5 Restormer serving grid: rectangular
+    # tiles with th = H kill the vertical overlap redundancy entirely)
+    got = tiled_apply_frames(fn, frames, tile=(40, 16), overlap=4, chunk=3)
+    for f in range(3):
+        ref = tiled_apply(fn, frames[f:f + 1], tile=(40, 16), overlap=4)
+        np.testing.assert_allclose(np.asarray(got[f]), np.asarray(ref[0]),
+                                   atol=1e-5)
+
 
 def test_best_chunk_minimizes_tail_waste():
     """Auto-chunk (r4 VERDICT task 5): the dispatch chunk shrinks within
