@@ -75,12 +75,16 @@ def main(only: str | None = None):
             batch, h, w, runs = min(batch, 2), 192, 192, 1
             if tile:
                 tile, chunk = (64, 16), 4
+        # tile: (size, overlap) square, or (th, tw, overlap) rectangular
+        # (full-height strips — r5 serving grid, zero vertical overlap)
+        if tile and len(tile) == 2:
+            tile = (tile[0], tile[0], tile[1])
         try:
             model = build_model(model_name, **kw)
             x = jnp.asarray(rng.uniform(0, 0.4, (batch, h, w, 3)).astype(np.float32))
             # init at tile size when tiling — a full-res untiled forward
             # just to create params OOMs (this was the restormer failure)
-            init_x = x[:, :tile[0], :tile[0]] if tile else x
+            init_x = x[:, :min(tile[0], h), :min(tile[1], w)] if tile else x
             v = model.init(jax.random.PRNGKey(0), {"image": init_x})
             if bf16:
                 # inference in bfloat16: halves HBM traffic and doubles MXU
@@ -95,7 +99,7 @@ def main(only: str | None = None):
                 from enhax.infer.tiling import tiled_apply_frames
                 fn = jax.jit(lambda vv, img: tiled_apply_frames(
                     lambda t: model.apply(vv, {"image": t})["enhanced"],
-                    img, tile=(tile[0], tile[0]), overlap=tile[1],
+                    img, tile=(tile[0], tile[1]), overlap=tile[2],
                     chunk=chunk))
                 f = lambda: fn(v, x)  # noqa: E731
             elif tile:
@@ -103,7 +107,7 @@ def main(only: str | None = None):
                 # — unrolled per-tile calls OOM'd the 16 GB chip at 1080p
                 fn = jax.jit(lambda vv, img: tiled_apply_batched(
                     lambda t: model.apply(vv, {"image": t})["enhanced"],
-                    img, tile=(tile[0], tile[0]), overlap=tile[1],
+                    img, tile=(tile[0], tile[1]), overlap=tile[2],
                     chunk=chunk))
                 f = lambda: fn(v, x)  # noqa: E731
             else:
